@@ -1,0 +1,98 @@
+"""Device triangle geometry + the MXU-friendly intersection precompute.
+
+Role of `optixAccelBuild`'s triangle build input (`include/optix_types.h:632-799`)
+and the driver's triangle intersector: a mesh becomes a `TriangleGeometry` pytree
+holding both raw triangle data and a precomputed **unit-triangle (Woop-style)
+affine transform per triangle**, packed so that transforming a whole wavefront of
+rays into every triangle's local frame is two matmuls:
+
+    O' = O @ W + C        # [N, 3] @ [3, 3M] + [3M]  → MXU
+    D' = D @ W            # [N, 3] @ [3, 3M]         → MXU
+
+In triangle t's local frame a point is v0 + u*e1 + v*e2 + w*n, so the hit test
+collapses to elementwise math on (u, v, w) lanes: t = -O'w/D'w, u = O'u + t*D'u,
+v = O'v + t*D'v, hit iff u>=0, v>=0, u+v<=1, t in (tmin, tmax). This is the
+TPU-first re-design of the ray/triangle hot path: the FLOPs ride the systolic
+array instead of a scalar intersector per ray.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.vecmath import cross, normalize
+
+
+@struct.dataclass
+class TriangleGeometry:
+    """A GAS over triangles (one geometry's worth; instances reference these).
+
+    vertices/indices are retained for refit & shading lookups; v0/e1/e2 and the
+    packed Woop transform (w_mat [3, 3M], w_off [3M]) are derived. face_normal is
+    geometric (unnormalized cross(e1, e2) direction normalized).
+    """
+    vertices: jnp.ndarray      # [V, 3] f32
+    indices: jnp.ndarray       # [M, 3] i32
+    v0: jnp.ndarray            # [M, 3]
+    e1: jnp.ndarray            # [M, 3]
+    e2: jnp.ndarray            # [M, 3]
+    face_normal: jnp.ndarray   # [M, 3] unit geometric normals
+    w_mat: jnp.ndarray         # [3, 3M] packed world→unit-triangle linear maps
+    w_off: jnp.ndarray         # [3M] packed translations
+    valid: jnp.ndarray         # [M] bool — False for degenerate/padding triangles
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+
+def build_triangle_geometry(vertices, indices) -> TriangleGeometry:
+    """Build the device tables for a triangle mesh. Pure jnp → jittable, so
+    dynamic geometry can rebuild per frame (the `OPTIX_BUILD_OPERATION_UPDATE`
+    refit path, reference `SDK/optixDynamicGeometry/optixDynamicGeometry.cpp:412-435`).
+    """
+    vertices = jnp.asarray(vertices, jnp.float32)
+    indices = jnp.asarray(indices, jnp.int32)
+    v0 = vertices[indices[:, 0]]
+    v1 = vertices[indices[:, 1]]
+    v2 = vertices[indices[:, 2]]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = cross(e1, e2)
+    n_len2 = jnp.sum(n * n, axis=-1)
+    valid = n_len2 > 1e-24
+
+    # Local frame matrix M_t = [e1 | e2 | n] (columns); its inverse maps world
+    # offsets into (u, v, w). Guard degenerate triangles with identity so inv()
+    # stays finite, then mask them out of every hit test via `valid`.
+    m = jnp.stack([e1, e2, n], axis=-1)                       # [M, 3, 3]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), m.shape)
+    m_inv = jnp.linalg.inv(jnp.where(valid[:, None, None], m, eye))  # [M, 3, 3]
+
+    # Pack for the two-matmul form: O'[n, 3t+j] = sum_k O[n, k] * m_inv[t, j, k]
+    # → W[k, 3t+j] = m_inv[t, j, k]; C[3t+j] = -m_inv[t, j, :] @ v0[t].
+    M = indices.shape[0]
+    w_mat = jnp.transpose(m_inv, (2, 0, 1)).reshape(3, 3 * M)
+    w_off = (-jnp.einsum("tjk,tk->tj", m_inv, v0)).reshape(3 * M)
+
+    return TriangleGeometry(
+        vertices=vertices, indices=indices, v0=v0, e1=e1, e2=e2,
+        face_normal=normalize(n), w_mat=w_mat, w_off=w_off, valid=valid,
+    )
+
+
+def shading_frame(geom: TriangleGeometry, prim_id, uv):
+    """Hit-point geometric normal + position helpers for shading.
+
+    prim_id: [...] i32 (>=0), uv: [..., 2] barycentrics. Returns dict with
+    position-independent attributes; gathers are per-hit (N-sized), not N×M.
+    Mirrors the LocalGeometry fill-in of `SDK/cuda/LocalGeometry.h`.
+    """
+    pid = jnp.maximum(prim_id, 0)
+    n = geom.face_normal[pid]
+    v0 = geom.v0[pid]
+    e1 = geom.e1[pid]
+    e2 = geom.e2[pid]
+    u, v = uv[..., 0], uv[..., 1]
+    pos = v0 + u[..., None] * e1 + v[..., None] * e2
+    return {"position": pos, "normal": n}
