@@ -1,0 +1,108 @@
+"""Material tables: the tagged-union material model as SoA device arrays.
+
+Re-expresses `SDK/cuda/MaterialData.h:33-140` (tagged union of
+PBR / GLASS / PHONG / CHECKER_PHONG + alpha modes) as structure-of-arrays: one
+`kind` tag plus parameter planes, so a wavefront shades heterogeneous materials
+with branchless selects (small material sets) or `lax.switch` over sorted
+material segments (the `optixReorder`/SER analogue — see wavefront/engine.py).
+Texture references are integer ids into the scene's texture atlas (scene/).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+# Material kinds (MaterialData.h Type tags + imgui_test DiffuseMaterial)
+DIFFUSE = 0       # lambertian (imgui_test diffuse.h)
+PBR = 1           # metallic-roughness GGX (MaterialData.h:62-84, whitted.cu CH)
+GLASS = 2         # reflect/refract dielectric (MaterialData.h:86-103, shading.cu)
+PHONG = 3         # phong lobes (MaterialData.h:105-117, shading.cu phongShade)
+CHECKER = 4       # procedural checker phong (MaterialData.h:119-131)
+EMISSIVE = 5      # pure emitter
+
+# Alpha modes (MaterialData.h:39-44)
+ALPHA_OPAQUE = 0
+ALPHA_MASK = 1
+ALPHA_BLEND = 2
+
+
+@struct.dataclass
+class MaterialTable:
+    kind: jnp.ndarray            # [K] int32
+    base_color: jnp.ndarray      # [K, 3] albedo / diffuse color
+    emission: jnp.ndarray        # [K, 3]
+    metallic: jnp.ndarray        # [K]
+    roughness: jnp.ndarray       # [K]
+    ior: jnp.ndarray             # [K] index of refraction (glass)
+    specular: jnp.ndarray        # [K, 3] phong Ks / glass reflection tint
+    phong_exp: jnp.ndarray       # [K]
+    checker1: jnp.ndarray        # [K, 3] secondary checker color
+    checker_scale: jnp.ndarray   # [K]  checker frequency
+    alpha_mode: jnp.ndarray      # [K] int32
+    alpha_cutoff: jnp.ndarray    # [K]
+    base_tex: jnp.ndarray        # [K] int32 texture id, -1 = none
+    kr: jnp.ndarray              # [K, 3] reflectivity (whitted glass/metal)
+
+    @property
+    def num(self):
+        return self.kind.shape[0]
+
+
+def make_material_table(materials) -> MaterialTable:
+    """materials: list of dicts; unspecified fields get sensible defaults."""
+    K = max(len(materials), 1)
+
+    def plane(key, default, width=None):
+        if width is None:
+            out = np.full((K,), default, np.float32)
+        else:
+            out = np.tile(np.asarray(default, np.float32), (K, 1))
+        for i, m in enumerate(materials):
+            if key in m:
+                out[i] = m[key]
+        return jnp.asarray(out)
+
+    kind = np.zeros(K, np.int32)
+    alpha_mode = np.zeros(K, np.int32)
+    base_tex = np.full(K, -1, np.int32)
+    for i, m in enumerate(materials):
+        kind[i] = m.get("kind", DIFFUSE)
+        alpha_mode[i] = m.get("alpha_mode", ALPHA_OPAQUE)
+        base_tex[i] = m.get("base_tex", -1)
+
+    return MaterialTable(
+        kind=jnp.asarray(kind),
+        base_color=plane("base_color", (0.8, 0.8, 0.8), 3),
+        emission=plane("emission", (0.0, 0.0, 0.0), 3),
+        metallic=plane("metallic", 0.0),
+        roughness=plane("roughness", 0.5),
+        ior=plane("ior", 1.5),
+        specular=plane("specular", (0.0, 0.0, 0.0), 3),
+        phong_exp=plane("phong_exp", 32.0),
+        checker1=plane("checker1", (0.0, 0.0, 0.0), 3),
+        checker_scale=plane("checker_scale", 1.0),
+        alpha_mode=jnp.asarray(alpha_mode),
+        alpha_cutoff=plane("alpha_cutoff", 0.5),
+        base_tex=jnp.asarray(base_tex),
+        kr=plane("kr", (0.0, 0.0, 0.0), 3),
+    )
+
+
+def gather(table: MaterialTable, mat_id):
+    """Per-hit material parameters: gathers [...]-shaped planes from the table."""
+    mid = jnp.maximum(mat_id, 0)
+    return {
+        "kind": table.kind[mid],
+        "base_color": table.base_color[mid],
+        "emission": table.emission[mid],
+        "metallic": table.metallic[mid],
+        "roughness": table.roughness[mid],
+        "ior": table.ior[mid],
+        "specular": table.specular[mid],
+        "phong_exp": table.phong_exp[mid],
+        "checker1": table.checker1[mid],
+        "checker_scale": table.checker_scale[mid],
+        "kr": table.kr[mid],
+        "base_tex": table.base_tex[mid],
+    }

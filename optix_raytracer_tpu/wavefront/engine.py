@@ -1,0 +1,233 @@
+"""The wavefront execution engine: the TPU-native `optixLaunch`.
+
+Where the reference launches a driver megakernel whose raygen program loops
+bounces with divergent `optixTrace` calls per pixel
+(`SDK/optixPathTracer/optixPathTracer.cu:249-320`, `include/optix_host.h:521`),
+this engine runs the whole wavefront in lock-step: a `lax.fori_loop` over bounce
+depth carrying a structure-of-arrays path state, with
+
+  raygen  →  intersect (MXU matmul / LBVH traversal)  →  shade (branchless
+  material select over the SoA material table = the SBT dispatch)  →  NEE
+  shadow rays  →  sample next direction  →  Russian roulette,
+
+all masked by an `active` lane predicate instead of thread divergence. The
+payload registers of `optixTrace` (`include/optix_device.h:380-449`) become the
+carried pytree; `MAX_TRACE_DEPTH` becomes the loop bound; ray types
+(RADIANCE/OCCLUSION, `SDK/cuda/whitted.h:80-86`) become the closest-hit vs
+any-hit intersector entry points.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..accel import bruteforce as bf
+from ..accel.geometry import shading_frame
+from ..core import rng as _rng
+from ..core.camera import generate_rays
+from ..core.rays import Rays
+from ..core.vecmath import dot, normalize, reflect, refract
+from ..shade import materials as mats
+from ..shade.sampling import cosine_sample_hemisphere
+from ..scene.device_scene import DeviceScene
+
+# Shadow/secondary-ray epsilons, relative to the classic scene scale. The
+# reference uses absolute 0.01/1e-4 epsilons at Cornell scale
+# (`optixPathTracer.cu:394-400` traceOcclusion(tmin=0.01, tmax=dist-0.01)).
+RAY_TMIN = 1e-2
+SHADOW_TMAX_SCALE = 1.0 - 1e-3
+
+
+def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
+                      chunk_size):
+    """Next-event estimation against the parallelogram area light.
+
+    Estimator matches the reference path tracer (`optixPathTracer.cu:375-409`):
+    uniform point on the quad, weight = nDl * LnDl * A / (π d²), applied to the
+    albedo-scaled throughput. Returns (contribution [N,3], rng).
+    """
+    light = scene.area_light
+    u1, u2, rng = _rng.uniform2(rng)
+    lp = light.corner + u1[..., None] * light.v1 + u2[..., None] * light.v2
+    delta = lp - hit_p
+    dist2 = jnp.maximum(dot(delta, delta), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = delta / dist[..., None]
+    n_dl = dot(n, wi)
+    ln_dl = jnp.abs(dot(jnp.broadcast_to(light.normal, wi.shape), wi))
+    facing = n_dl > 0.0
+
+    shadow_rays = Rays(origin=hit_p, direction=wi,
+                       tmin=jnp.full(dist.shape, RAY_TMIN, jnp.float32),
+                       tmax=dist * SHADOW_TMAX_SCALE)
+    occluded = bf.intersect_any(scene.geom, shadow_rays, chunk_size=chunk_size)
+
+    weight = jnp.where(facing & ~occluded,
+                       n_dl * ln_dl * light.area / (jnp.pi * dist2), 0.0)
+    return throughput_albedo * light.emission * weight[..., None], rng
+
+
+def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
+                chunk_size: Optional[int] = 65536):
+    """Integrate radiance along a wavefront of camera rays → [N, 3].
+
+    The per-pixel bounce loop of `optixPathTracer.cu:281-304`, restructured as
+    a lock-step loop over the whole wavefront. Supports DIFFUSE/EMISSIVE (NEE +
+    cosine BSDF), PBR (diffuse + mirror blend by metallic), GLASS
+    (fresnel-weighted reflect/refract), PHONG/CHECKER (treated as diffuse with
+    their diffuse color) — branchless selects, since a wavefront carries few
+    distinct kinds.
+    """
+    n_rays = rays.tmin.shape[0]
+    state = dict(
+        rays=rays,
+        throughput=jnp.ones((n_rays, 3), jnp.float32),
+        radiance=jnp.zeros((n_rays, 3), jnp.float32),
+        rng=rng,
+        active=jnp.ones((n_rays,), bool),
+        prev_specular=jnp.ones((n_rays,), bool),  # depth-0 emission counts
+    )
+
+    def bounce(depth, state):
+        rays = state["rays"]
+        active = state["active"]
+        throughput = state["throughput"]
+        radiance = state["radiance"]
+        rng = state["rng"]
+
+        hits = bf.intersect_closest(scene.geom, rays, chunk_size=chunk_size)
+        hit_valid = hits.valid & active
+
+        # --- miss program: constant background (whitted.cu:139-147) ---
+        radiance = radiance + jnp.where(
+            (active & ~hits.valid)[..., None],
+            throughput * scene.miss_color, 0.0)
+
+        # --- closest-hit: gather surface + material ---
+        frame = shading_frame(scene.geom, hits.prim_id, hits.uv)
+        mat_id = scene.tri_mat[jnp.maximum(hits.prim_id, 0)]
+        m = mats.gather(scene.materials, mat_id)
+
+        d = rays.direction
+        # Two-sided shading normal (faceforward(N, -D, N),
+        # optixPathTracer.cu:341).
+        n = frame["normal"] * jnp.sign(-dot(frame["normal"], d))[..., None]
+        hit_p = rays.at(hits.t)
+
+        # Emission: counted only when the previous bounce was specular (or the
+        # primary ray) — NEE covers diffuse-seen emitters.
+        take_emission = hit_valid & state["prev_specular"]
+        radiance = radiance + jnp.where(
+            take_emission[..., None], throughput * m["emission"], 0.0)
+
+        kind = m["kind"]
+        albedo = m["base_color"]
+        is_glass = kind == mats.GLASS
+        is_mirror = (kind == mats.PBR) & (m["metallic"] > 0.99)
+        is_specular = is_glass | is_mirror
+        is_diffuse = ~is_specular
+
+        # --- NEE direct lighting for diffuse lanes ---
+        t_albedo = throughput * albedo
+        contrib, rng = _nee_direct_light(scene, hit_p, n, t_albedo, rng,
+                                         chunk_size)
+        radiance = radiance + jnp.where((hit_valid & is_diffuse)[..., None],
+                                        contrib, 0.0)
+
+        # --- sample next direction ---
+        u1, u2, rng = _rng.uniform2(rng)
+        d_diffuse = cosine_sample_hemisphere(u1, u2, n)
+        d_mirror = normalize(reflect(d, n))
+
+        # Glass: fresnel (Schlick) choose reflect/refract
+        entering = dot(d, frame["normal"]) < 0.0
+        eta = jnp.where(entering, 1.0 / m["ior"], m["ior"])
+        d_refr, refr_ok = refract(d, n, eta)
+        cos_i = jnp.clip(-dot(d, n), 0.0, 1.0)
+        r0 = ((m["ior"] - 1.0) / (m["ior"] + 1.0)) ** 2
+        fresnel = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+        u3, _u4, rng = _rng.uniform2(rng)
+        glass_reflect = (~refr_ok) | (u3 < fresnel)
+        d_glass = jnp.where(glass_reflect[..., None], d_mirror, normalize(d_refr))
+
+        new_dir = jnp.where(is_glass[..., None], d_glass,
+                            jnp.where(is_mirror[..., None], d_mirror, d_diffuse))
+
+        # Throughput update: diffuse cosine-sampled → *albedo
+        # (f·cos/pdf = ρ, optixPathTracer.cu:366-373); mirror/glass → tint.
+        spec_tint = jnp.where(jnp.any(m["kr"] > 0.0, axis=-1, keepdims=True),
+                              m["kr"], albedo)
+        new_throughput = jnp.where(is_specular[..., None],
+                                   throughput * spec_tint,
+                                   t_albedo)
+
+        # Offset along the outgoing side to avoid self-intersection.
+        offset_n = jnp.where(dot(new_dir, n)[..., None] >= 0.0, n, -n)
+        new_rays = Rays(origin=hit_p + offset_n * RAY_TMIN,
+                        direction=new_dir,
+                        tmin=jnp.full(hits.t.shape, RAY_TMIN, jnp.float32),
+                        tmax=jnp.full(hits.t.shape, 1e16, jnp.float32))
+
+        # --- Russian roulette (optixPathTracer.cu:294-298) after depth 1 ---
+        u5, _, rng = _rng.uniform2(rng)
+        q = jnp.clip(jnp.max(new_throughput, axis=-1), 0.05, 1.0)
+        do_rr = depth >= 1
+        survive = jnp.where(do_rr, u5 < q, True)
+        new_throughput = jnp.where(do_rr,
+                                   new_throughput / q[..., None], new_throughput)
+
+        return dict(
+            rays=new_rays,
+            throughput=new_throughput,
+            radiance=radiance,
+            rng=rng,
+            active=hit_valid & survive,
+            prev_specular=is_specular,
+        )
+
+    state = jax.lax.fori_loop(0, max_depth, bounce, state)
+    return state["radiance"], state["rng"]
+
+
+def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
+                  subframe, max_depth: int = 4,
+                  chunk_size: Optional[int] = 65536):
+    """One progressive sample for every pixel → radiance [H, W, 3].
+
+    The `launchSubframe` body (`optixPathTracer.cpp:488-511`): seed per-pixel
+    RNG from (pixel index, subframe), jittered raygen, full path trace.
+    """
+    n = width * height
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    rng = _rng.seed(pixel_idx, jnp.asarray(subframe, jnp.uint32))
+    rng2d = rng.reshape(height, width)
+    rays, rng2d = generate_rays(cam_params, width, height, rng_state=rng2d)
+    rays = jax.tree.map(
+        lambda a: a.reshape((n,) + a.shape[2:]), rays)
+    radiance, _ = trace_paths(scene, rays, rng2d.reshape(n),
+                              max_depth=max_depth, chunk_size=chunk_size)
+    return radiance.reshape(height, width, 3)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "height", "samples_per_launch",
+                                    "max_depth", "chunk_size"))
+def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
+                      height: int, samples_per_launch: int = 1,
+                      max_depth: int = 4,
+                      chunk_size: Optional[int] = 65536):
+    """Progressive render step: adds `samples_per_launch` samples to the film.
+
+    The full launchSubframe + accumulation-lerp pipeline
+    (`optixPathTracer.cu:306-319`) as one XLA executable.
+    """
+    def body(i, film):
+        radiance = render_sample(scene, cam_params, width, height,
+                                 film.subframe, max_depth=max_depth,
+                                 chunk_size=chunk_size)
+        return film.accumulate(radiance)
+
+    return jax.lax.fori_loop(0, samples_per_launch, body, film)

@@ -1,0 +1,96 @@
+"""Acceptance tests for the Cornell path tracer: statistical agreement with an
+independent numpy oracle integrator (the RMSE gate of SURVEY.md §4), plus
+determinism / physical sanity checks."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optix_raytracer_tpu.core import film as film_mod
+from optix_raytracer_tpu.scene.builtins import cornell_box, cornell_camera
+from optix_raytracer_tpu.wavefront.engine import render_accumulate, render_sample
+
+from oracle_pt import render_oracle, scene_to_numpy
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box()
+
+
+def jax_render(scene, w, h, samples, depth=3):
+    film = film_mod.Film.create(h, w)
+    cam = cornell_camera(w, h).params()
+    film = render_accumulate(scene, cam, film, w, h, samples_per_launch=samples,
+                             max_depth=depth, chunk_size=None)
+    return np.asarray(film.accum)
+
+
+class TestCornellAgainstOracle:
+    def test_matches_numpy_oracle(self, scene):
+        w = h = 32
+        samples = 160
+        depth = 3
+        img_jax = jax_render(scene, w, h, samples, depth)
+        cam = {k: np.asarray(v) for k, v in cornell_camera(w, h).params().items()}
+        img_ora = render_oracle(scene_to_numpy(scene), cam, w, h,
+                                samples=samples, max_depth=depth, seed=3)
+        # Agreement in expectation: the two renders are independent MC
+        # estimates of the same integral. Tolerance ≈ few × noise sigma.
+        diff = np.abs(img_jax - img_ora)
+        assert diff.mean() < 0.03, f"mean abs diff {diff.mean():.4f}"
+        # Overall energy within 5%
+        assert abs(img_jax.mean() - img_ora.mean()) / img_ora.mean() < 0.05
+
+
+class TestPhysicalSanity:
+    def test_deterministic_given_subframe(self, scene):
+        a = jax_render(scene, 24, 24, 4)
+        b = jax_render(scene, 24, 24, 4)
+        np.testing.assert_array_equal(a, b)
+
+    def test_finite_nonnegative(self, scene):
+        img = jax_render(scene, 32, 32, 8)
+        assert np.isfinite(img).all()
+        assert (img >= 0).all()
+
+    def test_color_bleeding_sides(self, scene):
+        """Left half of the frame (red wall side) must be red-tinted and the
+        right half green-tinted — the classic Cornell color bleed."""
+        img = jax_render(scene, 48, 48, 32)
+        left = img[:, :16]
+        right = img[:, -16:]
+        assert left[..., 0].mean() > left[..., 1].mean()
+        assert right[..., 1].mean() > right[..., 0].mean()
+
+    def test_light_brightest(self, scene):
+        img = jax_render(scene, 48, 48, 8)
+        # The lamp region (top middle) should contain the max radiance.
+        ys, xs = np.unravel_index(np.argmax(img.sum(-1)), img.shape[:2])
+        assert ys < 12, f"brightest pixel at row {ys}, expected lamp at top"
+
+    def test_more_samples_less_noise(self, scene):
+        w = h = 24
+        img_lo = jax_render(scene, w, h, 4)
+        img_hi = jax_render(scene, w, h, 64)
+        ref = render_oracle(scene_to_numpy(scene),
+                            {k: np.asarray(v) for k, v in
+                             cornell_camera(w, h).params().items()},
+                            w, h, samples=256, max_depth=3, seed=11)
+        err_lo = np.abs(img_lo - ref).mean()
+        err_hi = np.abs(img_hi - ref).mean()
+        assert err_hi < err_lo
+
+    def test_subframe_progression(self, scene):
+        """render_accumulate must use distinct RNG per subframe: accumulating
+        2×8 samples ≈ 16 samples, not 2× the same 8."""
+        w = h = 16
+        cam = cornell_camera(w, h).params()
+        film = film_mod.Film.create(h, w)
+        film = render_accumulate(scene, cam, film, w, h, samples_per_launch=8,
+                                 max_depth=3, chunk_size=None)
+        first8 = np.asarray(film.accum)
+        film = render_accumulate(scene, cam, film, w, h, samples_per_launch=8,
+                                 max_depth=3, chunk_size=None)
+        second = np.asarray(film.accum)
+        assert int(film.subframe) == 16
+        assert not np.array_equal(first8, second)
