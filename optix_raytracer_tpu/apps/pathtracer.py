@@ -28,9 +28,9 @@ def render(width=768, height=768, samples=16, max_depth=4, chunk_size=65536,
     done = 0
     while done < samples:
         step = min(spl, samples - done)
-        film = render_accumulate(scene, cam, film, width, height,
-                                 samples_per_launch=step, max_depth=max_depth,
-                                 chunk_size=chunk_size)
+        film, _ = render_accumulate(scene, cam, film, width, height,
+                                    samples_per_launch=step,
+                                    max_depth=max_depth, chunk_size=chunk_size)
         done += step
     return film.accum, film
 

@@ -64,17 +64,26 @@ class Camera:
         )
 
 
-def generate_rays(cam_params, width, height, rng_state=None, jitter=True):
-    """Batched raygen for a full [height, width] pixel grid.
+def generate_rays(cam_params, width, height, rng_state=None, jitter=True,
+                  y0=0, x0=0, full_width=None, full_height=None):
+    """Batched raygen for a [height, width] pixel grid.
 
     Maps the per-pixel body of `__raygen__pinhole` (`SDK/cuda/whitted.cu:55-75`):
     subpixel-jittered NDC coordinates → d = 2*(idx+jitter)/dim - 1 →
     direction = d.x*U + d.y*V + W. With aperture > 0, adds the imgui_test
     thin-lens jitter (`camera.h:127-144`). Returns (Rays, next_rng_state);
     rng_state may be None for centered (non-jittered) rays.
+
+    (y0, x0, full_width, full_height) render a sub-tile of a larger image —
+    the multi-device work-distribution hook (each chip raygens only its own
+    tile; reference `SDK/sutil/WorkDistribution.h:60-81` assigns pixels per
+    GPU the same way). y0/x0 may be traced values (e.g. from
+    `jax.lax.axis_index` inside shard_map).
     """
-    ix = jnp.arange(width, dtype=jnp.float32)[None, :]
-    iy = jnp.arange(height, dtype=jnp.float32)[:, None]
+    full_w = width if full_width is None else full_width
+    full_h = height if full_height is None else full_height
+    ix = jnp.arange(width, dtype=jnp.float32)[None, :] + x0
+    iy = jnp.arange(height, dtype=jnp.float32)[:, None] + y0
     ix = jnp.broadcast_to(ix, (height, width))
     iy = jnp.broadcast_to(iy, (height, width))
 
@@ -84,8 +93,8 @@ def generate_rays(cam_params, width, height, rng_state=None, jitter=True):
         jx = jy = jnp.float32(0.5)
 
     # NDC in [-1, 1]; image row 0 is the top → flip y so +V is up.
-    dx = 2.0 * ((ix + jx) / width) - 1.0
-    dy = 1.0 - 2.0 * ((iy + jy) / height)
+    dx = 2.0 * ((ix + jx) / full_w) - 1.0
+    dy = 1.0 - 2.0 * ((iy + jy) / full_h)
 
     U, V, W = cam_params["U"], cam_params["V"], cam_params["W"]
     eye = cam_params["eye"]

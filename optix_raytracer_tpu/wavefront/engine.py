@@ -89,6 +89,9 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         rng=rng,
         active=jnp.ones((n_rays,), bool),
         prev_specular=jnp.ones((n_rays,), bool),  # depth-0 emission counts
+        # Rays actually traced (closest-hit + shadow), for Mrays/s accounting —
+        # the reference's per-launch ray count is w*h*spl*(bounces+shadows).
+        rays_traced=jnp.zeros((), jnp.float32),
     )
 
     def bounce(depth, state):
@@ -179,6 +182,10 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         new_throughput = jnp.where(do_rr,
                                    new_throughput / q[..., None], new_throughput)
 
+        rays_traced = (state["rays_traced"]
+                       + jnp.sum(active.astype(jnp.float32))
+                       + jnp.sum((hit_valid & is_diffuse).astype(jnp.float32)))
+
         return dict(
             rays=new_rays,
             throughput=new_throughput,
@@ -186,48 +193,66 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
             rng=rng,
             active=hit_valid & survive,
             prev_specular=is_specular,
+            rays_traced=rays_traced,
         )
 
     state = jax.lax.fori_loop(0, max_depth, bounce, state)
-    return state["radiance"], state["rng"]
+    return state["radiance"], state["rng"], state["rays_traced"]
 
 
 def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
                   subframe, max_depth: int = 4,
-                  chunk_size: Optional[int] = 65536):
-    """One progressive sample for every pixel → radiance [H, W, 3].
+                  chunk_size: Optional[int] = 65536,
+                  y0=0, full_width=None, full_height=None):
+    """One progressive sample for a [height, width] pixel tile → radiance.
 
     The `launchSubframe` body (`optixPathTracer.cpp:488-511`): seed per-pixel
-    RNG from (pixel index, subframe), jittered raygen, full path trace.
+    RNG from (global pixel index, subframe), jittered raygen, full path trace.
+    With (y0, full_*) set, renders a row-tile of a larger frame — the
+    per-device launch of the multi-GPU path (`optixMultiGPU.cpp:562-594`).
     """
     n = width * height
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    full_w = width if full_width is None else full_width
+    # Global pixel index keeps RNG streams identical no matter how the frame
+    # is tiled across chips (idx.y*w + idx.x, optixPathTracer.cu:258).
+    gy = jnp.arange(height, dtype=jnp.uint32)[:, None] + jnp.uint32(y0)
+    gx = jnp.arange(width, dtype=jnp.uint32)[None, :]
+    pixel_idx = (gy * jnp.uint32(full_w) + gx).reshape(n)
     rng = _rng.seed(pixel_idx, jnp.asarray(subframe, jnp.uint32))
     rng2d = rng.reshape(height, width)
-    rays, rng2d = generate_rays(cam_params, width, height, rng_state=rng2d)
+    rays, rng2d = generate_rays(cam_params, width, height, rng_state=rng2d,
+                                y0=y0, full_width=full_width,
+                                full_height=full_height)
     rays = jax.tree.map(
         lambda a: a.reshape((n,) + a.shape[2:]), rays)
-    radiance, _ = trace_paths(scene, rays, rng2d.reshape(n),
-                              max_depth=max_depth, chunk_size=chunk_size)
-    return radiance.reshape(height, width, 3)
+    radiance, _, rays_traced = trace_paths(scene, rays, rng2d.reshape(n),
+                                           max_depth=max_depth,
+                                           chunk_size=chunk_size)
+    return radiance.reshape(height, width, 3), rays_traced
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "samples_per_launch",
-                                    "max_depth", "chunk_size"))
+                                    "max_depth", "chunk_size", "full_width",
+                                    "full_height"))
 def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
                       height: int, samples_per_launch: int = 1,
                       max_depth: int = 4,
-                      chunk_size: Optional[int] = 65536):
+                      chunk_size: Optional[int] = 65536,
+                      y0=0, full_width=None, full_height=None):
     """Progressive render step: adds `samples_per_launch` samples to the film.
 
     The full launchSubframe + accumulation-lerp pipeline
-    (`optixPathTracer.cu:306-319`) as one XLA executable.
+    (`optixPathTracer.cu:306-319`) as one XLA executable. Returns
+    (film, rays_traced) — the ray count feeds the Mrays/s benchmark.
     """
-    def body(i, film):
-        radiance = render_sample(scene, cam_params, width, height,
-                                 film.subframe, max_depth=max_depth,
-                                 chunk_size=chunk_size)
-        return film.accumulate(radiance)
+    def body(i, carry):
+        film, count = carry
+        radiance, rays_traced = render_sample(
+            scene, cam_params, width, height, film.subframe,
+            max_depth=max_depth, chunk_size=chunk_size, y0=y0,
+            full_width=full_width, full_height=full_height)
+        return film.accumulate(radiance), count + rays_traced
 
-    return jax.lax.fori_loop(0, samples_per_launch, body, film)
+    return jax.lax.fori_loop(0, samples_per_launch, body,
+                             (film, jnp.zeros((), jnp.float32)))

@@ -20,7 +20,7 @@ def scene():
 def jax_render(scene, w, h, samples, depth=3):
     film = film_mod.Film.create(h, w)
     cam = cornell_camera(w, h).params()
-    film = render_accumulate(scene, cam, film, w, h, samples_per_launch=samples,
+    film, _ = render_accumulate(scene, cam, film, w, h, samples_per_launch=samples,
                              max_depth=depth, chunk_size=None)
     return np.asarray(film.accum)
 
@@ -86,10 +86,10 @@ class TestPhysicalSanity:
         w = h = 16
         cam = cornell_camera(w, h).params()
         film = film_mod.Film.create(h, w)
-        film = render_accumulate(scene, cam, film, w, h, samples_per_launch=8,
+        film, _ = render_accumulate(scene, cam, film, w, h, samples_per_launch=8,
                                  max_depth=3, chunk_size=None)
         first8 = np.asarray(film.accum)
-        film = render_accumulate(scene, cam, film, w, h, samples_per_launch=8,
+        film, _ = render_accumulate(scene, cam, film, w, h, samples_per_launch=8,
                                  max_depth=3, chunk_size=None)
         second = np.asarray(film.accum)
         assert int(film.subframe) == 16
