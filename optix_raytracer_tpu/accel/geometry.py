@@ -40,6 +40,10 @@ class TriangleGeometry:
     w_mat: jnp.ndarray         # [3, 3M] packed world→unit-triangle linear maps
     w_off: jnp.ndarray         # [3M] packed translations
     valid: jnp.ndarray         # [M] bool — False for degenerate/padding triangles
+    tri_consts: jnp.ndarray    # [M, 16] per-triangle kernel constants (SMEM):
+    #   [0:9]  m_inv rows (u row, v row, w row), zeroed for invalid tris
+    #   [9:12] -m_inv @ v0 offsets
+    #   [12:15] unit face normal, [15] pad
 
     @property
     def num_triangles(self) -> int:
@@ -69,15 +73,27 @@ def build_triangle_geometry(vertices, indices) -> TriangleGeometry:
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), m.shape)
     m_inv = jnp.linalg.inv(jnp.where(valid[:, None, None], m, eye))  # [M, 3, 3]
 
+    # Zero the transform of degenerate triangles: a zeroed transform yields
+    # d'_w = 0 for every ray, which every intersector masks out — so `valid`
+    # never needs a separate lane in the hot kernels.
+    m_inv = m_inv * valid[:, None, None]
+
     # Pack for the two-matmul form: O'[n, 3t+j] = sum_k O[n, k] * m_inv[t, j, k]
     # → W[k, 3t+j] = m_inv[t, j, k]; C[3t+j] = -m_inv[t, j, :] @ v0[t].
     M = indices.shape[0]
+    offsets = -jnp.einsum("tjk,tk->tj", m_inv, v0)            # [M, 3]
     w_mat = jnp.transpose(m_inv, (2, 0, 1)).reshape(3, 3 * M)
-    w_off = (-jnp.einsum("tjk,tk->tj", m_inv, v0)).reshape(3 * M)
+    w_off = offsets.reshape(3 * M)
+
+    face_normal = normalize(n)
+    tri_consts = jnp.concatenate([
+        m_inv.reshape(M, 9), offsets, face_normal,
+        jnp.zeros((M, 1), jnp.float32)], axis=1)
 
     return TriangleGeometry(
         vertices=vertices, indices=indices, v0=v0, e1=e1, e2=e2,
-        face_normal=normalize(n), w_mat=w_mat, w_off=w_off, valid=valid,
+        face_normal=face_normal, w_mat=w_mat, w_off=w_off, valid=valid,
+        tri_consts=tri_consts,
     )
 
 

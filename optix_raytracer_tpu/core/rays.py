@@ -47,15 +47,23 @@ class Rays:
 class Hits:
     """Closest-hit records for a batch of rays.
 
-    t: [...] hit distance (tmax-sentinel when missed); prim_id / inst_id: [...]
-    int32 (-1 on miss); uv: [..., 2] surface parameters (triangle barycentrics,
-    sphere/curve params — the `optixGetTriangleBarycentrics` analogue,
-    reference `include/optix_device.h:1206`).
+    t: [...] hit distance (tmax-sentinel when missed); prim_id / inst_id /
+    mat_id: [...] int32 (-1 on miss); uv: [..., 2] surface parameters
+    (triangle barycentrics, sphere/curve params — the
+    `optixGetTriangleBarycentrics` analogue, reference
+    `include/optix_device.h:1206`); normal: [..., 3] unit geometric normal.
+
+    mat_id and normal are produced directly by the intersector (the fused
+    Pallas kernel selects them during its running-min) so shading needs no
+    per-hit gathers — the TPU replacement for reading attributes out of SBT
+    record pointers (`include/optix_device.h:1239` optixGetSbtDataPointer).
     """
     t: jnp.ndarray
     prim_id: jnp.ndarray
     inst_id: jnp.ndarray
+    mat_id: jnp.ndarray
     uv: jnp.ndarray
+    normal: jnp.ndarray
 
     @property
     def valid(self):
@@ -67,5 +75,7 @@ class Hits:
             t=jnp.full(batch_shape, tmax, jnp.float32),
             prim_id=jnp.full(batch_shape, -1, jnp.int32),
             inst_id=jnp.full(batch_shape, -1, jnp.int32),
+            mat_id=jnp.full(batch_shape, -1, jnp.int32),
             uv=jnp.zeros(batch_shape + (2,), jnp.float32),
+            normal=jnp.zeros(batch_shape + (3,), jnp.float32),
         )

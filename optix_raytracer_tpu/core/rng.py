@@ -28,11 +28,20 @@ def tea(val0, val1, rounds: int = 4):
 
 
 def pcg(state):
-    """One PCG-RXS-M-XS-32 step: returns (output_word, next_state)."""
+    """One counter-hash RNG step: returns (output_word, next_state).
+
+    LCG state advance + a lowbias32-style finalizer. All shifts are by
+    constants (unlike classic PCG's data-dependent shift) so the identical
+    sequence is reproducible inside Pallas TPU kernels, where per-lane
+    variable shifts are not guaranteed to lower.
+    """
     state = jnp.asarray(state).astype(_U32)
     new_state = state * _U32(747796405) + _U32(2891336453)
-    word = ((new_state >> ((new_state >> 28) + _U32(4))) ^ new_state) * _U32(277803737)
-    return (word >> 22) ^ word, new_state
+    x = new_state
+    x = (x ^ (x >> 16)) * _U32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * _U32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x, new_state
 
 
 def lcg_step(state):

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from ..accel import bruteforce as bf
-from ..accel.geometry import shading_frame
 from ..core import rng as _rng
 from ..core.camera import generate_rays
 from ..core.rays import Rays
@@ -101,7 +100,8 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         radiance = state["radiance"]
         rng = state["rng"]
 
-        hits = bf.intersect_closest(scene.geom, rays, chunk_size=chunk_size)
+        hits = bf.intersect_closest(scene.geom, rays, tri_mat=scene.tri_mat,
+                                    chunk_size=chunk_size)
         hit_valid = hits.valid & active
 
         # --- miss program: constant background (whitted.cu:139-147) ---
@@ -109,15 +109,15 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
             (active & ~hits.valid)[..., None],
             throughput * scene.miss_color, 0.0)
 
-        # --- closest-hit: gather surface + material ---
-        frame = shading_frame(scene.geom, hits.prim_id, hits.uv)
-        mat_id = scene.tri_mat[jnp.maximum(hits.prim_id, 0)]
-        m = mats.gather(scene.materials, mat_id)
+        # --- closest-hit: surface attributes come straight from the
+        # intersector (no gathers); material params via the small-table gather.
+        m = mats.gather(scene.materials, hits.mat_id)
 
         d = rays.direction
         # Two-sided shading normal (faceforward(N, -D, N),
         # optixPathTracer.cu:341).
-        n = frame["normal"] * jnp.sign(-dot(frame["normal"], d))[..., None]
+        geom_n = hits.normal
+        n = geom_n * jnp.sign(-dot(geom_n, d))[..., None]
         hit_p = rays.at(hits.t)
 
         # Emission: counted only when the previous bounce was specular (or the
@@ -146,7 +146,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         d_mirror = normalize(reflect(d, n))
 
         # Glass: fresnel (Schlick) choose reflect/refract
-        entering = dot(d, frame["normal"]) < 0.0
+        entering = dot(d, geom_n) < 0.0
         eta = jnp.where(entering, 1.0 / m["ior"], m["ior"])
         d_refr, refr_ok = refract(d, n, eta)
         cos_i = jnp.clip(-dot(d, n), 0.0, 1.0)
@@ -231,21 +231,51 @@ def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
     return radiance.reshape(height, width, 3), rays_traced
 
 
+def _use_fused(scene: DeviceScene, impl: str) -> bool:
+    from ..accel import bruteforce as bf
+    from ..accel.pallas_bf import MAX_SMEM_TRIS
+    if impl == "xla":
+        return False
+    if impl in ("fused", "fused_interpret"):
+        return True
+    return (jax.default_backend() in bf._TPU_PLATFORMS
+            and scene.geom.num_triangles <= MAX_SMEM_TRIS)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "samples_per_launch",
                                     "max_depth", "chunk_size", "full_width",
-                                    "full_height"))
+                                    "full_height", "impl"))
 def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
                       height: int, samples_per_launch: int = 1,
                       max_depth: int = 4,
                       chunk_size: Optional[int] = 65536,
-                      y0=0, full_width=None, full_height=None):
+                      y0=0, full_width=None, full_height=None,
+                      impl: str = "auto"):
     """Progressive render step: adds `samples_per_launch` samples to the film.
 
     The full launchSubframe + accumulation-lerp pipeline
     (`optixPathTracer.cu:306-319`) as one XLA executable. Returns
     (film, rays_traced) — the ray count feeds the Mrays/s benchmark.
+
+    On TPU with an SMEM-sized mesh this dispatches to the fully-fused Pallas
+    megakernel (wavefront/pallas_pt.py); elsewhere it runs the portable
+    XLA wavefront loop. Both consume identical RNG streams.
     """
+    if _use_fused(scene, impl):
+        from . import pallas_pt
+        rad_sum, rays = pallas_pt.render_sum_fused(
+            scene, cam_params, width, height, film.subframe,
+            samples_per_launch=samples_per_launch, max_depth=max_depth,
+            y0=y0, full_width=full_width, full_height=full_height,
+            interpret=(impl == "fused_interpret"))
+        prev_n = film.subframe.astype(jnp.float32)
+        new_n = jnp.float32(samples_per_launch)
+        accum = (film.accum * prev_n + rad_sum) / (prev_n + new_n)
+        from ..core.film import Film
+        return Film(accum=accum,
+                    subframe=film.subframe + samples_per_launch), rays
+
     def body(i, carry):
         film, count = carry
         radiance, rays_traced = render_sample(

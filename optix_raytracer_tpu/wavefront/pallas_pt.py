@@ -1,0 +1,541 @@
+"""Fully-fused Pallas path-trace kernel: raygen→trace→shade→NEE→RR in VMEM.
+
+The endgame of the wavefront design (SURVEY.md §7 "hard part #2"): per grid
+step, a block of 1024 pixels runs its *entire* progressive sample — camera ray
+generation, the closest-hit loop over SMEM triangle constants, branchless
+material shading, NEE shadow ray + area-light weight, cosine/specular bounce
+sampling and Russian roulette — without any state ever leaving VMEM. HBM
+traffic is 12 B per pixel (the radiance sum out); everything else is VPU
+compute. This is the OptiX megakernel (`optixLaunch` → `__raygen__rg` loop,
+`SDK/optixPathTracer/optixPathTracer.cu:249-320`) reborn as a lock-step
+vector program instead of a divergent thread program.
+
+RNG parity: the kernel consumes the exact same TEA-seeded counter-hash stream
+(core/rng.py) in the exact same order as the XLA engine
+(wavefront/engine.py), so both paths produce the same image up to f32
+reassociation — the XLA engine doubles as this kernel's oracle in tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.pallas_bf import (BLOCK_RAYS, LANES, SUBLANES, _DEGEN_EPS,
+                               _load_tri, _tri_test)
+from ..scene.device_scene import DeviceScene
+from .engine import RAY_TMIN, SHADOW_TMAX_SCALE
+
+_U32 = jnp.uint32
+_TWO_PI = 6.283185307179586
+
+
+# ---------------------------------------------------------------------------
+# In-kernel RNG — bit-identical to core/rng.py, but carried as int32 because
+# Mosaic lacks uint32↔float32 casts. Two's-complement mul/add/xor match uint32
+# arithmetic bit-for-bit; right shifts go through shift_right_logical.
+# ---------------------------------------------------------------------------
+
+def _c32(v: int):
+    """uint32 literal as a wrapped int32 constant."""
+    return jnp.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+
+def _shr(x, n: int):
+    return jax.lax.shift_right_logical(x, jnp.int32(n))
+
+
+def _tea(v0, v1):
+    s0 = jnp.int32(0)
+    for _ in range(4):
+        s0 = s0 + _c32(0x9E3779B9)
+        v0 = v0 + (((v1 << 4) + _c32(0xA341316C)) ^ (v1 + s0)
+                   ^ (_shr(v1, 5) + _c32(0xC8013EA4)))
+        v1 = v1 + (((v0 << 4) + _c32(0xAD90777D)) ^ (v0 + s0)
+                   ^ (_shr(v0, 5) + _c32(0x7E95761E)))
+    return v0
+
+
+def _uniform(state):
+    new_state = state * _c32(747796405) + _c32(2891336453)
+    x = new_state
+    x = (x ^ _shr(x, 16)) * _c32(0x7FEB352D)
+    x = (x ^ _shr(x, 15)) * _c32(0x846CA68B)
+    x = x ^ _shr(x, 16)
+    # top-24-bit float: after a logical shift by 8 the value is positive in
+    # int32, so a plain int→float convert is exact.
+    return _shr(x, 8).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0), new_state
+
+
+def _uniform2(state):
+    u1, state = _uniform(state)
+    u2, state = _uniform(state)
+    return u1, u2, state
+
+
+# ---------------------------------------------------------------------------
+# Small vector helpers on component triples
+# ---------------------------------------------------------------------------
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot3(x, y, z, x, y, z), 1e-20))
+    return x * inv, y * inv, z * inv
+
+
+def _onb(nx, ny, nz):
+    """Branchless Frisvad/Duff ONB (matches core.vecmath.orthonormal_basis)."""
+    sign = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + nz)
+    b = nx * ny * a
+    tx, ty, tz = 1.0 + sign * nx * nx * a, sign * b, -sign * nx
+    bx, by, bz = b, sign + ny * ny * a, -ny
+    return (tx, ty, tz), (bx, by, bz)
+
+
+def _cosine_sample(u1, u2, nx, ny, nz):
+    """Concentric-disk cosine hemisphere (matches shade.sampling)."""
+    ox = 2.0 * u1 - 1.0
+    oy = 2.0 * u2 - 1.0
+    x_major = jnp.abs(ox) > jnp.abs(oy)
+    r = jnp.where(x_major, ox, oy)
+    safe_ox = jnp.where(ox == 0.0, 1.0, ox)
+    safe_oy = jnp.where(oy == 0.0, 1.0, oy)
+    quarter_pi = jnp.float32(np.pi / 4.0)
+    half_pi = jnp.float32(np.pi / 2.0)
+    theta = jnp.where(x_major, quarter_pi * (oy / safe_ox),
+                      half_pi - quarter_pi * (ox / safe_oy))
+    r = jnp.where((ox == 0.0) & (oy == 0.0), 0.0, r)
+    dx = r * jnp.cos(theta)
+    dy = r * jnp.sin(theta)
+    dz = jnp.sqrt(jnp.maximum(0.0, 1.0 - dx * dx - dy * dy))
+    (tx, ty, tz), (bx, by, bz) = _onb(nx, ny, nz)
+    wx = dx * tx + dy * bx + dz * nx
+    wy = dx * ty + dy * by + dz * ny
+    wz = dx * tz + dy * bz + dz * nz
+    return _normalize3(wx, wy, wz)
+
+
+# ---------------------------------------------------------------------------
+# Scene packing (host side)
+# ---------------------------------------------------------------------------
+
+MAT_COLS = 16  # kind, base3, emission3, metallic, ior, kr3, roughness, pad3
+
+
+def pack_materials(mt) -> jnp.ndarray:
+    """MaterialTable → [K, 16] f32 SMEM plane."""
+    k = mt.kind.shape[0]
+    out = jnp.zeros((k, MAT_COLS), jnp.float32)
+    out = out.at[:, 0].set(mt.kind.astype(jnp.float32))
+    out = out.at[:, 1:4].set(mt.base_color)
+    out = out.at[:, 4:7].set(mt.emission)
+    out = out.at[:, 7].set(mt.metallic)
+    out = out.at[:, 8].set(mt.ior)
+    out = out.at[:, 9:12].set(mt.kr)
+    out = out.at[:, 12].set(mt.roughness)
+    return out
+
+
+def pack_light(light) -> jnp.ndarray:
+    """ParallelogramLight → [1, 16] f32: corner3 v1_3 v2_3 normal3 emission3 area."""
+    return jnp.concatenate([
+        light.corner, light.v1, light.v2, light.normal, light.emission,
+        jnp.reshape(light.area, (1,)),
+    ]).reshape(1, 16).astype(jnp.float32)
+
+
+def pack_camera(cam_params, miss_color) -> jnp.ndarray:
+    """Camera dict → [2, 16] f32."""
+    row0 = jnp.concatenate([
+        cam_params["eye"], cam_params["U"], cam_params["V"], cam_params["W"],
+        cam_params["aperture"][None], cam_params["focal_distance"][None],
+        cam_params["ortho"].astype(jnp.float32)[None],
+        jnp.zeros((1,), jnp.float32)])
+    row1 = jnp.concatenate([
+        cam_params["ortho_half"], jnp.asarray(miss_color, jnp.float32),
+        jnp.zeros((11,), jnp.float32)])
+    return jnp.stack([row0, row1]).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# The megakernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(width, height, full_w, full_h,
+                 num_tris, num_mats, max_depth, spl):
+    glass_kind, pbr_kind = 2.0, 1.0  # shade.materials GLASS / PBR tags
+
+    def kernel(tri_ref, mat_tbl_ref, light_ref, cam_ref, misc_ref,
+               rad_r_out, rad_g_out, rad_b_out, count_out):
+        pid = pl.program_id(0)
+        subframe0 = misc_ref[0, 0]
+        y0 = misc_ref[0, 1]
+        x0 = misc_ref[0, 2]
+
+        lane = (jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1))
+        p = pid * BLOCK_RAYS + lane                      # local flat pixel id
+        lx = jax.lax.rem(p, width)
+        ly = jax.lax.div(p, width)
+        gx = lx + x0
+        gy = ly + y0
+        pixel_index = gy * full_w + gx          # int32; bit-matches uint32 seed
+
+        # Camera constants (scalars from SMEM)
+        eyex, eyey, eyez = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+        Ux, Uy, Uz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+        Vx, Vy, Vz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+        Wx, Wy, Wz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+        aperture, focal = cam_ref[0, 12], cam_ref[0, 13]
+        is_ortho = cam_ref[0, 14] > 0.0
+        ohx, ohy = cam_ref[1, 0], cam_ref[1, 1]
+        miss_r, miss_g, miss_b = cam_ref[1, 2], cam_ref[1, 3], cam_ref[1, 4]
+
+        lcx, lcy, lcz = light_ref[0, 0], light_ref[0, 1], light_ref[0, 2]
+        lv1x, lv1y, lv1z = light_ref[0, 3], light_ref[0, 4], light_ref[0, 5]
+        lv2x, lv2y, lv2z = light_ref[0, 6], light_ref[0, 7], light_ref[0, 8]
+        lnx, lny, lnz = light_ref[0, 9], light_ref[0, 10], light_ref[0, 11]
+        lemr, lemg, lemb = light_ref[0, 12], light_ref[0, 13], light_ref[0, 14]
+        larea = light_ref[0, 15]
+
+        ulen = jnp.sqrt(jnp.maximum(Ux * Ux + Uy * Uy + Uz * Uz, 1e-20))
+        unx, uny, unz = Ux / ulen, Uy / ulen, Uz / ulen
+        vlen = jnp.sqrt(jnp.maximum(Vx * Vx + Vy * Vy + Vz * Vz, 1e-20))
+        vnx, vny, vnz = Vx / vlen, Vy / vlen, Vz / vlen
+        wlen = jnp.sqrt(jnp.maximum(Wx * Wx + Wy * Wy + Wz * Wz, 1e-20))
+        wnx, wny, wnz = Wx / wlen, Wy / wlen, Wz / wlen
+
+        fzero = jnp.zeros(lane.shape, jnp.float32)
+
+        def sample_body(s, accum):
+            acc_r, acc_g, acc_b, count = accum
+            subframe = subframe0 + s
+            rng = _tea(pixel_index, jnp.full(lane.shape, 1, jnp.int32) * subframe)
+
+            # --- raygen (camera.generate_rays parity) ---
+            jx, jy, rng = _uniform2(rng)
+            ndc_x = 2.0 * ((gx.astype(jnp.float32) + jx) / full_w) - 1.0
+            ndc_y = 1.0 - 2.0 * ((gy.astype(jnp.float32) + jy) / full_h)
+
+            dx = ndc_x * Ux + ndc_y * Vx + Wx
+            dy = ndc_x * Uy + ndc_y * Vy + Wy
+            dz = ndc_x * Uz + ndc_y * Vz + Wz
+            dx, dy, dz = _normalize3(dx, dy, dz)
+            ox = jnp.full(lane.shape, eyex, jnp.float32)
+            oy = jnp.full(lane.shape, eyey, jnp.float32)
+            oz = jnp.full(lane.shape, eyez, jnp.float32)
+
+            # orthographic select
+            oox = eyex + ndc_x * ohx * unx + ndc_y * ohy * vnx
+            ooy = eyey + ndc_x * ohx * uny + ndc_y * ohy * vny
+            ooz = eyez + ndc_x * ohx * unz + ndc_y * ohy * vnz
+            ox = jnp.where(is_ortho, oox, ox)
+            oy = jnp.where(is_ortho, ooy, oy)
+            oz = jnp.where(is_ortho, ooz, oz)
+            dx = jnp.where(is_ortho, wnx, dx)
+            dy = jnp.where(is_ortho, wny, dy)
+            dz = jnp.where(is_ortho, wnz, dz)
+
+            # thin-lens DoF (consumes 2 draws, applied when aperture > 0)
+            u1, u2, rng = _uniform2(rng)
+            r_l = jnp.sqrt(u1) * aperture
+            phi_l = jnp.float32(_TWO_PI) * u2
+            lensx = r_l * jnp.cos(phi_l) * unx + r_l * jnp.sin(phi_l) * vnx
+            lensy = r_l * jnp.cos(phi_l) * uny + r_l * jnp.sin(phi_l) * vny
+            lensz = r_l * jnp.cos(phi_l) * unz + r_l * jnp.sin(phi_l) * vnz
+            fx = ox + focal * dx
+            fy = oy + focal * dy
+            fz = oz + focal * dz
+            dofox, dofoy, dofoz = ox + lensx, oy + lensy, oz + lensz
+            ddx, ddy, ddz = _normalize3(fx - dofox, fy - dofoy, fz - dofoz)
+            use_dof = aperture > 0.0
+            ox = jnp.where(use_dof, dofox, ox)
+            oy = jnp.where(use_dof, dofoy, oy)
+            oz = jnp.where(use_dof, dofoz, oz)
+            dx = jnp.where(use_dof, ddx, dx)
+            dy = jnp.where(use_dof, ddy, dy)
+            dz = jnp.where(use_dof, ddz, dz)
+
+            # --- path state ---
+            state = (ox, oy, oz, dx, dy, dz,
+                     jnp.full(lane.shape, 1.0, jnp.float32),  # throughput rgb
+                     jnp.full(lane.shape, 1.0, jnp.float32),
+                     jnp.full(lane.shape, 1.0, jnp.float32),
+                     fzero, fzero, fzero,                      # radiance rgb
+                     rng,
+                     jnp.ones(lane.shape, jnp.int32),          # active
+                     jnp.ones(lane.shape, jnp.int32),          # prev_specular
+                     count,
+                     jnp.full(lane.shape, RAY_TMIN * 1e-2, jnp.float32),  # tmin
+                     jnp.full(lane.shape, 1e16, jnp.float32))  # tmax
+
+            def bounce(depth, st):
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_, rng,
+                 active, prev_spec, count, tmin, tmax) = st
+
+                # --- closest hit over SMEM triangles ---
+                neg1 = jnp.full(lane.shape, -1, jnp.int32)
+                init = (tmax, neg1, neg1, fzero, fzero, fzero)
+
+                def tri_body(t, carry):
+                    bt, bid, bmid, bnx, bny, bnz = carry
+                    consts = _load_tri(tri_ref, t)
+                    tt, uu, vv, dpz = _tri_test(consts, ox, oy, oz, dx, dy, dz)
+                    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                          & (tt > tmin) & (tt < bt))
+                    bt = jnp.where(ok, tt, bt)
+                    bid = jnp.where(ok, t, bid)
+                    bmid = jnp.where(ok, tri_ref[t, 15].astype(jnp.int32), bmid)
+                    bnx = jnp.where(ok, consts[12], bnx)
+                    bny = jnp.where(ok, consts[13], bny)
+                    bnz = jnp.where(ok, consts[14], bnz)
+                    return bt, bid, bmid, bnx, bny, bnz
+
+                bt, bid, bmid, gnx, gny, gnz = jax.lax.fori_loop(
+                    0, num_tris, tri_body, init)
+                hit = bid >= 0
+                hit_valid = hit & (active > 0)
+
+                # miss: constant background
+                miss_take = ((active > 0) & ~hit).astype(jnp.float32)
+                rr_ = rr_ + miss_take * tr * miss_r
+                rg_ = rg_ + miss_take * tg * miss_g
+                rb_ = rb_ + miss_take * tb * miss_b
+
+                # --- material fetch (K-way select from SMEM) ---
+                kind = fzero
+                alb_r = fzero
+                alb_g = fzero
+                alb_b = fzero
+                em_r = fzero
+                em_g = fzero
+                em_b = fzero
+                metallic = fzero
+                ior = jnp.full(lane.shape, 1.5, jnp.float32)
+                kr_r = fzero
+                kr_g = fzero
+                kr_b = fzero
+                for k in range(num_mats):
+                    sel = bmid == k
+                    kind = jnp.where(sel, mat_tbl_ref[k, 0], kind)
+                    alb_r = jnp.where(sel, mat_tbl_ref[k, 1], alb_r)
+                    alb_g = jnp.where(sel, mat_tbl_ref[k, 2], alb_g)
+                    alb_b = jnp.where(sel, mat_tbl_ref[k, 3], alb_b)
+                    em_r = jnp.where(sel, mat_tbl_ref[k, 4], em_r)
+                    em_g = jnp.where(sel, mat_tbl_ref[k, 5], em_g)
+                    em_b = jnp.where(sel, mat_tbl_ref[k, 6], em_b)
+                    metallic = jnp.where(sel, mat_tbl_ref[k, 7], metallic)
+                    ior = jnp.where(sel, mat_tbl_ref[k, 8], ior)
+                    kr_r = jnp.where(sel, mat_tbl_ref[k, 9], kr_r)
+                    kr_g = jnp.where(sel, mat_tbl_ref[k, 10], kr_g)
+                    kr_b = jnp.where(sel, mat_tbl_ref[k, 11], kr_b)
+
+                # two-sided shading normal
+                flip = jnp.where(_dot3(gnx, gny, gnz, dx, dy, dz) > 0.0, -1.0, 1.0)
+                nx, ny, nz = gnx * flip, gny * flip, gnz * flip
+
+                px = ox + bt * dx
+                py = oy + bt * dy
+                pz = oz + bt * dz
+
+                # emission on primary/specular-previous hits
+                em_take = (hit_valid & (prev_spec > 0)).astype(jnp.float32)
+                rr_ = rr_ + em_take * tr * em_r
+                rg_ = rg_ + em_take * tg * em_g
+                rb_ = rb_ + em_take * tb * em_b
+
+                is_glass = kind == glass_kind
+                is_mirror = (kind == pbr_kind) & (metallic > 0.99)
+                is_specular = is_glass | is_mirror
+                is_diffuse = ~is_specular
+
+                ta_r, ta_g, ta_b = tr * alb_r, tg * alb_g, tb * alb_b
+
+                # --- NEE: sample light, weight, shadow ray over triangles ---
+                u1, u2, rng = _uniform2(rng)
+                lpx = lcx + u1 * lv1x + u2 * lv2x
+                lpy = lcy + u1 * lv1y + u2 * lv2y
+                lpz = lcz + u1 * lv1z + u2 * lv2z
+                dxl = lpx - px
+                dyl = lpy - py
+                dzl = lpz - pz
+                dist2 = jnp.maximum(_dot3(dxl, dyl, dzl, dxl, dyl, dzl), 1e-12)
+                dist = jnp.sqrt(dist2)
+                inv_dist = 1.0 / dist
+                wix, wiy, wiz = dxl * inv_dist, dyl * inv_dist, dzl * inv_dist
+                n_dl = _dot3(nx, ny, nz, wix, wiy, wiz)
+                ln_dl = jnp.abs(lnx * wix + lny * wiy + lnz * wiz)
+
+                sh_tmin = jnp.full(lane.shape, RAY_TMIN, jnp.float32)
+                sh_tmax = dist * SHADOW_TMAX_SCALE
+
+                def sh_body(t, occ):
+                    consts = _load_tri(tri_ref, t)
+                    tt, uu, vv, dpz = _tri_test(consts, px, py, pz,
+                                                wix, wiy, wiz)
+                    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                          & (tt > sh_tmin) & (tt < sh_tmax))
+                    return jnp.maximum(occ, ok.astype(jnp.int32))
+
+                occ = jax.lax.fori_loop(0, num_tris, sh_body,
+                                        jnp.zeros(lane.shape, jnp.int32))
+                w_l = jnp.where((n_dl > 0.0) & (occ == 0),
+                                n_dl * ln_dl * larea
+                                / (jnp.float32(np.pi) * dist2), 0.0)
+                nee_take = (hit_valid & is_diffuse).astype(jnp.float32) * w_l
+                rr_ = rr_ + nee_take * ta_r * lemr
+                rg_ = rg_ + nee_take * ta_g * lemg
+                rb_ = rb_ + nee_take * ta_b * lemb
+
+                # --- next direction ---
+                u1, u2, rng = _uniform2(rng)
+                cdx, cdy, cdz = _cosine_sample(u1, u2, nx, ny, nz)
+
+                dn = _dot3(dx, dy, dz, nx, ny, nz)
+                mrx, mry, mrz = _normalize3(dx - 2.0 * dn * nx,
+                                            dy - 2.0 * dn * ny,
+                                            dz - 2.0 * dn * nz)
+
+                # glass refract/reflect
+                entering = _dot3(dx, dy, dz, gnx, gny, gnz) < 0.0
+                eta = jnp.where(entering, 1.0 / ior, ior)
+                cos_i = jnp.clip(-dn, 0.0, 1.0)
+                sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+                refr_ok = sin2_t <= 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                rfx = eta * dx + (eta * cos_i - cos_t) * nx
+                rfy = eta * dy + (eta * cos_i - cos_t) * ny
+                rfz = eta * dz + (eta * cos_i - cos_t) * nz
+                rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+                r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+                one_m = 1.0 - cos_i
+                fres = r0 + (1.0 - r0) * one_m * one_m * one_m * one_m * one_m
+                u3, _u4, rng = _uniform2(rng)
+                gl_refl = (~refr_ok) | (u3 < fres)
+                gdx = jnp.where(gl_refl, mrx, rfx)
+                gdy = jnp.where(gl_refl, mry, rfy)
+                gdz = jnp.where(gl_refl, mrz, rfz)
+
+                ndx = jnp.where(is_glass, gdx,
+                                jnp.where(is_mirror, mrx, cdx))
+                ndy = jnp.where(is_glass, gdy,
+                                jnp.where(is_mirror, mry, cdy))
+                ndz = jnp.where(is_glass, gdz,
+                                jnp.where(is_mirror, mrz, cdz))
+
+                has_kr = (kr_r > 0.0) | (kr_g > 0.0) | (kr_b > 0.0)
+                sp_r = jnp.where(has_kr, kr_r, alb_r)
+                sp_g = jnp.where(has_kr, kr_g, alb_g)
+                sp_b = jnp.where(has_kr, kr_b, alb_b)
+                ntr = jnp.where(is_specular, tr * sp_r, ta_r)
+                ntg = jnp.where(is_specular, tg * sp_g, ta_g)
+                ntb = jnp.where(is_specular, tb * sp_b, ta_b)
+
+                off = jnp.where(_dot3(ndx, ndy, ndz, nx, ny, nz) >= 0.0,
+                                1.0, -1.0) * jnp.float32(RAY_TMIN)
+                nox = px + nx * off
+                noy = py + ny * off
+                noz = pz + nz * off
+
+                # Russian roulette from depth >= 1
+                u5, _u6, rng = _uniform2(rng)
+                q = jnp.clip(jnp.maximum(ntr, jnp.maximum(ntg, ntb)),
+                             0.05, 1.0)
+                do_rr = depth >= 1
+                # No i1-vector selects (Mosaic can't legalize them): express
+                # the RR gate as boolean algebra instead of jnp.where.
+                survive = ~((u5 >= q) & do_rr)
+                inv_q = jnp.where(do_rr, 1.0 / q, 1.0)
+                ntr = ntr * inv_q
+                ntg = ntg * inv_q
+                ntb = ntb * inv_q
+
+                count = (count + (active > 0).astype(jnp.float32)
+                         + (hit_valid & is_diffuse).astype(jnp.float32))
+
+                new_active = (hit_valid & survive).astype(jnp.int32)
+                return (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
+                        rr_, rg_, rb_, rng, new_active,
+                        is_specular.astype(jnp.int32), count,
+                        jnp.full(lane.shape, RAY_TMIN, jnp.float32),
+                        jnp.full(lane.shape, 1e16, jnp.float32))
+
+            st = jax.lax.fori_loop(0, max_depth, bounce, state)
+            return (acc_r + st[9], acc_g + st[10], acc_b + st[11], st[15])
+
+        acc_r, acc_g, acc_b, count = jax.lax.fori_loop(
+            0, spl, sample_body, (fzero, fzero, fzero, fzero))
+        rad_r_out[...] = acc_r
+        rad_g_out[...] = acc_g
+        rad_b_out[...] = acc_b
+        count_out[...] = count
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "samples_per_launch",
+                              "max_depth", "full_width", "full_height",
+                              "interpret"))
+def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
+                     subframe, samples_per_launch: int = 1, max_depth: int = 4,
+                     y0=0, x0=0, full_width=None, full_height=None,
+                     interpret: bool = False):
+    """Render `samples_per_launch` progressive samples fully in-kernel.
+
+    Returns (radiance_sum [H, W, 3], rays_traced scalar). Divide by the
+    sample count (or merge into a Film) outside.
+    """
+    full_w = width if full_width is None else full_width
+    full_h = height if full_height is None else full_height
+    n = width * height
+    n_padded = -(-n // BLOCK_RAYS) * BLOCK_RAYS
+    grid = (n_padded // BLOCK_RAYS,)
+    blk_shape = (n_padded // LANES, LANES)
+
+    # tri_consts column 15 carries the material id (float) for the fused path.
+    tri_consts = scene.geom.tri_consts.at[:, 15].set(
+        scene.tri_mat.astype(jnp.float32))
+    mat_tbl = pack_materials(scene.materials)
+    light = pack_light(scene.area_light)
+    cam = pack_camera(cam_params, scene.miss_color)
+    misc = jnp.stack([jnp.asarray(subframe, jnp.int32),
+                      jnp.asarray(y0, jnp.int32),
+                      jnp.asarray(x0, jnp.int32),
+                      jnp.zeros((), jnp.int32)]).reshape(1, 4)
+
+    kernel = _make_kernel(width, height, full_w, full_h,
+                          scene.geom.num_triangles, scene.materials.num,
+                          max_depth, samples_per_launch)
+
+    out_shapes = tuple(jax.ShapeDtypeStruct(blk_shape, jnp.float32)
+                       for _ in range(4))
+    blockspec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rad_r, rad_g, rad_b, count = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+        out_specs=(blockspec,) * 4,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(tri_consts, mat_tbl, light, cam, misc)
+
+    rad = jnp.stack([rad_r.reshape(n_padded)[:n],
+                     rad_g.reshape(n_padded)[:n],
+                     rad_b.reshape(n_padded)[:n]], axis=-1)
+    # Padded lanes compute garbage but are sliced off; the count must exclude
+    # them, so zero their contribution via the valid-lane prefix.
+    lane_valid = (jnp.arange(n_padded) < n).astype(jnp.float32)
+    rays_traced = jnp.sum(count.reshape(n_padded) * lane_valid)
+    return rad.reshape(height, width, 3), rays_traced
