@@ -1,1 +1,1 @@
-from . import geometry, bruteforce  # noqa: F401
+from . import geometry, bruteforce, pallas_bf, morton, lbvh, traverse  # noqa: F401
