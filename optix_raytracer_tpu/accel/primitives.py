@@ -1,0 +1,214 @@
+"""Analytic custom primitives: sphere, sphere shell, parallelogram.
+
+Re-expresses the reference's custom-primitive intersection programs — the
+AABB build inputs + `__intersection__*` device programs of the Whitted sample
+(`SDK/cuda/geometry.cu:38-143` parallelogram & sphere-shell,
+`SDK/cuda/sphere.cu:37` sphere, wired in `SDK/optixWhitted/optixWhitted.cpp:
+381-430`) and the built-in sphere primitive (`optixSphere`,
+`include/optix_host.h:409` optixBuiltinISModuleGet). On TPU each primitive
+type is a vectorized analytic solve over the whole wavefront; a scene's
+custom prims live in one SoA table and are tested brute-force (they number
+in the tens in every reference scene).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.rays import Hits, Rays
+from ..core.vecmath import cross, dot, normalize
+
+SPHERE = 0
+SPHERE_SHELL = 1
+PARALLELOGRAM = 2
+
+_BIG = 1e30
+
+
+@struct.dataclass
+class CustomPrims:
+    """SoA table of analytic primitives.
+
+    params layout per kind:
+      SPHERE:        [cx, cy, cz, r, 0...]
+      SPHERE_SHELL:  [cx, cy, cz, r_inner, r_outer, 0...]
+      PARALLELOGRAM: [ax, ay, az, v1x, v1y, v1z, v2x, v2y, v2z, 0...]
+        (anchor + edge vectors; plane normal derived)
+    """
+    kind: jnp.ndarray     # [P] int32
+    params: jnp.ndarray   # [P, 9] f32
+    mat_id: jnp.ndarray   # [P] int32
+
+    @property
+    def num(self):
+        return self.kind.shape[0]
+
+    @classmethod
+    def empty(cls):
+        return cls(kind=jnp.zeros((0,), jnp.int32),
+                   params=jnp.zeros((0, 9), jnp.float32),
+                   mat_id=jnp.zeros((0,), jnp.int32))
+
+
+def make_prims(prims) -> CustomPrims:
+    """prims: list of dicts {kind, mat_id, center/radius/... per kind}."""
+    import numpy as np
+    p = max(len(prims), 0)
+    kind = np.zeros(p, np.int32)
+    params = np.zeros((p, 9), np.float32)
+    mat = np.zeros(p, np.int32)
+    for i, pr in enumerate(prims):
+        kind[i] = pr["kind"]
+        mat[i] = pr.get("mat_id", 0)
+        if pr["kind"] == SPHERE:
+            params[i, :3] = pr["center"]
+            params[i, 3] = pr["radius"]
+        elif pr["kind"] == SPHERE_SHELL:
+            params[i, :3] = pr["center"]
+            params[i, 3] = pr["radius_inner"]
+            params[i, 4] = pr["radius_outer"]
+        elif pr["kind"] == PARALLELOGRAM:
+            params[i, :3] = pr["anchor"]
+            params[i, 3:6] = pr["v1"]
+            params[i, 6:9] = pr["v2"]
+        else:
+            raise ValueError(f"unknown prim kind {pr['kind']}")
+    return CustomPrims(kind=jnp.asarray(kind), params=jnp.asarray(params),
+                       mat_id=jnp.asarray(mat))
+
+
+def _sphere_ts(o, d, center, radius):
+    """Both sphere intersections (t_near, t_far); misses → +BIG."""
+    oc = o - center
+    b = dot(oc, d)
+    c = dot(oc, oc) - radius * radius
+    disc = b * b - c
+    ok = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    return (jnp.where(ok, t0, _BIG), jnp.where(ok, t1, _BIG))
+
+
+def _prim_candidates(prims: CustomPrims, rays: Rays):
+    """All candidate hits: t [N, P], normals [N, P, 3], uv [N, P, 2].
+
+    For multi-surface prims (sphere, shell) the nearest valid crossing in
+    (tmin, tmax) is chosen per primitive; normals face outward from the
+    sphere center on outer surfaces and inward on the shell's inner surface
+    (matching the hit-kind normals of `cuda/geometry.cu:67-143`).
+    """
+    o = rays.origin[:, None, :]        # [N, 1, 3]
+    d = rays.direction[:, None, :]
+    tmin = rays.tmin[:, None]
+    tmax = rays.tmax[:, None]
+
+    center = prims.params[None, :, 0:3]
+    kind = prims.kind[None, :]
+
+    # --- sphere (outer radius r = params[3]) ---
+    r_sph = prims.params[None, :, 3]
+    ts0, ts1 = _sphere_ts(o, d, center, r_sph)
+
+    # --- shell (inner r3, outer r4) ---
+    r_in = prims.params[None, :, 3]
+    r_out = prims.params[None, :, 4]
+    to0, to1 = _sphere_ts(o, d, center, r_out)
+    ti0, ti1 = _sphere_ts(o, d, center, r_in)
+
+    # --- parallelogram ---
+    v1 = prims.params[None, :, 3:6]
+    v2 = prims.params[None, :, 6:9]
+    n_pg = cross(v1, v2)
+    n_pg = n_pg / jnp.maximum(jnp.sqrt(dot(n_pg, n_pg)), 1e-20)[..., None]
+    denom = dot(n_pg, d)
+    safe_denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t_pg = dot(prims.params[None, :, 0:3] - o, n_pg) / safe_denom
+    p_pg = o + t_pg[..., None] * d
+    rel = p_pg - prims.params[None, :, 0:3]
+    v1_len2 = jnp.maximum(dot(v1, v1), 1e-20)
+    v2_len2 = jnp.maximum(dot(v2, v2), 1e-20)
+    a1 = dot(rel, v1) / v1_len2
+    a2 = dot(rel, v2) / v2_len2
+    pg_ok = ((jnp.abs(denom) >= 1e-12)
+             & (a1 >= 0.0) & (a1 <= 1.0) & (a2 >= 0.0) & (a2 <= 1.0))
+    t_pg = jnp.where(pg_ok, t_pg, _BIG)
+
+    in_range = lambda t: (t > tmin) & (t < tmax)
+
+    # nearest valid candidate per prim
+    def pick(*ts):
+        t_best = jnp.full(ts[0].shape, _BIG, jnp.float32)
+        for t in ts:
+            t_ok = jnp.where(in_range(t), t, _BIG)
+            t_best = jnp.minimum(t_best, t_ok)
+        return t_best
+
+    t_sphere = pick(ts0, ts1)
+    t_shell = pick(to0, to1, ti0, ti1)
+    t_para = pick(t_pg)
+
+    t = jnp.where(kind == SPHERE, t_sphere,
+                  jnp.where(kind == SPHERE_SHELL, t_shell, t_para))
+
+    # normals at the chosen t
+    p_hit = o + t[..., None] * d
+    rel_c = p_hit - center
+    rad = jnp.sqrt(jnp.maximum(dot(rel_c, rel_c), 1e-20))
+    n_sphere = rel_c / rad[..., None]
+    # shell: inner-surface hits get inward normals
+    is_inner = jnp.abs(rad - r_in) < jnp.abs(rad - r_out)
+    n_shell = jnp.where(((kind == SPHERE_SHELL) & is_inner)[..., None],
+                        -n_sphere, n_sphere)
+    normal = jnp.where((kind == PARALLELOGRAM)[..., None], n_pg, n_shell)
+
+    uv = jnp.where((kind == PARALLELOGRAM)[..., None],
+                   jnp.stack([a1, a2], axis=-1),
+                   jnp.stack([0.5 + jnp.arctan2(rel_c[..., 2], rel_c[..., 0])
+                              / (2 * jnp.pi),
+                              0.5 - jnp.arcsin(jnp.clip(
+                                  rel_c[..., 1] / rad, -1, 1)) / jnp.pi],
+                             axis=-1))
+    return t, normal, uv
+
+
+def intersect_prims_closest(prims: CustomPrims, rays: Rays) -> Hits:
+    """Closest hit over the custom-prim table (flat rays [N])."""
+    t, normal, uv = _prim_candidates(prims, rays)
+    best = jnp.argmin(t, axis=1)
+    n = rays.tmin.shape[0]
+    rows = jnp.arange(n)
+    bt = t[rows, best]
+    hit = bt < _BIG
+    return Hits(
+        t=jnp.where(hit, bt, rays.tmax),
+        prim_id=jnp.where(hit, best.astype(jnp.int32), -1),
+        inst_id=jnp.where(hit, 0, -1),
+        mat_id=jnp.where(hit, prims.mat_id[best], -1),
+        uv=uv[rows, best],
+        normal=jnp.where(hit[:, None], normal[rows, best], 0.0),
+    )
+
+
+def intersect_prims_any(prims: CustomPrims, rays: Rays) -> jnp.ndarray:
+    t, _, _ = _prim_candidates(prims, rays)
+    return jnp.any(t < _BIG, axis=1)
+
+
+def merge_hits(a: Hits, b: Hits, prim_offset: int = 0) -> Hits:
+    """Combine two closest-hit results, keeping the nearer; b's prim ids get
+    `prim_offset` added (so triangle ids and custom-prim ids stay disjoint,
+    like SBT geometry-index offsets at `Scene.cpp:1154`)."""
+    b_wins = (b.prim_id >= 0) & ((a.prim_id < 0) | (b.t < a.t))
+    pick = lambda x, y: jnp.where(b_wins, y, x)
+    pick3 = lambda x, y: jnp.where(b_wins[..., None], y, x)
+    return Hits(
+        t=pick(a.t, b.t),
+        prim_id=pick(a.prim_id,
+                     jnp.where(b.prim_id >= 0, b.prim_id + prim_offset, -1)),
+        inst_id=pick(a.inst_id, b.inst_id),
+        mat_id=pick(a.mat_id, b.mat_id),
+        uv=pick3(a.uv, b.uv),
+        normal=pick3(a.normal, b.normal),
+    )

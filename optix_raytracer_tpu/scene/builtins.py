@@ -90,3 +90,50 @@ def cornell_camera(width, height) -> Camera:
     `optixPathTracer.cpp` initCameraState)."""
     return Camera(eye=(278.0, 273.0, -900.0), lookat=(278.0, 273.0, 330.0),
                   up=(0.0, 1.0, 0.0), fov_y=35.0, aspect=width / height)
+
+
+def whitted_scene() -> DeviceScene:
+    """The Whitted classic: glass sphere-shell + phong sphere over a checkered
+    floor, one point light + ambient (the optixWhitted scene shape:
+    `SDK/optixWhitted/optixWhitted.cpp:381-430` geometry, `SDK/cuda/shading.cu`
+    materials)."""
+    from ..accel import primitives as prim
+    from ..shade.lights import AMBIENT, POINT
+
+    materials = [
+        # 0: checkered phong floor
+        {"kind": mat.CHECKER, "base_color": (0.8, 0.3, 0.15),
+         "checker1": (0.9, 0.85, 0.05), "checker_scale": 16.0,
+         "specular": (0.2, 0.2, 0.2), "phong_exp": 32.0,
+         "kr": (0.1, 0.1, 0.1)},
+        # 1: glass sphere shell
+        {"kind": mat.GLASS, "ior": 1.4, "kr": (0.9, 0.9, 0.9)},
+        # 2: blue phong sphere with mirror-ish highlight
+        {"kind": mat.PHONG, "base_color": (0.1, 0.2, 0.7),
+         "specular": (0.5, 0.5, 0.5), "phong_exp": 64.0,
+         "kr": (0.25, 0.25, 0.25)},
+    ]
+    prims = prim.make_prims([
+        {"kind": prim.PARALLELOGRAM, "mat_id": 0,
+         "anchor": (-16.0, 0.01, -8.0), "v1": (32.0, 0.0, 0.0),
+         "v2": (0.0, 0.0, 16.0)},
+        {"kind": prim.SPHERE_SHELL, "mat_id": 1, "center": (2.0, 1.5, -2.5),
+         "radius_inner": 0.96, "radius_outer": 1.0},
+        {"kind": prim.SPHERE, "mat_id": 2, "center": (4.5, 1.0, -4.0),
+         "radius": 1.0},
+    ])
+    lights = [
+        {"kind": POINT, "position": (60.0, 40.0, 0.0),
+         "color": (1.0, 1.0, 1.0), "falloff": 0},
+        {"kind": AMBIENT, "color": (0.35, 0.35, 0.35)},
+    ]
+    empty_tri = np.zeros((3, 3), np.float32)
+    empty_idx = np.zeros((1, 3), np.int32)  # one degenerate triangle
+    return make_device_scene(empty_tri, empty_idx, np.zeros(1, np.int32),
+                             materials, prims=prims, lights=lights,
+                             miss_color=(0.34, 0.55, 0.85))
+
+
+def whitted_camera(width, height) -> Camera:
+    return Camera(eye=(8.0, 2.0, 1.0), lookat=(3.0, 1.1, -3.0),
+                  up=(0.0, 1.0, 0.0), fov_y=45.0, aspect=width / height)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..accel.geometry import TriangleGeometry, build_triangle_geometry
+from ..accel.primitives import CustomPrims
 from ..shade.lights import LightTable, ParallelogramLight
 from ..shade.materials import MaterialTable, make_material_table
 
@@ -23,6 +24,7 @@ from ..shade.materials import MaterialTable, make_material_table
 class DeviceScene:
     geom: TriangleGeometry
     tri_mat: jnp.ndarray                 # [M] int32 material id per triangle
+    prims: CustomPrims                   # analytic custom primitives
     materials: MaterialTable
     lights: LightTable                   # point/ambient/directional/volumetric
     area_light: ParallelogramLight       # NEE target (emission=0 disables)
@@ -35,13 +37,15 @@ class DeviceScene:
 
 def make_device_scene(vertices, indices, tri_mat, materials,
                       area_light: Optional[ParallelogramLight] = None,
-                      lights=(), miss_color=(0.0, 0.0, 0.0)) -> DeviceScene:
+                      lights=(), prims: Optional[CustomPrims] = None,
+                      miss_color=(0.0, 0.0, 0.0)) -> DeviceScene:
     if area_light is None:
         area_light = ParallelogramLight.make(
             (0, 0, 0), (1, 0, 0), (0, 0, 1), (0.0, 0.0, 0.0))
     return DeviceScene(
         geom=build_triangle_geometry(vertices, indices),
         tri_mat=jnp.asarray(tri_mat, jnp.int32),
+        prims=prims if prims is not None else CustomPrims.empty(),
         materials=(materials if isinstance(materials, MaterialTable)
                    else make_material_table(materials)),
         lights=LightTable.make(list(lights)),

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..accel import bruteforce as bf
+from .intersect import scene_any, scene_closest
 from ..core import rng as _rng
 from ..core.camera import generate_rays
 from ..core.rays import Rays
@@ -62,7 +63,7 @@ def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
     shadow_rays = Rays(origin=hit_p, direction=wi,
                        tmin=jnp.full(dist.shape, RAY_TMIN, jnp.float32),
                        tmax=dist * SHADOW_TMAX_SCALE)
-    occluded = bf.intersect_any(scene.geom, shadow_rays, chunk_size=chunk_size)
+    occluded = scene_any(scene, shadow_rays, chunk_size=chunk_size)
 
     weight = jnp.where(facing & ~occluded,
                        n_dl * ln_dl * light.area / (jnp.pi * dist2), 0.0)
@@ -100,8 +101,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         radiance = state["radiance"]
         rng = state["rng"]
 
-        hits = bf.intersect_closest(scene.geom, rays, tri_mat=scene.tri_mat,
-                                    chunk_size=chunk_size)
+        hits = scene_closest(scene, rays, chunk_size=chunk_size)
         hit_valid = hits.valid & active
 
         # --- miss program: constant background (whitted.cu:139-147) ---
@@ -239,6 +239,7 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
     if impl in ("fused", "fused_interpret"):
         return True
     return (jax.default_backend() in bf._TPU_PLATFORMS
+            and scene.prims.num == 0
             and scene.geom.num_triangles <= MAX_SMEM_TRIS)
 
 
