@@ -44,16 +44,23 @@ class TriangleGeometry:
     #   [0:9]  m_inv rows (u row, v row, w row), zeroed for invalid tris
     #   [9:12] -m_inv @ v0 offsets
     #   [12:15] unit face normal, [15] pad
+    corner_normal: jnp.ndarray  # [M, 3, 3] per-corner shading normals
+    corner_uv: jnp.ndarray      # [M, 3, 2] per-corner texture coordinates
 
     @property
     def num_triangles(self) -> int:
         return self.indices.shape[0]
 
 
-def build_triangle_geometry(vertices, indices) -> TriangleGeometry:
+def build_triangle_geometry(vertices, indices, normals=None,
+                            uvs=None) -> TriangleGeometry:
     """Build the device tables for a triangle mesh. Pure jnp → jittable, so
     dynamic geometry can rebuild per frame (the `OPTIX_BUILD_OPERATION_UPDATE`
     refit path, reference `SDK/optixDynamicGeometry/optixDynamicGeometry.cpp:412-435`).
+
+    normals/uvs: optional per-vertex [V, 3]/[V, 2] shading attributes (the
+    GLTF NORMAL/TEXCOORD_0 accessors, `SDK/sutil/Scene.cpp` mesh load);
+    default to face normals / zero uv.
     """
     vertices = jnp.asarray(vertices, jnp.float32)
     indices = jnp.asarray(indices, jnp.int32)
@@ -90,19 +97,32 @@ def build_triangle_geometry(vertices, indices) -> TriangleGeometry:
         m_inv.reshape(M, 9), offsets, face_normal,
         jnp.zeros((M, 1), jnp.float32)], axis=1)
 
+    if normals is not None:
+        normals = jnp.asarray(normals, jnp.float32)
+        corner_normal = normals[indices]                 # [M, 3, 3]
+    else:
+        corner_normal = jnp.broadcast_to(face_normal[:, None, :], (M, 3, 3))
+    if uvs is not None:
+        uvs = jnp.asarray(uvs, jnp.float32)
+        corner_uv = uvs[indices]                         # [M, 3, 2]
+    else:
+        corner_uv = jnp.zeros((M, 3, 2), jnp.float32)
+
     return TriangleGeometry(
         vertices=vertices, indices=indices, v0=v0, e1=e1, e2=e2,
         face_normal=face_normal, w_mat=w_mat, w_off=w_off, valid=valid,
-        tri_consts=tri_consts,
+        tri_consts=tri_consts, corner_normal=corner_normal,
+        corner_uv=corner_uv,
     )
 
 
 def shading_frame(geom: TriangleGeometry, prim_id, uv):
-    """Hit-point geometric normal + position helpers for shading.
+    """Hit-point attributes for shading: position, geometric + interpolated
+    shading normal, interpolated texture uv.
 
-    prim_id: [...] i32 (>=0), uv: [..., 2] barycentrics. Returns dict with
-    position-independent attributes; gathers are per-hit (N-sized), not N×M.
-    Mirrors the LocalGeometry fill-in of `SDK/cuda/LocalGeometry.h`.
+    prim_id: [...] i32 (>=0), uv: [..., 2] barycentrics. Gathers are per-hit
+    (N-sized), not N×M. Mirrors the LocalGeometry fill-in of
+    `SDK/cuda/LocalGeometry.h` (barycentric N/UV interpolation).
     """
     pid = jnp.maximum(prim_id, 0)
     n = geom.face_normal[pid]
@@ -110,5 +130,15 @@ def shading_frame(geom: TriangleGeometry, prim_id, uv):
     e1 = geom.e1[pid]
     e2 = geom.e2[pid]
     u, v = uv[..., 0], uv[..., 1]
+    w = 1.0 - u - v
     pos = v0 + u[..., None] * e1 + v[..., None] * e2
-    return {"position": pos, "normal": n}
+
+    cn = geom.corner_normal[pid]                 # [..., 3, 3]
+    sn = (w[..., None] * cn[..., 0, :] + u[..., None] * cn[..., 1, :]
+          + v[..., None] * cn[..., 2, :])
+    sn = normalize(sn)
+    cuv = geom.corner_uv[pid]                    # [..., 3, 2]
+    tex_uv = (w[..., None] * cuv[..., 0, :] + u[..., None] * cuv[..., 1, :]
+              + v[..., None] * cuv[..., 2, :])
+    return {"position": pos, "normal": n, "shading_normal": sn,
+            "uv": tex_uv}

@@ -44,6 +44,13 @@ class LBVH:
     def num_nodes(self):
         return self.node_prim.shape[0]
 
+    @classmethod
+    def empty(cls):
+        return cls(node_lo=jnp.zeros((0, 3), jnp.float32),
+                   node_hi=jnp.zeros((0, 3), jnp.float32),
+                   node_skip=jnp.zeros((0,), jnp.int32),
+                   node_prim=jnp.zeros((0,), jnp.int32))
+
 
 def _delta(codes, i, j, n):
     """Common-prefix length between sorted keys i and j (OOB → -1).

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..accel.geometry import TriangleGeometry, build_triangle_geometry
+from ..accel.lbvh import LBVH, build_lbvh
 from ..accel.primitives import CustomPrims
 from ..shade.lights import LightTable, ParallelogramLight
 from ..shade.materials import MaterialTable, make_material_table
@@ -29,21 +30,65 @@ class DeviceScene:
     lights: LightTable                   # point/ambient/directional/volumetric
     area_light: ParallelogramLight       # NEE target (emission=0 disables)
     miss_color: jnp.ndarray              # [3] constant background
+    textures: jnp.ndarray                # [T, TH, TW, 4] f32 padded stack
+    tex_size: jnp.ndarray                # [T, 2] i32 true (h, w) per texture
+    bvh: LBVH                            # threaded LBVH (empty → brute force)
 
     @property
     def num_triangles(self):
         return self.geom.num_triangles
 
+    @property
+    def has_bvh(self):
+        return self.bvh.num_nodes > 0
+
+    @property
+    def has_textures(self):
+        return self.textures.shape[0] > 0
+
+
+def pack_textures(images):
+    """List of [H, W, 3/4] uint8/float images → padded stack + size table.
+
+    The `cudaMallocArray`/texture-object table of `Scene.cpp:604` becomes one
+    dense [T, maxH, maxW, 4] f32 array (bilinear-gather-friendly) plus true
+    sizes. Returns (textures, tex_size).
+    """
+    import numpy as np
+    if not images:
+        return (jnp.zeros((0, 1, 1, 4), jnp.float32),
+                jnp.zeros((0, 2), jnp.int32))
+    max_h = max(im.shape[0] for im in images)
+    max_w = max(im.shape[1] for im in images)
+    out = np.zeros((len(images), max_h, max_w, 4), np.float32)
+    sizes = np.zeros((len(images), 2), np.int32)
+    for i, im in enumerate(images):
+        im = np.asarray(im)
+        if im.dtype == np.uint8:
+            im = im.astype(np.float32) / 255.0
+        if im.ndim == 2:
+            im = im[..., None].repeat(3, axis=-1)
+        if im.shape[-1] == 3:
+            im = np.concatenate([im, np.ones_like(im[..., :1])], axis=-1)
+        out[i, :im.shape[0], :im.shape[1]] = im
+        sizes[i] = (im.shape[0], im.shape[1])
+    return jnp.asarray(out), jnp.asarray(sizes)
+
 
 def make_device_scene(vertices, indices, tri_mat, materials,
                       area_light: Optional[ParallelogramLight] = None,
                       lights=(), prims: Optional[CustomPrims] = None,
-                      miss_color=(0.0, 0.0, 0.0)) -> DeviceScene:
+                      miss_color=(0.0, 0.0, 0.0), normals=None, uvs=None,
+                      textures=(), with_bvh: bool = False) -> DeviceScene:
     if area_light is None:
         area_light = ParallelogramLight.make(
             (0, 0, 0), (1, 0, 0), (0, 0, 1), (0.0, 0.0, 0.0))
+    tex, tex_size = pack_textures(list(textures))
+    geom = build_triangle_geometry(vertices, indices, normals=normals,
+                                   uvs=uvs)
     return DeviceScene(
-        geom=build_triangle_geometry(vertices, indices),
+        geom=geom,
+        bvh=build_lbvh(geom) if with_bvh else LBVH.empty(),
         tri_mat=jnp.asarray(tri_mat, jnp.int32),
         prims=prims if prims is not None else CustomPrims.empty(),
         materials=(materials if isinstance(materials, MaterialTable)
@@ -51,4 +96,6 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         lights=LightTable.make(list(lights)),
         area_light=area_light,
         miss_color=jnp.asarray(miss_color, jnp.float32),
+        textures=tex,
+        tex_size=tex_size,
     )

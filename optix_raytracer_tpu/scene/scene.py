@@ -1,0 +1,205 @@
+"""Host-side Scene: the `sutil::Scene` equivalent.
+
+Mirrors the reference's container + bring-up flow (`SDK/sutil/Scene.h:53-160`):
+`add_mesh`/`add_material`/`add_texture`/`add_camera` build host tables;
+`load(path)` fills them from GLTF (`Scene.cpp:267-560` loadScene); and
+`finalize()` does the whole render-pipeline bring-up (`Scene.cpp:667-690`:
+buildMeshAccels → buildInstanceAccel → module/program-groups/SBT) — here:
+bake node transforms into world space, concatenate meshes with disjoint
+material ids, pack textures, build the LBVH for big geometry, and emit the
+DeviceScene pytree the wavefront engine consumes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..core.camera import Camera
+from ..shade import materials as mats
+from .device_scene import DeviceScene, make_device_scene
+from .gltf import load_gltf
+
+# Brute force beats traversal until roughly the fused kernel's SMEM budget.
+BVH_THRESHOLD_TRIS = 512
+
+
+@dataclasses.dataclass
+class MeshEntry:
+    positions: np.ndarray
+    indices: np.ndarray
+    normals: Optional[np.ndarray]
+    uvs: Optional[np.ndarray]
+    material: int
+    transform: np.ndarray     # [4, 4]
+    name: str = ""
+
+
+class Scene:
+    def __init__(self):
+        self.meshes: list[MeshEntry] = []
+        self.materials: list[dict] = []
+        self.textures: list[np.ndarray] = []
+        self.cameras: list[Camera] = []
+        self.lights: list[dict] = []
+        self.miss_color = (0.05, 0.05, 0.12)
+
+    # --- builders (Scene.h:86-103 addMesh/addMaterial/addImage/addCamera) ---
+    def add_material(self, material: dict) -> int:
+        self.materials.append(dict(material))
+        return len(self.materials) - 1
+
+    def add_texture(self, image: np.ndarray) -> int:
+        self.textures.append(np.asarray(image))
+        return len(self.textures) - 1
+
+    def add_mesh(self, positions, indices, normals=None, uvs=None,
+                 material=0, transform=None, name="") -> int:
+        self.meshes.append(MeshEntry(
+            positions=np.asarray(positions, np.float32),
+            indices=np.asarray(indices, np.int32).reshape(-1, 3),
+            normals=None if normals is None else np.asarray(normals, np.float32),
+            uvs=None if uvs is None else np.asarray(uvs, np.float32),
+            material=material,
+            transform=(np.eye(4, dtype=np.float32) if transform is None
+                       else np.asarray(transform, np.float32)),
+            name=name))
+        return len(self.meshes) - 1
+
+    def add_camera(self, camera: Camera):
+        self.cameras.append(camera)
+
+    def add_light(self, light: dict):
+        self.lights.append(dict(light))
+
+    # --- GLTF load (Scene.cpp:267-560) ---
+    @classmethod
+    def load(cls, path: str) -> "Scene":
+        g = load_gltf(path)
+        scene = cls()
+        for m in g.materials:
+            base = m.base_color
+            kind = (mats.PBR if (m.metallic > 0.0 or m.base_color_texture >= 0)
+                    else mats.DIFFUSE)
+            scene.add_material({
+                "kind": kind,
+                "base_color": tuple(base[:3]),
+                "metallic": m.metallic,
+                "roughness": m.roughness,
+                "emission": tuple(m.emissive),
+                "base_tex": m.base_color_texture,
+                "alpha_mode": (mats.ALPHA_MASK if m.alpha_mode == "MASK"
+                               else mats.ALPHA_BLEND if m.alpha_mode == "BLEND"
+                               else mats.ALPHA_OPAQUE),
+                "alpha_cutoff": m.alpha_cutoff,
+            })
+        if not scene.materials:
+            scene.add_material({"kind": mats.DIFFUSE,
+                                "base_color": (0.7, 0.7, 0.7)})
+        for t in g.textures:
+            scene.add_texture(t)
+        for mesh in g.meshes:
+            scene.add_mesh(mesh.positions, mesh.indices, mesh.normals,
+                           mesh.uvs,
+                           material=max(mesh.material, 0),
+                           transform=mesh.transform, name=mesh.name)
+        for cam in g.cameras:
+            # GLTF camera looks down -Z of its node transform.
+            eye = cam.transform[:3, 3]
+            fwd = -cam.transform[:3, 2]
+            up = cam.transform[:3, 1]
+            scene.cameras.append(Camera(
+                eye=tuple(eye), lookat=tuple(eye + fwd), up=tuple(up),
+                fov_y=float(np.degrees(cam.yfov)), aspect=cam.aspect))
+        return scene
+
+    # --- bounds (sutil::Scene::aabb) ---
+    def aabb(self):
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for m in self.meshes:
+            world = m.positions @ m.transform[:3, :3].T + m.transform[:3, 3]
+            lo = np.minimum(lo, world.min(axis=0))
+            hi = np.maximum(hi, world.max(axis=0))
+        return lo, hi
+
+    def default_camera(self, width, height) -> Camera:
+        """GLTF camera if present, else frame the scene AABB (the
+        meshviewer's fallback camera bring-up)."""
+        if self.cameras:
+            cam = dataclasses.replace(self.cameras[0])
+            cam.aspect = width / height
+            return cam
+        lo, hi = self.aabb()
+        center = 0.5 * (lo + hi)
+        extent = float(np.linalg.norm(hi - lo))
+        eye = center + np.array([0.0, 0.3, 1.1]) * extent
+        return Camera(eye=tuple(eye), lookat=tuple(center),
+                      up=(0, 1, 0), fov_y=35.0, aspect=width / height)
+
+    # --- finalize (Scene.cpp:667-690) ---
+    def finalize(self, lights=None, area_light=None,
+                 with_bvh: Optional[bool] = None) -> DeviceScene:
+        all_pos, all_idx, all_n, all_uv, tri_mat = [], [], [], [], []
+        base = 0
+        for m in self.meshes:
+            rot = m.transform[:3, :3]
+            world = m.positions @ rot.T + m.transform[:3, 3]
+            all_pos.append(world.astype(np.float32))
+            all_idx.append(m.indices + base)
+            if m.normals is not None:
+                inv_t = np.linalg.inv(rot).T
+                n = m.normals @ inv_t.T
+                n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True),
+                                1e-20)
+            else:
+                n = None
+            all_n.append(n)
+            all_uv.append(m.uvs)
+            tri_mat.append(np.full(len(m.indices), m.material, np.int32))
+            base += len(m.positions)
+
+        if not all_pos:
+            all_pos = [np.zeros((3, 3), np.float32)]
+            all_idx = [np.zeros((1, 3), np.int32)]
+            all_n = [None]
+            all_uv = [None]
+            tri_mat = [np.zeros(1, np.int32)]
+
+        positions = np.concatenate(all_pos)
+        indices = np.concatenate(all_idx)
+        tri_mat = np.concatenate(tri_mat)
+
+        # attributes: fill defaults where a mesh lacks them
+        have_normals = any(n is not None for n in all_n)
+        have_uvs = any(u is not None for u in all_uv)
+        normals = None
+        uvs = None
+        if have_normals:
+            parts = []
+            for p, n in zip(all_pos, all_n):
+                parts.append(n if n is not None
+                             else np.zeros_like(p))
+            normals = np.concatenate(parts)
+            # zero normals → engine falls back per-face via normalize guard
+            zero = np.linalg.norm(normals, axis=1) < 1e-8
+            normals[zero] = np.array([0.0, 0.0, 1.0], np.float32)
+        if have_uvs:
+            parts = []
+            for p, u in zip(all_pos, all_uv):
+                parts.append(u if u is not None
+                             else np.zeros((len(p), 2), np.float32))
+            uvs = np.concatenate(parts)
+
+        if with_bvh is None:
+            with_bvh = len(indices) > BVH_THRESHOLD_TRIS
+
+        return make_device_scene(
+            positions, indices, tri_mat,
+            self.materials or [{"kind": mats.DIFFUSE}],
+            lights=lights if lights is not None else self.lights,
+            area_light=area_light,
+            miss_color=self.miss_color,
+            normals=normals, uvs=uvs, textures=self.textures,
+            with_bvh=with_bvh)

@@ -117,6 +117,24 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         # Two-sided shading normal (faceforward(N, -D, N),
         # optixPathTracer.cu:341).
         geom_n = hits.normal
+        albedo_tex = None
+        if scene.has_textures:
+            # Smooth-mesh path: interpolate vertex normals/uv and sample the
+            # base-color texture (whitted.cu:160-168). Custom-prim hits keep
+            # the analytic normal.
+            from ..accel.geometry import shading_frame
+            from ..shade.texture import sample_bilinear
+            is_tri = hits.prim_id < scene.num_triangles
+            frame = shading_frame(scene.geom,
+                                  jnp.minimum(jnp.maximum(hits.prim_id, 0),
+                                              scene.num_triangles - 1),
+                                  hits.uv)
+            geom_n = jnp.where(is_tri[..., None], frame["shading_normal"],
+                               geom_n)
+            rgba = sample_bilinear(scene.textures, scene.tex_size,
+                                   jnp.where(is_tri, m["base_tex"], -1),
+                                   frame["uv"])
+            albedo_tex = rgba[..., :3]
         n = geom_n * jnp.sign(-dot(geom_n, d))[..., None]
         hit_p = rays.at(hits.t)
 
@@ -128,6 +146,8 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
 
         kind = m["kind"]
         albedo = m["base_color"]
+        if albedo_tex is not None:
+            albedo = albedo * albedo_tex
         is_glass = kind == mats.GLASS
         is_mirror = (kind == mats.PBR) & (m["metallic"] > 0.99)
         is_specular = is_glass | is_mirror
@@ -240,6 +260,7 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
         return True
     return (jax.default_backend() in bf._TPU_PLATFORMS
             and scene.prims.num == 0
+            and not scene.has_textures
             and scene.geom.num_triangles <= MAX_SMEM_TRIS)
 
 

@@ -11,14 +11,25 @@ from typing import Optional
 
 from ..accel import bruteforce as bf
 from ..accel import primitives as prim_mod
+from ..accel import traverse as trav
+from ..accel.pallas_bf import MAX_SMEM_TRIS
 from ..core.rays import Hits, Rays
 from ..scene.device_scene import DeviceScene
 
 
+def _use_bvh(scene: DeviceScene) -> bool:
+    # Brute force wins while the whole mesh fits the fused kernel's SMEM
+    # budget; beyond that the threaded LBVH takes over (when built).
+    return scene.has_bvh and scene.geom.num_triangles > MAX_SMEM_TRIS
+
+
 def scene_closest(scene: DeviceScene, rays: Rays,
                   chunk_size: Optional[int] = None) -> Hits:
-    hits = bf.intersect_closest(scene.geom, rays, tri_mat=scene.tri_mat,
-                                chunk_size=chunk_size)
+    if _use_bvh(scene):
+        hits = trav.traverse(scene.bvh, scene.geom, scene.tri_mat, rays)
+    else:
+        hits = bf.intersect_closest(scene.geom, rays, tri_mat=scene.tri_mat,
+                                    chunk_size=chunk_size)
     if scene.prims.num:
         ph = prim_mod.intersect_prims_closest(scene.prims, rays)
         hits = prim_mod.merge_hits(hits, ph,
@@ -28,7 +39,10 @@ def scene_closest(scene: DeviceScene, rays: Rays,
 
 def scene_any(scene: DeviceScene, rays: Rays,
               chunk_size: Optional[int] = None):
-    occ = bf.intersect_any(scene.geom, rays, chunk_size=chunk_size)
+    if _use_bvh(scene):
+        occ = trav.traverse(scene.bvh, scene.geom, None, rays, any_hit=True)
+    else:
+        occ = bf.intersect_any(scene.geom, rays, chunk_size=chunk_size)
     if scene.prims.num:
         occ = occ | prim_mod.intersect_prims_any(scene.prims, rays)
     return occ

@@ -69,6 +69,21 @@ def trace_whitted(scene: DeviceScene, rays: Rays, rng, max_depth: int = 8,
         m = mats.gather(scene.materials, hits.mat_id)
         d = rays.direction
         geom_n = hits.normal
+        albedo_tex = None
+        if scene.has_textures:
+            from ..accel.geometry import shading_frame
+            from ..shade.texture import sample_bilinear
+            is_tri = hits.prim_id < scene.num_triangles
+            frame = shading_frame(scene.geom,
+                                  jnp.minimum(jnp.maximum(hits.prim_id, 0),
+                                              scene.num_triangles - 1),
+                                  hits.uv)
+            geom_n = jnp.where(is_tri[..., None], frame["shading_normal"],
+                               geom_n)
+            rgba = sample_bilinear(scene.textures, scene.tex_size,
+                                   jnp.where(is_tri, m["base_tex"], -1),
+                                   frame["uv"])
+            albedo_tex = rgba[..., :3]
         n = geom_n * jnp.sign(-dot(geom_n, d))[..., None]
         hit_p = rays.at(hits.t)
 
@@ -84,6 +99,8 @@ def trace_whitted(scene: DeviceScene, rays: Rays, rng, max_depth: int = 8,
         on_primary = _checker(hits.uv, m["checker_scale"])
         kd = jnp.where((kind == mats.CHECKER)[..., None] & ~on_primary[..., None],
                        m["checker1"], m["base_color"])
+        if albedo_tex is not None:
+            kd = kd * albedo_tex
         ks = m["specular"]
 
         # --- per-light phong direct lighting with shadow rays ---
