@@ -1,0 +1,130 @@
+"""Module: a compiled set of device programs + async/abortable compilation.
+
+Maps the reference's module machinery:
+- `optixModuleCreate` (PTX → module, `optix_host.h:332`): a Module holds
+  named jittable entry points ("__raygen__x", "__closesthit__y", ...) plus
+  compile options. "Compilation" = AOT `jax.jit(...).lower().compile()`.
+- `OptixModuleCompileBoundValueEntry` specialization (`optix_types.h:1969`,
+  `optixBoundValues` sample): `bound_values` are baked into the entry points
+  as closure constants before tracing — XLA constant-folds them exactly like
+  the reference bakes launch params at compile time.
+- `optixModuleCreateWithTasks` + thread pool (`lib/CompileWithTasks.h:53-117`):
+  `compile_with_tasks` fans module compilations out to a thread pool (XLA
+  compilation releases the GIL).
+- the `optixModuleCreateAbort` sample (out-of-process compile that the parent
+  can kill, `optixModuleCreateAbort.cpp:30,786`): `AbortableCompile` runs the
+  compile in a separate process with `.abort()`.
+"""
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Optional
+
+import jax
+
+
+class Module:
+    """A named bundle of device programs (the PTX-module analogue)."""
+
+    def __init__(self, entry_points: Dict[str, Callable],
+                 bound_values: Optional[dict] = None,
+                 opt_level: int = 3, debug: bool = False,
+                 context=None, name: str = "module"):
+        self.name = name
+        self.opt_level = opt_level
+        self.debug = debug
+        self._context = context
+        self.bound_values = dict(bound_values or {})
+        self.entry_points = {
+            k: (functools.partial(fn, **self.bound_values)
+                if self.bound_values else fn)
+            for k, fn in entry_points.items()
+        }
+        if context is not None:
+            context.log(4, "COMPILE",
+                        f"module {name}: {sorted(entry_points)}")
+
+    def get(self, entry: str) -> Callable:
+        if entry not in self.entry_points:
+            raise KeyError(
+                f"no entry point {entry!r} in module {self.name!r}; "
+                f"have {sorted(self.entry_points)}")
+        return self.entry_points[entry]
+
+    def compile_entry(self, entry: str, *example_args):
+        """AOT-compile one entry point (lower + compile now, not at first
+        call) and return the compiled executable."""
+        fn = self.get(entry)
+        return jax.jit(fn).lower(*example_args).compile()
+
+
+def compile_with_tasks(jobs, max_workers: int = 4):
+    """Parallel module/entry compilation — `optixModuleCreateWithTasks` +
+    `OptixTaskExecutePool` behavior (`lib/CompileWithTasks.h`).
+
+    jobs: list of (fn, example_args tuple). Returns the compiled executables
+    in order. XLA's C++ compile releases the GIL, so threads genuinely
+    overlap.
+    """
+    def compile_one(job):
+        fn, args = job
+        return jax.jit(fn).lower(*args).compile()
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(compile_one, jobs))
+
+
+class AbortableCompile:
+    """Out-of-process compilation that can be killed mid-flight.
+
+    The `optixModuleCreateAbort` sample spawns a child process to compile and
+    kills it on demand so a hung compile can't wedge the render loop
+    (`optixModuleCreateAbort.cpp:29-31`). Here the child process runs the AOT
+    compile and writes the serialized executable status; `.abort()` kills it.
+    The result is a bool (compile finished) — the parent then compiles from
+    its (warm, process-local) cache or proceeds with the old pipeline, which
+    is exactly the reference's hot-swap flow (`:446,586-599`).
+    """
+
+    def __init__(self, module_path: str, entry: str, example_shapes,
+                 backend: str = "cpu"):
+        """module_path/entry name an importable function (what the reference
+        serializes to the child's CLI, `optixModuleCreateAbort.cpp:786-835`);
+        example_shapes: list of (shape tuple, dtype str) for its args."""
+        import multiprocessing as mp
+        self._ctx = mp.get_context("spawn")
+        self._proc = self._ctx.Process(
+            target=_abortable_worker,
+            args=(module_path, entry, example_shapes, backend), daemon=True)
+        self._proc.start()
+
+    def poll(self) -> Optional[bool]:
+        """None while running; True once the child finished successfully."""
+        if self._proc.is_alive():
+            return None
+        return self._proc.exitcode == 0
+
+    def wait(self, timeout=None) -> bool:
+        self._proc.join(timeout)
+        return self._proc.exitcode == 0
+
+    def abort(self):
+        if self._proc.is_alive():
+            self._proc.terminate()
+            self._proc.join()
+
+
+def _abortable_worker(module_path, entry, example_shapes, backend):
+    import importlib
+    import os
+
+    os.environ["JAX_PLATFORMS"] = backend
+    os.environ.pop("PYTHONPATH", None)  # avoid the TPU-tunnel site hook
+    import jax as _jax
+    import jax.numpy as _jnp
+    _jax.config.update("jax_platforms", backend)
+    mod = importlib.import_module(module_path)
+    fn = getattr(mod, entry)
+    args = [_jnp.zeros(shape, dtype) for shape, dtype in example_shapes]
+    _jax.jit(fn).lower(*args).compile()

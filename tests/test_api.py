@@ -1,0 +1,152 @@
+"""OptiX-shaped API layer: context/module/pipeline/SBT/accel/callables."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optix_raytracer_tpu import api
+from optix_raytracer_tpu.api.context import StageTimers
+from optix_raytracer_tpu.scene.builtins import (CORNELL_MATERIALS,
+                                                CORNELL_LIGHT_CORNER,
+                                                CORNELL_LIGHT_V1,
+                                                CORNELL_LIGHT_V2,
+                                                CORNELL_LIGHT_EMISSION,
+                                                _CORNELL_QUADS,
+                                                cornell_camera,
+                                                quads_to_triangles)
+from optix_raytracer_tpu.shade.lights import ParallelogramLight
+
+
+class TestDeviceContext:
+    def test_log_callback_levels(self, tmp_path):
+        msgs = []
+        ctx = api.DeviceContext(
+            log_callback=lambda lvl, tag, msg: msgs.append((lvl, tag, msg)),
+            log_level=api.LogLevel.PRINT,
+            cache_location=str(tmp_path / "cache"))
+        ctx.log(api.LogLevel.ERROR, "TEST", "boom")
+        assert any(t == "TEST" for _, t, _ in msgs)
+        # level filtering
+        ctx.set_log_callback(lambda *a: msgs.append(a), api.LogLevel.FATAL)
+        before = len(msgs)
+        ctx.log(api.LogLevel.WARNING, "X", "filtered")
+        assert len(msgs) == before
+
+    def test_properties_and_cache(self, tmp_path):
+        ctx = api.DeviceContext(cache_location=str(tmp_path / "c2"))
+        assert ctx.get_property("num_devices") >= 1
+        assert ctx.get_cache_location().endswith("c2")
+        ctx.set_cache_location(str(tmp_path / "c3"))
+        assert ctx.get_cache_location().endswith("c3")
+
+
+class TestModule:
+    def test_entry_points_and_bound_values(self):
+        def shade(x, scale=1.0):
+            return x * scale
+
+        mod = api.Module({"__closesthit__shade": shade},
+                         bound_values={"scale": 3.0})
+        fn = mod.get("__closesthit__shade")
+        assert float(fn(jnp.float32(2.0))) == 6.0
+        with pytest.raises(KeyError):
+            mod.get("__miss__nope")
+
+    def test_compile_with_tasks(self):
+        jobs = [(lambda x: x + i, (jnp.zeros((4,)),)) for i in range(3)]
+        execs = api.compile_with_tasks(jobs, max_workers=2)
+        assert len(execs) == 3
+        np.testing.assert_allclose(execs[2](jnp.ones((4,))), 3.0)
+
+    def test_aot_compile_entry(self):
+        mod = api.Module({"__raygen__f": lambda x: x * 2})
+        compiled = mod.compile_entry("__raygen__f", jnp.zeros((8,)))
+        np.testing.assert_allclose(compiled(jnp.ones((8,))), 2.0)
+
+
+class TestCallables:
+    def test_direct_call_switch(self):
+        table = api.CallableTable()
+        table.add(lambda x: x + 1.0)
+        i_mul = table.add(lambda x: x * 10.0)
+        out = table.direct_call(jnp.int32(i_mul), jnp.float32(3.0))
+        assert float(out) == 30.0
+        # vectorized dispatch per lane
+        idx = jnp.asarray([0, 1, 0, 1])
+        vals = jnp.asarray([1.0, 1.0, 2.0, 2.0])
+        out = jax.vmap(table.direct_call)(idx, vals)
+        np.testing.assert_allclose(out, [2.0, 10.0, 3.0, 20.0])
+
+
+class TestAccel:
+    def test_build_and_memory(self):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        handle = api.build_gas(verts, np.array([[0, 1, 2]], np.int32))
+        assert handle.memory_usage_bytes > 0
+        assert handle.compacted_size_bytes == handle.memory_usage_bytes
+        assert handle.bvh is None  # small → brute force
+
+    def test_refit_moves_geometry(self):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        handle = api.build_gas(verts, np.array([[0, 1, 2]], np.int32))
+        moved = api.refit_gas(handle, verts + np.array([5, 0, 0], np.float32))
+        np.testing.assert_allclose(np.asarray(moved.geom.v0[0]), [5, 0, 0])
+
+    def test_custom_gas(self):
+        from optix_raytracer_tpu.accel import primitives as prim
+        handle = api.build_custom_gas([
+            {"kind": prim.SPHERE, "center": (0, 0, 0), "radius": 1.0}])
+        assert handle.prims.num == 1
+
+
+class TestPipelineLaunch:
+    def test_cornell_through_api(self):
+        """Port of the optixPathTracer bring-up through the API surface."""
+        verts, idx, tri_mat = quads_to_triangles(_CORNELL_QUADS)
+        handle = api.build_gas(verts, idx)
+
+        mod = api.Module({}, name="pathtrace")
+        groups = [
+            api.ProgramGroup(api.ProgramGroupKind.RAYGEN, "__raygen__rg", mod),
+            api.ProgramGroup(api.ProgramGroupKind.MISS, "__miss__radiance", mod),
+            api.ProgramGroup(api.ProgramGroupKind.HITGROUP,
+                             "__closesthit__radiance", mod),
+        ]
+        sbt = api.ShaderBindingTable(
+            raygen_record=api.SbtRecord(groups[0]),
+            miss_records=[api.SbtRecord(groups[1],
+                                        {"color": (0.0, 0.0, 0.0)})],
+            hitgroup_records=[api.SbtRecord(groups[2], m)
+                              for m in CORNELL_MATERIALS],
+        )
+        pipeline = api.Pipeline(program_groups=groups,
+                                integrator="pathtrace", max_trace_depth=2,
+                                samples_per_launch=2)
+        light = ParallelogramLight.make(
+            CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1, CORNELL_LIGHT_V2,
+            CORNELL_LIGHT_EMISSION)
+        w = h = 24
+        cam = cornell_camera(w, h).params()
+        film, rays = pipeline.launch(sbt, handle, cam, w, h,
+                                     tri_sbt_index=tri_mat,
+                                     area_light=light)
+        assert int(film.subframe) == 2
+        img = np.asarray(film.accum)
+        assert np.isfinite(img).all() and img.max() > 0
+
+        # progressive continuation across launches
+        film2, _ = pipeline.launch(sbt, handle, cam, w, h, film=film,
+                                   tri_sbt_index=tri_mat, area_light=light)
+        assert int(film2.subframe) == 4
+
+
+class TestStageTimers:
+    def test_report(self):
+        t = StageTimers()
+        with t.stage("render"):
+            pass
+        with t.stage("display"):
+            pass
+        t.frame_done()
+        rep = t.report()
+        assert "render" in rep and "fps" in rep
