@@ -1,0 +1,112 @@
+"""Denoiser API: the `optixDenoiser*` surface over the à-trous backend.
+
+Model kinds (`optix_types.h:1609-1635`): LDR, HDR, AOV, TEMPORAL, UPSCALE2X.
+Entry points mirror `optixDenoiserCreate/Setup/Invoke/ComputeIntensity/
+ComputeAverageColor` (`optix_host.h:814-1028`) plus the tiled helper
+(`optix_denoiser_tiling.h:223`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..denoise import atrous, flow as flow_mod
+
+
+class ModelKind:
+    LDR = "LDR"
+    HDR = "HDR"
+    AOV = "AOV"
+    TEMPORAL = "TEMPORAL"
+    UPSCALE2X = "UPSCALE2X"
+
+
+class Denoiser:
+    def __init__(self, context=None, model_kind: str = ModelKind.HDR,
+                 guide_albedo: bool = True, guide_normal: bool = True):
+        self.context = context
+        self.model_kind = model_kind
+        self.guide_albedo = guide_albedo
+        self.guide_normal = guide_normal
+        self._setup = None
+
+    def setup(self, width: int, height: int, tiled: bool = False,
+              tile: int = 256, overlap: int = 32, iterations: int = 5):
+        """optixDenoiserSetup: fix the working resolution/tiling."""
+        self._setup = dict(width=width, height=height, tiled=tiled,
+                           tile=tile, overlap=overlap, iterations=iterations)
+        return self
+
+    def compute_intensity(self, beauty):
+        return atrous.compute_intensity(beauty)
+
+    def compute_average_color(self, beauty):
+        return atrous.compute_average_color(beauty)
+
+    @staticmethod
+    def compute_flow(prev_frame, curr_frame, levels: int = 4):
+        """Flow guide layer in invoke()'s convention: curr(p) ≈ prev(p - flow).
+        The optixOpticalFlow capability."""
+        return -flow_mod.optical_flow(curr_frame, prev_frame, levels=levels)
+
+    def invoke(self, beauty, albedo=None, normal=None, flow=None,
+               previous_output=None, intensity=None,
+               blend_factor: float = 0.0, aovs: Optional[dict] = None):
+        """optixDenoiserInvoke. Returns the denoised image (and a dict of
+        denoised AOVs in AOV mode).
+
+        HDR mode pre-scales by `intensity` (computed if not given) and
+        un-scales after — the reference's HDR pipeline. blend_factor lerps
+        toward the noisy input (`OptixDenoiserParams::blendFactor`).
+        """
+        assert self._setup is not None, "call setup() first (optixDenoiserSetup)"
+        it = self._setup["iterations"]
+        beauty = jnp.asarray(beauty, jnp.float32)
+        if not self.guide_albedo:
+            albedo = None
+        if not self.guide_normal:
+            normal = None
+
+        scale = 1.0
+        if self.model_kind in (ModelKind.HDR, ModelKind.TEMPORAL,
+                               ModelKind.UPSCALE2X):
+            scale = intensity if intensity is not None \
+                else self.compute_intensity(beauty)
+        work = beauty * scale
+
+        if self.model_kind == ModelKind.TEMPORAL and previous_output is not None:
+            if flow is None:
+                flow = jnp.zeros(beauty.shape[:2] + (2,), jnp.float32)
+            out = atrous.denoise_temporal(work,
+                                          jnp.asarray(previous_output) * scale,
+                                          flow, albedo=albedo, normal=normal,
+                                          iterations=it)
+        elif self._setup["tiled"]:
+            out = jnp.asarray(atrous.denoise_tiled(
+                work, albedo=albedo, normal=normal,
+                tile=self._setup["tile"], overlap=self._setup["overlap"],
+                iterations=it))
+        else:
+            out = atrous.denoise(work, albedo=albedo, normal=normal,
+                                 iterations=it)
+
+        out = out / scale
+        if blend_factor > 0.0:
+            out = (1.0 - blend_factor) * out + blend_factor * beauty
+
+        if self.model_kind == ModelKind.UPSCALE2X:
+            h, w = out.shape[:2]
+            out = jnp.asarray(out)
+            out = jnp.repeat(jnp.repeat(out, 2, 0), 2, 1)
+            # soften the nearest-neighbor blocks
+            out = 0.25 * (out + jnp.roll(out, 1, 0) + jnp.roll(out, 1, 1)
+                          + jnp.roll(out, (1, 1), (0, 1)))
+
+        if self.model_kind == ModelKind.AOV and aovs:
+            den_aovs = {k: atrous.denoise(jnp.asarray(v) * scale,
+                                          albedo=albedo, normal=normal,
+                                          iterations=it) / scale
+                        for k, v in aovs.items()}
+            return out, den_aovs
+        return out

@@ -1,0 +1,57 @@
+"""optixDenoiser equivalent: standalone denoiser driver.
+
+Reference: `SDK/optixDenoiser/optixDenoiser.cpp` — beauty (+albedo/normal/
+flow) in → denoised image out, with HDR/AOV/temporal/tiled modes and -e
+exposure. Float layers travel as .npz (the tinyexr role; see io/image.py).
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from ..api.denoiser import Denoiser, ModelKind
+from ..io.image import load_image, save_image
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="standalone denoiser (optixDenoiser)")
+    p.add_argument("input", help="noisy beauty image (.npz float or .png)")
+    p.add_argument("-o", "--out", default="denoised.npz")
+    p.add_argument("-a", "--albedo", default=None)
+    p.add_argument("-n", "--normal", default=None)
+    p.add_argument("-F", "--flow", default=None, help="flow .npz (temporal)")
+    p.add_argument("-p", "--prev", default=None, help="previous output (temporal)")
+    p.add_argument("-t", "--tile", type=int, default=0, help="tile size (0=off)")
+    p.add_argument("-b", "--blend", type=float, default=0.0)
+    p.add_argument("-i", "--iterations", type=int, default=5)
+    p.add_argument("--ldr", action="store_true")
+    p.add_argument("--upscale", action="store_true", help="2x upscale model")
+    args = p.parse_args(argv)
+
+    beauty = np.asarray(load_image(args.input), np.float32)
+    if beauty.dtype == np.uint8 or beauty.max() > 1.5:
+        beauty = beauty / 255.0
+    beauty = beauty[..., :3]
+    load = lambda p: None if p is None else np.asarray(
+        load_image(p), np.float32)[..., :3]
+    albedo = load(args.albedo)
+    normal = load(args.normal)
+    fl = None if args.flow is None else np.asarray(load_image(args.flow))
+    prev = load(args.prev)
+
+    kind = (ModelKind.UPSCALE2X if args.upscale
+            else ModelKind.TEMPORAL if prev is not None
+            else ModelKind.LDR if args.ldr else ModelKind.HDR)
+    den = Denoiser(model_kind=kind, guide_albedo=albedo is not None,
+                   guide_normal=normal is not None)
+    den.setup(beauty.shape[1], beauty.shape[0], tiled=args.tile > 0,
+              tile=args.tile or 256, iterations=args.iterations)
+    out = den.invoke(beauty, albedo=albedo, normal=normal, flow=fl,
+                     previous_output=prev, blend_factor=args.blend)
+    save_image(args.out, np.asarray(out))
+    print(f"wrote {args.out} {np.asarray(out).shape} ({kind})")
+
+
+if __name__ == "__main__":
+    main()

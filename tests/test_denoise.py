@@ -1,0 +1,127 @@
+"""Denoiser quality/semantics + optical flow + the API wrapper."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optix_raytracer_tpu.api.denoiser import Denoiser, ModelKind
+from optix_raytracer_tpu.denoise import atrous, flow
+
+
+def make_noisy_scene(rng, h=64, w=64, sigma=0.3):
+    """Piecewise-constant 'render' + albedo/normal guides + noise."""
+    clean = np.zeros((h, w, 3), np.float32)
+    clean[:, : w // 2] = (1.0, 0.3, 0.2)
+    clean[:, w // 2:] = (0.2, 0.6, 1.2)
+    clean[h // 3: 2 * h // 3, w // 4: 3 * w // 4] *= 0.4
+    albedo = np.where(clean > 0.5, 0.9, 0.4).astype(np.float32)
+    normal = np.zeros((h, w, 3), np.float32)
+    normal[..., 2] = 1.0
+    normal[h // 2:, :, 1] = 0.8
+    normal[h // 2:, :, 2] = 0.6
+    noisy = clean + rng.normal(0, sigma, clean.shape).astype(np.float32)
+    return clean, np.maximum(noisy, 0), albedo, normal
+
+
+class TestAtrous:
+    def test_reduces_noise(self):
+        rng = np.random.default_rng(0)
+        clean, noisy, albedo, normal = make_noisy_scene(rng)
+        out = np.asarray(atrous.denoise(noisy, albedo=albedo, normal=normal))
+        err_in = np.abs(noisy - clean).mean()
+        err_out = np.abs(out - clean).mean()
+        assert err_out < 0.4 * err_in, (err_in, err_out)
+
+    def test_edges_preserved(self):
+        rng = np.random.default_rng(1)
+        clean, noisy, albedo, normal = make_noisy_scene(rng, sigma=0.2)
+        out = np.asarray(atrous.denoise(noisy, albedo=albedo, normal=normal))
+        w = clean.shape[1]
+        # the vertical material edge must survive: left/right means differ
+        left = out[:, : w // 2 - 4].mean(axis=(0, 1))
+        right = out[:, w // 2 + 4:].mean(axis=(0, 1))
+        assert abs(left - right).max() > 0.2
+
+    def test_tiled_matches_untiled_interior(self):
+        rng = np.random.default_rng(2)
+        _, noisy, albedo, normal = make_noisy_scene(rng, h=96, w=96)
+        full = np.asarray(atrous.denoise(noisy, albedo=albedo, normal=normal,
+                                         iterations=3))
+        tiled = atrous.denoise_tiled(noisy, albedo=albedo, normal=normal,
+                                     tile=48, overlap=24, iterations=3)
+        # interiors agree (borders differ by wrap vs overlap handling)
+        diff = np.abs(full[24:-24, 24:-24] - tiled[24:-24, 24:-24])
+        assert diff.mean() < 0.02
+
+    def test_intensity_and_average(self):
+        img = np.full((8, 8, 3), 2.0, np.float32)
+        inten = float(atrous.compute_intensity(img))
+        assert inten == pytest.approx(0.5, rel=1e-3)
+        np.testing.assert_allclose(atrous.compute_average_color(img), 2.0)
+
+
+class TestFlow:
+    def test_recovers_translation(self):
+        rng = np.random.default_rng(3)
+        base = rng.uniform(0, 1, (64, 64)).astype(np.float32)
+        # smooth it so block matching has gradients
+        for _ in range(2):
+            base = 0.25 * (np.roll(base, 1, 0) + np.roll(base, -1, 0)
+                           + np.roll(base, 1, 1) + np.roll(base, -1, 1))
+        shift = (3, 5)  # (dy, dx)
+        moved = np.roll(base, shift, axis=(0, 1))
+        f = np.asarray(flow.optical_flow(base, moved, levels=3, radius=2))
+        # a(p) ≈ b(p + flow): the flow should be ≈ -(dx, dy)... sign checked
+        # empirically by median over the interior
+        med = np.median(f[16:-16, 16:-16], axis=(0, 1))
+        assert abs(abs(med[0]) - shift[1]) <= 1.0
+        assert abs(abs(med[1]) - shift[0]) <= 1.0
+
+
+class TestDenoiserApi:
+    def test_hdr_invoke(self):
+        rng = np.random.default_rng(4)
+        clean, noisy, albedo, normal = make_noisy_scene(rng)
+        den = Denoiser(model_kind=ModelKind.HDR).setup(64, 64)
+        out = np.asarray(den.invoke(noisy, albedo=albedo, normal=normal))
+        assert np.abs(out - clean).mean() < np.abs(noisy - clean).mean()
+
+    def test_temporal_invoke(self):
+        rng = np.random.default_rng(5)
+        clean, noisy, albedo, normal = make_noisy_scene(rng)
+        den = Denoiser(model_kind=ModelKind.TEMPORAL).setup(64, 64)
+        prev = clean  # perfect history
+        zero_flow = np.zeros((64, 64, 2), np.float32)
+        out = np.asarray(den.invoke(noisy, albedo=albedo, normal=normal,
+                                    flow=zero_flow, previous_output=prev))
+        # with clean history the temporal result beats pure spatial
+        spatial = np.asarray(
+            Denoiser(model_kind=ModelKind.HDR).setup(64, 64).invoke(
+                noisy, albedo=albedo, normal=normal))
+        assert (np.abs(out - clean).mean()
+                < np.abs(spatial - clean).mean() + 1e-6)
+
+    def test_upscale2x_shape(self):
+        rng = np.random.default_rng(6)
+        _, noisy, _, _ = make_noisy_scene(rng, h=32, w=32)
+        den = Denoiser(model_kind=ModelKind.UPSCALE2X,
+                       guide_albedo=False, guide_normal=False).setup(32, 32)
+        out = np.asarray(den.invoke(noisy))
+        assert out.shape == (64, 64, 3)
+
+    def test_aov_mode(self):
+        rng = np.random.default_rng(7)
+        _, noisy, albedo, normal = make_noisy_scene(rng, h=32, w=32)
+        den = Denoiser(model_kind=ModelKind.AOV).setup(32, 32)
+        out, aovs = den.invoke(noisy, albedo=albedo, normal=normal,
+                               aovs={"glossy": noisy * 0.5})
+        assert "glossy" in aovs and np.asarray(aovs["glossy"]).shape == noisy.shape
+
+    def test_blend_factor(self):
+        rng = np.random.default_rng(8)
+        _, noisy, albedo, normal = make_noisy_scene(rng, h=32, w=32)
+        den = Denoiser().setup(32, 32)
+        full = np.asarray(den.invoke(noisy, albedo=albedo, normal=normal))
+        blended = np.asarray(den.invoke(noisy, albedo=albedo, normal=normal,
+                                        blend_factor=1.0))
+        np.testing.assert_allclose(blended, noisy, atol=1e-5)
+        assert np.abs(full - noisy).mean() > 1e-3
