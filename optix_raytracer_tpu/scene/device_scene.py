@@ -33,10 +33,17 @@ class DeviceScene:
     textures: jnp.ndarray                # [T, TH, TW, 4] f32 padded stack
     tex_size: jnp.ndarray                # [T, 2] i32 true (h, w) per texture
     bvh: LBVH                            # threaded LBVH (empty → brute force)
+    # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
+    # pass-through in the integrators. Determined at scene-build time.
+    features: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_triangles(self):
         return self.geom.num_triangles
+
+    @property
+    def has_cutouts(self):
+        return "cutouts" in self.features
 
     @property
     def has_bvh(self):
@@ -86,7 +93,13 @@ def make_device_scene(vertices, indices, tri_mat, materials,
     tex, tex_size = pack_textures(list(textures))
     geom = build_triangle_geometry(vertices, indices, normals=normals,
                                    uvs=uvs)
+    features = []
+    if isinstance(materials, (list, tuple)) and any(
+            m.get("cutout", 0) or m.get("alpha_mode", 0) == 1
+            for m in materials):
+        features.append("cutouts")
     return DeviceScene(
+        features=tuple(features),
         geom=geom,
         bvh=build_lbvh(geom) if with_bvh else LBVH.empty(),
         tri_mat=jnp.asarray(tri_mat, jnp.int32),

@@ -26,6 +26,14 @@ ALPHA_OPAQUE = 0
 ALPHA_MASK = 1
 ALPHA_BLEND = 2
 
+# Cutout mask styles for ALPHA_MASK (the optixCutouts anyhit patterns:
+# __anyhit__ah_checkerboard / __anyhit__ah_circle, optixCutouts.cu:295,337;
+# TEXTURE reads the base-color texture's alpha channel)
+CUT_NONE = 0
+CUT_CHECKER = 1
+CUT_CIRCLE = 2
+CUT_TEXTURE = 3
+
 
 @struct.dataclass
 class MaterialTable:
@@ -43,6 +51,7 @@ class MaterialTable:
     alpha_cutoff: jnp.ndarray    # [K]
     base_tex: jnp.ndarray        # [K] int32 texture id, -1 = none
     kr: jnp.ndarray              # [K, 3] reflectivity (whitted glass/metal)
+    cutout: jnp.ndarray          # [K] int32 CUT_* mask style
 
     @property
     def num(self):
@@ -66,10 +75,12 @@ def make_material_table(materials) -> MaterialTable:
     kind = np.zeros(K, np.int32)
     alpha_mode = np.zeros(K, np.int32)
     base_tex = np.full(K, -1, np.int32)
+    cutout = np.zeros(K, np.int32)
     for i, m in enumerate(materials):
         kind[i] = m.get("kind", DIFFUSE)
         alpha_mode[i] = m.get("alpha_mode", ALPHA_OPAQUE)
         base_tex[i] = m.get("base_tex", -1)
+        cutout[i] = m.get("cutout", CUT_NONE)
 
     return MaterialTable(
         kind=jnp.asarray(kind),
@@ -86,6 +97,7 @@ def make_material_table(materials) -> MaterialTable:
         alpha_cutoff=plane("alpha_cutoff", 0.5),
         base_tex=jnp.asarray(base_tex),
         kr=plane("kr", (0.0, 0.0, 0.0), 3),
+        cutout=jnp.asarray(cutout),
     )
 
 
@@ -105,4 +117,7 @@ def gather(table: MaterialTable, mat_id):
         "checker_scale": table.checker_scale[mid],
         "kr": table.kr[mid],
         "base_tex": table.base_tex[mid],
+        "alpha_mode": table.alpha_mode[mid],
+        "alpha_cutoff": table.alpha_cutoff[mid],
+        "cutout": table.cutout[mid],
     }

@@ -118,12 +118,13 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         # optixPathTracer.cu:341).
         geom_n = hits.normal
         albedo_tex = None
-        if scene.has_textures:
-            # Smooth-mesh path: interpolate vertex normals/uv and sample the
-            # base-color texture (whitted.cu:160-168). Custom-prim hits keep
-            # the analytic normal.
+        tex_alpha = None
+        surf_uv = hits.uv
+        if scene.has_textures or scene.has_cutouts:
+            # Smooth-mesh path: interpolate vertex normals/uv; sample the
+            # base-color texture when present (whitted.cu:160-168).
+            # Custom-prim hits keep the analytic normal/uv.
             from ..accel.geometry import shading_frame
-            from ..shade.texture import sample_bilinear
             is_tri = hits.prim_id < scene.num_triangles
             frame = shading_frame(scene.geom,
                                   jnp.minimum(jnp.maximum(hits.prim_id, 0),
@@ -131,12 +132,37 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                                   hits.uv)
             geom_n = jnp.where(is_tri[..., None], frame["shading_normal"],
                                geom_n)
-            rgba = sample_bilinear(scene.textures, scene.tex_size,
-                                   jnp.where(is_tri, m["base_tex"], -1),
-                                   frame["uv"])
-            albedo_tex = rgba[..., :3]
+            surf_uv = jnp.where(is_tri[..., None], frame["uv"], hits.uv)
+            if scene.has_textures:
+                from ..shade.texture import sample_bilinear
+                rgba = sample_bilinear(scene.textures, scene.tex_size,
+                                       jnp.where(is_tri, m["base_tex"], -1),
+                                       surf_uv)
+                albedo_tex = rgba[..., :3]
+                tex_alpha = rgba[..., 3]
         n = geom_n * jnp.sign(-dot(geom_n, d))[..., None]
         hit_p = rays.at(hits.t)
+
+        # --- anyhit alpha cutouts (optixCutouts.cu:295,337) ---
+        # A masked-out hit is a pass-through: the ray continues unshaded, as
+        # if the anyhit program had called optixIgnoreIntersection().
+        is_cut = jnp.zeros_like(hit_valid)
+        if scene.has_cutouts:
+            from ..shade.materials import CUT_CHECKER, CUT_CIRCLE, CUT_TEXTURE
+            fu = surf_uv * m["checker_scale"][..., None]
+            cell = fu - jnp.floor(fu) - 0.5
+            checker_hole = jnp.mod(jnp.floor(fu[..., 0])
+                                   + jnp.floor(fu[..., 1]), 2.0) < 1.0
+            circle_hole = (cell[..., 0] ** 2 + cell[..., 1] ** 2) < 0.25 ** 2
+            alpha = tex_alpha if tex_alpha is not None else jnp.ones_like(hits.t)
+            tex_hole = alpha < m["alpha_cutoff"]
+            cut_kind = m["cutout"]
+            hole = jnp.where(cut_kind == CUT_CHECKER, checker_hole,
+                             jnp.where(cut_kind == CUT_CIRCLE, circle_hole,
+                                       jnp.where(cut_kind == CUT_TEXTURE,
+                                                 tex_hole, False)))
+            is_cut = hit_valid & (m["alpha_mode"] == 1) & hole
+            hit_valid = hit_valid & ~is_cut
 
         # Emission: counted only when the previous bounce was specular (or the
         # primary ray) — NEE covers diffuse-seen emitters.
@@ -187,8 +213,17 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                                    throughput * spec_tint,
                                    t_albedo)
 
+        # Cut lanes pass straight through: same direction, same throughput,
+        # origin nudged past the surface (optixIgnoreIntersection semantics).
+        if scene.has_cutouts:
+            new_dir = jnp.where(is_cut[..., None], d, new_dir)
+            new_throughput = jnp.where(is_cut[..., None], throughput,
+                                       new_throughput)
+
         # Offset along the outgoing side to avoid self-intersection.
         offset_n = jnp.where(dot(new_dir, n)[..., None] >= 0.0, n, -n)
+        if scene.has_cutouts:
+            offset_n = jnp.where(is_cut[..., None], d, offset_n)
         new_rays = Rays(origin=hit_p + offset_n * RAY_TMIN,
                         direction=new_dir,
                         tmin=jnp.full(hits.t.shape, RAY_TMIN, jnp.float32),
@@ -199,6 +234,9 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         q = jnp.clip(jnp.max(new_throughput, axis=-1), 0.05, 1.0)
         do_rr = depth >= 1
         survive = jnp.where(do_rr, u5 < q, True)
+        if scene.has_cutouts:
+            survive = survive | is_cut   # pass-throughs are never terminated
+            q = jnp.where(is_cut, 1.0, q)
         new_throughput = jnp.where(do_rr,
                                    new_throughput / q[..., None], new_throughput)
 
@@ -206,13 +244,20 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                        + jnp.sum(active.astype(jnp.float32))
                        + jnp.sum((hit_valid & is_diffuse).astype(jnp.float32)))
 
+        new_active = hit_valid & survive
+        prev_spec_next = is_specular
+        if scene.has_cutouts:
+            new_active = (hit_valid | is_cut) & survive
+            prev_spec_next = jnp.where(is_cut, state["prev_specular"],
+                                       is_specular)
+
         return dict(
             rays=new_rays,
             throughput=new_throughput,
             radiance=radiance,
             rng=rng,
-            active=hit_valid & survive,
-            prev_specular=is_specular,
+            active=new_active,
+            prev_specular=prev_spec_next,
             rays_traced=rays_traced,
         )
 
@@ -261,6 +306,7 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
     return (jax.default_backend() in bf._TPU_PLATFORMS
             and scene.prims.num == 0
             and not scene.has_textures
+            and not scene.has_cutouts
             and scene.geom.num_triangles <= MAX_SMEM_TRIS)
 
 

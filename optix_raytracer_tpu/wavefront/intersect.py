@@ -39,6 +39,8 @@ def scene_closest(scene: DeviceScene, rays: Rays,
 
 def scene_any(scene: DeviceScene, rays: Rays,
               chunk_size: Optional[int] = None):
+    if scene.has_cutouts:
+        return _scene_any_alpha(scene, rays, chunk_size)
     if _use_bvh(scene):
         occ = trav.traverse(scene.bvh, scene.geom, None, rays, any_hit=True)
     else:
@@ -46,3 +48,61 @@ def scene_any(scene: DeviceScene, rays: Rays,
     if scene.prims.num:
         occ = occ | prim_mod.intersect_prims_any(scene.prims, rays)
     return occ
+
+
+def cutout_hole_mask(scene: DeviceScene, hits: Hits):
+    """True where a hit lands in an alpha-mask hole — the anyhit
+    `optixIgnoreIntersection` decision (`optixCutouts.cu:295,337`)."""
+    import jax.numpy as jnp
+    from ..accel.geometry import shading_frame
+    from ..shade import materials as mats
+    from ..shade.materials import CUT_CHECKER, CUT_CIRCLE, CUT_TEXTURE
+    from ..shade.texture import sample_bilinear
+
+    m = mats.gather(scene.materials, hits.mat_id)
+    is_tri = hits.prim_id < scene.num_triangles
+    frame = shading_frame(scene.geom,
+                          jnp.minimum(jnp.maximum(hits.prim_id, 0),
+                                      scene.num_triangles - 1), hits.uv)
+    uv = jnp.where(is_tri[..., None], frame["uv"], hits.uv)
+    fu = uv * m["checker_scale"][..., None]
+    cell = fu - jnp.floor(fu) - 0.5
+    checker_hole = jnp.mod(jnp.floor(fu[..., 0])
+                           + jnp.floor(fu[..., 1]), 2.0) < 1.0
+    circle_hole = (cell[..., 0] ** 2 + cell[..., 1] ** 2) < 0.25 ** 2
+    if scene.has_textures:
+        rgba = sample_bilinear(scene.textures, scene.tex_size,
+                               jnp.where(is_tri, m["base_tex"], -1), uv)
+        tex_hole = rgba[..., 3] < m["alpha_cutoff"]
+    else:
+        tex_hole = jnp.zeros_like(checker_hole)
+    cut_kind = m["cutout"]
+    hole = jnp.where(cut_kind == CUT_CHECKER, checker_hole,
+                     jnp.where(cut_kind == CUT_CIRCLE, circle_hole,
+                               jnp.where(cut_kind == CUT_TEXTURE,
+                                         tex_hole, False)))
+    return hits.valid & (m["alpha_mode"] == 1) & hole
+
+
+def _scene_any_alpha(scene: DeviceScene, rays: Rays, chunk_size,
+                     max_steps: int = 4):
+    """Occlusion with alpha-mask pass-through: step through up to
+    `max_steps` masked surfaces before declaring the ray blocked (the
+    reference re-enters the anyhit program per masked hit)."""
+    import jax.numpy as jnp
+
+    occluded = jnp.zeros(rays.tmin.shape, bool)
+    done = jnp.zeros(rays.tmin.shape, bool)
+    cur = rays
+    for _ in range(max_steps):
+        hits = scene_closest(scene, cur, chunk_size=chunk_size)
+        hole = cutout_hole_mask(scene, hits)
+        solid = hits.valid & ~hole
+        occluded = occluded | (solid & ~done)
+        done = done | solid | ~hits.valid
+        # step past the masked surface
+        new_tmin = hits.t + 1e-2
+        cur = Rays(origin=cur.origin, direction=cur.direction,
+                   tmin=jnp.where(done, cur.tmin, new_tmin),
+                   tmax=cur.tmax)
+    return occluded
