@@ -93,6 +93,14 @@ def make_device_scene(vertices, indices, tri_mat, materials,
     tex, tex_size = pack_textures(list(textures))
     geom = build_triangle_geometry(vertices, indices, normals=normals,
                                    uvs=uvs)
+    bvh = None
+    if with_bvh:
+        # Prefer the native host-side SAH builder (better trees for static
+        # scenes); fall back to the on-device LBVH.
+        from ..accel import native
+        bvh = native.build_bvh_sah(geom)
+        if bvh is None:
+            bvh = build_lbvh(geom)
     features = []
     if isinstance(materials, (list, tuple)) and any(
             m.get("cutout", 0) or m.get("alpha_mode", 0) == 1
@@ -101,7 +109,7 @@ def make_device_scene(vertices, indices, tri_mat, materials,
     return DeviceScene(
         features=tuple(features),
         geom=geom,
-        bvh=build_lbvh(geom) if with_bvh else LBVH.empty(),
+        bvh=bvh if bvh is not None else LBVH.empty(),
         tri_mat=jnp.asarray(tri_mat, jnp.int32),
         prims=prims if prims is not None else CustomPrims.empty(),
         materials=(materials if isinstance(materials, MaterialTable)

@@ -1,0 +1,69 @@
+"""Native C++ SAH BVH builder: correctness vs brute force + quality vs LBVH."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optix_raytracer_tpu.accel import bruteforce as bf
+from optix_raytracer_tpu.accel import native
+from optix_raytracer_tpu.accel.geometry import build_triangle_geometry
+from optix_raytracer_tpu.accel.lbvh import build_lbvh
+from optix_raytracer_tpu.accel.traverse import traverse
+from optix_raytracer_tpu.core.rays import Rays
+
+from test_intersect import random_mesh
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native toolchain unavailable")
+
+
+def make_case(n_tris, seed=0):
+    rng = np.random.default_rng(seed)
+    verts, idx = random_mesh(rng, n_tris)
+    geom = build_triangle_geometry(verts, idx)
+    o = rng.uniform(-3, 3, (400, 3)).astype(np.float32)
+    d = rng.normal(size=(400, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays.make(jnp.asarray(o), jnp.asarray(d), tmin=1e-3, tmax=100.0)
+    return geom, rays
+
+
+class TestNativeBuilder:
+    def test_structure_invariants(self):
+        geom, _ = make_case(200)
+        bvh = native.build_bvh_sah(geom)
+        n = 200
+        prim = np.asarray(bvh.node_prim)
+        skip = np.asarray(bvh.node_skip)
+        np.testing.assert_array_equal(np.sort(prim[prim >= 0]), np.arange(n))
+        assert (skip > np.arange(2 * n - 1)).all()
+        assert (skip <= 2 * n - 1).all()
+
+    @pytest.mark.parametrize("n_tris", [2, 37, 250])
+    def test_traversal_matches_bruteforce(self, n_tris):
+        geom, rays = make_case(n_tris, seed=n_tris)
+        bvh = native.build_bvh_sah(geom)
+        ref = bf.intersect_closest(geom, rays, impl="xla", chunk_size=None)
+        out = traverse(bvh, geom, None, rays)
+        np.testing.assert_array_equal(out.prim_id, ref.prim_id)
+        hit = np.asarray(ref.valid)
+        np.testing.assert_allclose(np.asarray(out.t)[hit],
+                                   np.asarray(ref.t)[hit], rtol=1e-5)
+
+    def test_sah_beats_lbvh_quality(self):
+        geom, _ = make_case(500, seed=9)
+        sah = native.build_bvh_sah(geom)
+        lbvh = build_lbvh(geom)
+        cost_sah = native.sah_cost(sah)
+        cost_lbvh = native.sah_cost(lbvh)
+        assert np.isfinite(cost_sah) and np.isfinite(cost_lbvh)
+        assert cost_sah <= cost_lbvh * 1.05  # SAH at least matches LBVH
+
+    def test_scene_finalize_uses_native(self):
+        from optix_raytracer_tpu.scene.scene import Scene
+        rng = np.random.default_rng(1)
+        verts, idx = random_mesh(rng, 600)
+        scene = Scene()
+        scene.add_material({"base_color": (0.5, 0.5, 0.5)})
+        scene.add_mesh(verts, idx)
+        ds = scene.finalize()
+        assert ds.has_bvh and ds.bvh.num_nodes == 2 * 600 - 1
