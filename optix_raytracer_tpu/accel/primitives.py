@@ -22,6 +22,7 @@ from ..core.vecmath import cross, dot, normalize
 SPHERE = 0
 SPHERE_SHELL = 1
 PARALLELOGRAM = 2
+CAPSULE = 3        # round linear curve segment (the curve-primitive backend)
 
 _BIG = 1e30
 
@@ -72,6 +73,10 @@ def make_prims(prims) -> CustomPrims:
             params[i, :3] = pr["anchor"]
             params[i, 3:6] = pr["v1"]
             params[i, 6:9] = pr["v2"]
+        elif pr["kind"] == CAPSULE:
+            params[i, :3] = pr["p0"]
+            params[i, 3:6] = pr["p1"]
+            params[i, 6] = pr["radius"]
         else:
             raise ValueError(f"unknown prim kind {pr['kind']}")
     return CustomPrims(kind=jnp.asarray(kind), params=jnp.asarray(params),
@@ -135,6 +140,38 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
              & (a1 >= 0.0) & (a1 <= 1.0) & (a2 >= 0.0) & (a2 <= 1.0))
     t_pg = jnp.where(pg_ok, t_pg, _BIG)
 
+    # --- capsule (round linear curve segment; the built-in linear curve
+    # intersector role, optix_device.h:610-699 / optixCurves) ---
+    pa = prims.params[None, :, 0:3]
+    pb = prims.params[None, :, 3:6]
+    r_cap = prims.params[None, :, 6]
+    ba = pb - pa
+    oa = o - pa
+    baba = jnp.maximum(dot(ba, ba), 1e-12)
+    bard = dot(ba, d)
+    baoa = dot(ba, oa)
+    rdoa = dot(d, oa)
+    oaoa = dot(oa, oa)
+    a_c = baba - bard * bard
+    b_c = baba * rdoa - baoa * bard
+    c_c = baba * oaoa - baoa * baoa - r_cap * r_cap * baba
+    h_c = b_c * b_c - a_c * c_c
+    safe_a = jnp.where(jnp.abs(a_c) < 1e-12, 1e-12, a_c)
+    t_body = (-b_c - jnp.sqrt(jnp.maximum(h_c, 0.0))) / safe_a
+    y_c = baoa + t_body * bard
+    body_ok = (h_c > 0.0) & (y_c > 0.0) & (y_c < baba)
+    t_body = jnp.where(body_ok, t_body, _BIG)
+    # sphere caps at both endpoints
+    tc0a, tc0b = _sphere_ts(o, d, pa, r_cap)
+    tc1a, tc1b = _sphere_ts(o, d, pb, r_cap)
+    # cap hits only count on the outward half (standard capsule clipping)
+    def _cap_valid(tc, pc):
+        p = o + tc[..., None] * d
+        yy = dot(p - pa, ba)
+        return jnp.where((yy <= 0.0) | (yy >= baba), tc, _BIG)
+    t_cap = jnp.minimum(jnp.minimum(_cap_valid(tc0a, pa), _cap_valid(tc0b, pa)),
+                        jnp.minimum(_cap_valid(tc1a, pb), _cap_valid(tc1b, pb)))
+
     in_range = lambda t: (t > tmin) & (t < tmax)
 
     # nearest valid candidate per prim
@@ -148,9 +185,11 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     t_sphere = pick(ts0, ts1)
     t_shell = pick(to0, to1, ti0, ti1)
     t_para = pick(t_pg)
+    t_capsule = pick(t_body, t_cap)
 
     t = jnp.where(kind == SPHERE, t_sphere,
-                  jnp.where(kind == SPHERE_SHELL, t_shell, t_para))
+                  jnp.where(kind == SPHERE_SHELL, t_shell,
+                            jnp.where(kind == CAPSULE, t_capsule, t_para)))
 
     # normals at the chosen t
     p_hit = o + t[..., None] * d
@@ -161,15 +200,25 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     is_inner = jnp.abs(rad - r_in) < jnp.abs(rad - r_out)
     n_shell = jnp.where(((kind == SPHERE_SHELL) & is_inner)[..., None],
                         -n_sphere, n_sphere)
-    normal = jnp.where((kind == PARALLELOGRAM)[..., None], n_pg, n_shell)
+    # capsule: normal from the closest axis point; u = clamped axis parameter
+    # (the strand-u attribute of curve hits, optixHair strand-u shading)
+    y_hit = jnp.clip(dot(p_hit - pa, ba) / baba, 0.0, 1.0)
+    axis_pt = pa + y_hit[..., None] * ba
+    n_capsule = (p_hit - axis_pt) / jnp.maximum(r_cap, 1e-12)[..., None]
+    normal = jnp.where((kind == PARALLELOGRAM)[..., None], n_pg,
+                       jnp.where((kind == CAPSULE)[..., None], n_capsule,
+                                 n_shell))
 
     uv = jnp.where((kind == PARALLELOGRAM)[..., None],
                    jnp.stack([a1, a2], axis=-1),
-                   jnp.stack([0.5 + jnp.arctan2(rel_c[..., 2], rel_c[..., 0])
-                              / (2 * jnp.pi),
-                              0.5 - jnp.arcsin(jnp.clip(
-                                  rel_c[..., 1] / rad, -1, 1)) / jnp.pi],
-                             axis=-1))
+                   jnp.where((kind == CAPSULE)[..., None],
+                             jnp.stack([y_hit, jnp.zeros_like(y_hit)], -1),
+                             jnp.stack([0.5 + jnp.arctan2(rel_c[..., 2],
+                                                          rel_c[..., 0])
+                                        / (2 * jnp.pi),
+                                        0.5 - jnp.arcsin(jnp.clip(
+                                            rel_c[..., 1] / rad, -1, 1))
+                                        / jnp.pi], axis=-1)))
     return t, normal, uv
 
 
