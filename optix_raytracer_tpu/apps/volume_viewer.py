@@ -1,0 +1,85 @@
+"""optixVolumeViewer equivalent: fog volume + mesh composited scene.
+
+Reference: `SDK/optixVolumeViewer/` — a NanoVDB fog volume rendered as a
+custom primitive with transmittance estimation (`volume.cu:284-366`),
+composited with a mesh scene. Here: a dense procedural density grid marched
+in-loop, lit by a directional light through a precomputed shadow sweep,
+composited over a diffuse floor.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel import primitives as prim, volume as vol
+from ..core import film as film_mod, rng as _rng
+from ..core.camera import Camera, generate_rays
+from ..io.image import save_image
+
+LIGHT_DIR = (-0.5, -0.8, -0.33)
+LIGHT_COLOR = (1.0, 0.95, 0.85)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "num_steps"))
+def render_sample(grid, floor_prims, cam, width, height, subframe,
+                  num_steps=96):
+    n = width * height
+    rng = _rng.seed(jnp.arange(n, dtype=jnp.uint32),
+                    jnp.asarray(subframe, jnp.uint32))
+    rng2d = rng.reshape(height, width)
+    rays, _ = generate_rays(cam, width, height, rng_state=rng2d)
+    rays = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), rays)
+
+    # background: diffuse floor lit by the same light
+    hits = prim.intersect_prims_closest(floor_prims, rays)
+    ld = jnp.asarray(LIGHT_DIR)
+    ld = ld / jnp.linalg.norm(ld)
+    ndl = jnp.maximum((-ld * hits.normal).sum(-1), 0.0)
+    floor_col = jnp.asarray([0.45, 0.42, 0.38])
+    sky = jnp.asarray([0.25, 0.35, 0.55])
+    bg = jnp.where(hits.valid[:, None],
+                   floor_col * (0.15 + 0.85 * ndl[:, None]), sky)
+    bg_t = jnp.where(hits.valid, hits.t, rays.tmax)
+
+    rad, trans = vol.march(grid, rays, LIGHT_DIR, jnp.asarray(LIGHT_COLOR),
+                           sigma_t=10.0, num_steps=num_steps,
+                           bg_radiance=bg, bg_t=bg_t)
+    return rad.reshape(height, width, 3)
+
+
+def render(width=512, height=512, samples=4, res=64, num_steps=96):
+    grid = vol.pyroclastic_ball(res=res)
+    floor = prim.make_prims([
+        {"kind": prim.PARALLELOGRAM, "anchor": (-6.0, -1.05, -6.0),
+         "v1": (12.0, 0, 0), "v2": (0, 0, 12.0)}])
+    cam = Camera(eye=(2.2, 0.8, 3.2), lookat=(0, -0.1, 0), fov_y=40,
+                 aspect=width / height).params()
+    film = film_mod.Film.create(height, width)
+    for _ in range(samples):
+        radiance = render_sample(grid, floor, cam, width, height,
+                                 film.subframe, num_steps=num_steps)
+        film = film.accumulate(radiance)
+    return film.accum, film
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="fog volume (optixVolumeViewer)")
+    p.add_argument("--file", default="volume.png")
+    p.add_argument("--dim", default="512x512")
+    p.add_argument("--res", type=int, default=64, help="grid resolution")
+    p.add_argument("--steps", type=int, default=96)
+    p.add_argument("--samples", type=int, default=4)
+    args = p.parse_args(argv)
+    w, h = (int(v) for v in args.dim.split("x"))
+    accum, film = render(w, h, samples=args.samples, res=args.res,
+                         num_steps=args.steps)
+    save_image(args.file, np.asarray(film_mod.make_color(accum)))
+    print(f"wrote {args.file} (grid {args.res}^3, {args.steps} steps)")
+
+
+if __name__ == "__main__":
+    main()

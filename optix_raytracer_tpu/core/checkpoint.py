@@ -1,0 +1,54 @@
+"""Checkpoint / resume of progressive render state.
+
+SURVEY.md §5 checkpoint/resume (a): the reference's resumable state is the
+accumulation buffer + subframe counter (`whitted.h:92-94`, reset at
+`optixPathTracer.cpp:480-481`), exported via saveImage. Here the Film pytree
+(+ camera + user config) round-trips through one .npz, so a progressive
+render can stop, restart and continue to exactly the state a straight run
+reaches (tested). The compile-cache half of checkpointing — the OptiX disk
+cache (`optix_host.h:136-228`) — is the XLA persistent compilation cache,
+managed by api.DeviceContext.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import film as film_mod
+from .camera import Camera
+
+FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, film: film_mod.Film, camera: Camera = None,
+                    config: dict = None):
+    camera_json = (json.dumps(dataclasses.asdict(camera))
+                   if camera is not None else "")
+    np.savez_compressed(
+        path,
+        version=FORMAT_VERSION,
+        accum=np.asarray(film.accum),
+        subframe=np.asarray(film.subframe),
+        camera_json=camera_json,
+        config_json=json.dumps(config or {}),
+    )
+
+
+def load_checkpoint(path: str):
+    """Returns (Film, Camera or None, config dict)."""
+    with np.load(path, allow_pickle=False) as z:
+        assert int(z["version"]) == FORMAT_VERSION
+        film = film_mod.Film(accum=jnp.asarray(z["accum"]),
+                             subframe=jnp.asarray(z["subframe"]))
+        cam_js = str(z["camera_json"])
+        camera = None
+        if cam_js:
+            d = json.loads(cam_js)
+            d = {k: tuple(v) if isinstance(v, list) else v
+                 for k, v in d.items()}
+            camera = Camera(**d)
+        config = json.loads(str(z["config_json"]))
+    return film, camera, config

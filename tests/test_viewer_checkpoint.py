@@ -1,0 +1,111 @@
+"""Viewer frame loop, input handling, checkpoint/resume, volume renderer."""
+import numpy as np
+import pytest
+
+from optix_raytracer_tpu.core import checkpoint as ckpt
+from optix_raytracer_tpu.core import film as film_mod
+from optix_raytracer_tpu.core.camera import Camera
+from optix_raytracer_tpu.scene.builtins import cornell_box, cornell_camera
+from optix_raytracer_tpu.wavefront.engine import render_accumulate
+from optix_raytracer_tpu.apps.viewer import TracerViewer
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box()
+
+
+class TestCheckpoint:
+    def test_resume_equals_straight_run(self, scene, tmp_path):
+        w = h = 16
+        cam_obj = cornell_camera(w, h)
+        cam = cam_obj.params()
+        # straight: 8 samples
+        film, _ = render_accumulate(scene, cam, film_mod.Film.create(h, w),
+                                    w, h, samples_per_launch=8, max_depth=2,
+                                    chunk_size=None)
+        straight = np.asarray(film.accum)
+        # split: 4, checkpoint, reload, 4 more
+        f1, _ = render_accumulate(scene, cam, film_mod.Film.create(h, w),
+                                  w, h, samples_per_launch=4, max_depth=2,
+                                  chunk_size=None)
+        path = str(tmp_path / "ck.npz")
+        ckpt.save_checkpoint(path, f1, cam_obj, {"note": "test"})
+        f2, cam2, cfg = ckpt.load_checkpoint(path)
+        assert cfg["note"] == "test"
+        assert cam2.eye == cam_obj.eye and cam2.fov_y == cam_obj.fov_y
+        f3, _ = render_accumulate(scene, cam2.params(), f2, w, h,
+                                  samples_per_launch=4, max_depth=2,
+                                  chunk_size=None)
+        np.testing.assert_allclose(np.asarray(f3.accum), straight,
+                                   rtol=1e-5, atol=1e-6)
+        assert int(f3.subframe) == 8
+
+
+class TestViewer:
+    def test_progressive_frames(self, scene):
+        v = TracerViewer(scene, cornell_camera(24, 24), 24, 24,
+                         spf_log2=1, max_depth=2)
+        img1 = v.step()
+        assert img1.shape == (24, 24, 4) and img1.dtype == np.uint8
+        assert int(v.film.subframe) == 2
+        v.step()
+        assert int(v.film.subframe) == 4
+        assert "render" in v.timers.report()
+
+    def test_camera_keys_reset_accumulation(self, scene):
+        v = TracerViewer(scene, cornell_camera(16, 16), 16, 16,
+                         spf_log2=0, max_depth=2)
+        v.step()
+        eye_before = np.asarray(v.camera.eye)
+        v.key("w")
+        assert v.dirty
+        v.step()
+        assert int(v.film.subframe) == 1  # reset happened, then 1 sample
+        assert not np.allclose(np.asarray(v.camera.eye), eye_before)
+
+    def test_settings_keys(self, scene):
+        v = TracerViewer(scene, cornell_camera(8, 8), 8, 8, spf_log2=1)
+        v.key("+")
+        assert v.spf == 4
+        v.key("-")
+        v.key("-")
+        assert v.spf == 1
+        fov = v.camera.fov_y
+        v.key("]")
+        assert v.camera.fov_y == fov + 5 and v.dirty
+
+
+class TestVolume:
+    def test_march_energy_conservation(self):
+        import jax.numpy as jnp
+        from optix_raytracer_tpu.accel import volume as vol
+        from optix_raytracer_tpu.core.rays import Rays
+        grid = vol.pyroclastic_ball(res=24)
+        n = 64
+        o = np.zeros((n, 3), np.float32)
+        o[:, 2] = 3.0
+        o[:, 0] = np.linspace(-1.5, 1.5, n)
+        rays = Rays.make(jnp.asarray(o),
+                         jnp.asarray([[0, 0, -1.0]] * n))
+        rad, trans = vol.march(grid, rays, (-0.5, -0.8, -0.33),
+                               jnp.asarray([1.0, 1.0, 1.0]),
+                               sigma_t=10.0, num_steps=48)
+        trans = np.asarray(trans)
+        assert (trans >= 0).all() and (trans <= 1.0 + 1e-5).all()
+        # central rays pass through the ball → attenuated; edge rays don't
+        assert trans[n // 2] < 0.2
+        assert trans[0] > 0.9
+
+    def test_denser_grid_darker_transmittance(self):
+        import jax.numpy as jnp
+        from optix_raytracer_tpu.accel import volume as vol
+        from optix_raytracer_tpu.core.rays import Rays
+        grid = vol.pyroclastic_ball(res=24)
+        rays = Rays.make(jnp.asarray([[0, 0, 3.0]]),
+                         jnp.asarray([[0, 0, -1.0]]))
+        _, t_lo = vol.march(grid, rays, (0, -1.0, 0), jnp.ones(3),
+                            sigma_t=2.0, num_steps=48)
+        _, t_hi = vol.march(grid, rays, (0, -1.0, 0), jnp.ones(3),
+                            sigma_t=20.0, num_steps=48)
+        assert float(t_hi[0]) < float(t_lo[0])
