@@ -65,7 +65,7 @@ class Camera:
 
 
 def generate_rays(cam_params, width, height, rng_state=None, jitter=True,
-                  y0=0, x0=0, full_width=None, full_height=None):
+                  y0=0, x0=0, full_width=None, full_height=None, y_stride=1):
     """Batched raygen for a [height, width] pixel grid.
 
     Maps the per-pixel body of `__raygen__pinhole` (`SDK/cuda/whitted.cu:55-75`):
@@ -83,7 +83,9 @@ def generate_rays(cam_params, width, height, rng_state=None, jitter=True,
     full_w = width if full_width is None else full_width
     full_h = height if full_height is None else full_height
     ix = jnp.arange(width, dtype=jnp.float32)[None, :] + x0
-    iy = jnp.arange(height, dtype=jnp.float32)[:, None] + y0
+    # y_stride > 1 = interleaved row ownership (round-robin rows per chip,
+    # the load-balancing idea of WorkDistribution.h's interleaved tiles).
+    iy = jnp.arange(height, dtype=jnp.float32)[:, None] * y_stride + y0
     ix = jnp.broadcast_to(ix, (height, width))
     iy = jnp.broadcast_to(iy, (height, width))
 

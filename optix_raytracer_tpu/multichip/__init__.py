@@ -1,1 +1,1 @@
-from . import tiles  # noqa: F401
+from . import tiles, memory  # noqa: F401

@@ -121,3 +121,62 @@ def shard_film(film, mesh: Mesh):
     return film_mod.Film(accum=jax.device_put(film.accum, sharding),
                          subframe=jax.device_put(
                              film.subframe, NamedSharding(mesh, P())))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "width", "height",
+                                    "samples_per_launch", "max_depth",
+                                    "chunk_size"))
+def render_accumulate_interleaved(scene: DeviceScene, cam_params, film,
+                                  mesh: Mesh, width: int, height: int,
+                                  samples_per_launch: int = 1,
+                                  max_depth: int = 4,
+                                  chunk_size: Optional[int] = None):
+    """Interleaved-row work distribution: chip r owns rows r, r+D, r+2D, …
+
+    The round-robin assignment of `SDK/sutil/WorkDistribution.h:60-81`
+    (8×4-pixel tiles rotated across GPUs) — load-balances scenes whose cost
+    varies across the image. The sharded accum buffer holds chip-r's rows
+    contiguously; `deinterleave_rows` reorders for display.
+    """
+    n_rows_shards = mesh.shape[ROWS_AXIS]
+    assert height % n_rows_shards == 0
+    tile_h = height // n_rows_shards
+
+    def shard_fn(scene, cam_params, accum_shard, subframe):
+        row = jax.lax.axis_index(ROWS_AXIS)
+
+        def body(i, carry):
+            accum, local_sub = carry
+            sub = subframe + i
+            radiance, _ = render_sample(
+                scene, cam_params, width, tile_h, sub, max_depth=max_depth,
+                chunk_size=chunk_size, y0=row, y_stride=n_rows_shards,
+                full_width=width, full_height=height)
+            t = 1.0 / (local_sub.astype(jnp.float32) + 1.0)
+            return accum + (radiance - accum) * t, local_sub + 1
+
+        local = jnp.zeros_like(accum_shard)
+        local, _ = jax.lax.fori_loop(0, samples_per_launch, body,
+                                     (local, jnp.zeros((), jnp.int32)))
+        prev_n = subframe.astype(jnp.float32)
+        new_n = jnp.float32(samples_per_launch)
+        return (accum_shard * prev_n + local * new_n) / (prev_n + new_n)
+
+    spec_accum = P(ROWS_AXIS, None, None)
+    shard = shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P(), P(), spec_accum, P()),
+                      out_specs=spec_accum, check_vma=False)
+    new_accum = shard(scene, cam_params, film.accum, film.subframe)
+    return film_mod.Film(accum=new_accum,
+                         subframe=film.subframe + samples_per_launch)
+
+
+def deinterleave_rows(accum, n_shards: int):
+    """Reorder an interleaved sharded accum [H, W, 3] into display order:
+    global row g lives at shard g % D, local row g // D."""
+    h = accum.shape[0]
+    tile_h = h // n_shards
+    return (accum.reshape(n_shards, tile_h, *accum.shape[1:])
+            .swapaxes(0, 1)
+            .reshape(accum.shape))

@@ -268,7 +268,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
 def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
                   subframe, max_depth: int = 4,
                   chunk_size: Optional[int] = 65536,
-                  y0=0, full_width=None, full_height=None):
+                  y0=0, full_width=None, full_height=None, y_stride=1):
     """One progressive sample for a [height, width] pixel tile → radiance.
 
     The `launchSubframe` body (`optixPathTracer.cpp:488-511`): seed per-pixel
@@ -280,14 +280,15 @@ def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
     full_w = width if full_width is None else full_width
     # Global pixel index keeps RNG streams identical no matter how the frame
     # is tiled across chips (idx.y*w + idx.x, optixPathTracer.cu:258).
-    gy = jnp.arange(height, dtype=jnp.uint32)[:, None] + jnp.uint32(y0)
+    gy = (jnp.arange(height, dtype=jnp.uint32)[:, None] * jnp.uint32(y_stride)
+          + jnp.uint32(y0))
     gx = jnp.arange(width, dtype=jnp.uint32)[None, :]
     pixel_idx = (gy * jnp.uint32(full_w) + gx).reshape(n)
     rng = _rng.seed(pixel_idx, jnp.asarray(subframe, jnp.uint32))
     rng2d = rng.reshape(height, width)
     rays, rng2d = generate_rays(cam_params, width, height, rng_state=rng2d,
                                 y0=y0, full_width=full_width,
-                                full_height=full_height)
+                                full_height=full_height, y_stride=y_stride)
     rays = jax.tree.map(
         lambda a: a.reshape((n,) + a.shape[2:]), rays)
     radiance, _, rays_traced = trace_paths(scene, rays, rng2d.reshape(n),
