@@ -77,3 +77,11 @@ def refit_gas(handle: TraversableHandle, new_vertices) -> TraversableHandle:
     geom = build_triangle_geometry(new_vertices, handle.geom.indices)
     bvh = build_lbvh(geom) if handle.bvh is not None else None
     return TraversableHandle(geom=geom, prims=handle.prims, bvh=bvh)
+
+
+def build_ias(instances_transforms, sbt_offsets=None, instance_ids=None):
+    """Instance acceleration structure over a shared GAS — the
+    `buildInstanceAccel` path (`Scene.cpp:1134-1213`). Returns an
+    InstanceTable to pass to accel.tlas.intersect_instances."""
+    from ..accel.tlas import make_instances
+    return make_instances(instances_transforms, sbt_offsets, instance_ids)

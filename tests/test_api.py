@@ -150,3 +150,39 @@ class TestStageTimers:
         t.frame_done()
         rep = t.report()
         assert "render" in rep and "fps" in rep
+
+
+class TestInstances:
+    def test_two_level_intersection(self):
+        import jax.numpy as jnp
+        from optix_raytracer_tpu.accel.geometry import build_triangle_geometry
+        from optix_raytracer_tpu.accel.tlas import (intersect_instances,
+                                                    make_instances)
+        from optix_raytracer_tpu.core.rays import Rays
+        from optix_raytracer_tpu.core import transforms as xf
+        # unit triangle at origin, instanced at x=0 and x=5 (sbt offsets 0/3)
+        verts = np.array([[-0.5, -0.5, 0], [0.5, -0.5, 0], [0, 0.5, 0]],
+                         np.float32)
+        geom = build_triangle_geometry(verts, np.array([[0, 1, 2]], np.int32))
+        t0 = np.eye(4, dtype=np.float32)
+        t1 = np.eye(4, dtype=np.float32)
+        t1[0, 3] = 5.0
+        t1[:3, :3] *= 2.0  # second instance scaled 2x
+        inst = make_instances([t0, t1], sbt_offsets=[0, 3],
+                              instance_ids=[7, 8])
+        rays = Rays.make(
+            jnp.asarray([[0, 0, 2.0], [5, 0, 2.0], [2.5, 0, 2.0]]),
+            jnp.asarray([[0, 0, -1.0]] * 3))
+        hits = intersect_instances(geom, inst, rays,
+                                   tri_mat=jnp.zeros(1, jnp.int32))
+        assert int(hits.inst_id[0]) == 7 and int(hits.mat_id[0]) == 0
+        assert int(hits.inst_id[1]) == 8 and int(hits.mat_id[1]) == 3
+        assert int(hits.prim_id[2]) == -1      # between the instances
+        np.testing.assert_allclose(hits.t[0], 2.0, rtol=1e-5)
+        np.testing.assert_allclose(hits.t[1], 2.0, rtol=1e-5)
+        np.testing.assert_allclose(hits.normal[1], [0, 0, 1], atol=1e-5)
+
+    def test_build_ias_api(self):
+        from optix_raytracer_tpu import api
+        inst = api.build_ias([np.eye(4, dtype=np.float32)])
+        assert inst.num == 1
