@@ -103,8 +103,20 @@ def trace_whitted(scene: DeviceScene, rays: Rays, rng, max_depth: int = 8,
             kd = kd * albedo_tex
         ks = m["specular"]
 
-        # --- per-light phong direct lighting with shadow rays ---
+        # --- per-light direct lighting with shadow rays ---
+        # Phong materials get the phongShade lobes (`shading.cu:97`); PBR
+        # materials get the metallic-roughness GGX/Schlick model of the
+        # whitted closest-hit (`whitted.cu:170-260`).
         refl_view = normalize(reflect(d, n))
+        wo = -d
+        n_dv = jnp.maximum(dot(n, wo), 1e-4)
+        is_pbr = kind == mats.PBR
+        rough = jnp.maximum(m["roughness"], 0.05)
+        alpha2 = (rough * rough) ** 2
+        f0 = (0.04 * (1.0 - m["metallic"]))[..., None] \
+            + m["metallic"][..., None] * kd
+        kd_pbr = kd * (1.0 - m["metallic"])[..., None]
+
         direct = jnp.zeros_like(kd)
         for li in range(num_lights):
             wi, dist, lrad, is_ambient, rng = sample_light(
@@ -118,11 +130,30 @@ def trace_whitted(scene: DeviceScene, rays: Rays, rng, max_depth: int = 8,
                             (~occ).astype(jnp.float32) *
                             jnp.where(n_dl > 0, 1.0, 0.0))
             # phongShade: diffuse kd·nDl + specular ks·(r·wi)^exp
-            spec = ks * jnp.power(
+            spec_phong = ks * jnp.power(
                 jnp.maximum(dot(refl_view, wi), 1e-6),
                 m["phong_exp"])[..., None]
+            # GGX: D·G·F / (4·nDl·nDv), half-vector form (whitted.cu ggxNormal)
+            h = normalize(wi + wo)
+            n_dh = jnp.maximum(dot(n, h), 0.0)
+            denom_d = n_dh * n_dh * (alpha2 - 1.0) + 1.0
+            dist_d = alpha2 / jnp.maximum(jnp.pi * denom_d * denom_d, 1e-8)
+            k_g = (rough + 1.0) ** 2 / 8.0
+            g_v = n_dv / (n_dv * (1 - k_g) + k_g)
+            g_l = n_dl / jnp.maximum(n_dl * (1 - k_g) + k_g, 1e-8)
+            fres = f0 + (1.0 - f0) * (1.0 - jnp.maximum(
+                dot(h, wo), 0.0))[..., None] ** 5
+            spec_ggx = fres * (dist_d * g_v * g_l
+                               / jnp.maximum(4.0 * n_dv * n_dl, 1e-8))[..., None]
+            diffuse_col = jnp.where(is_pbr[..., None], kd_pbr / jnp.pi, kd)
+            spec = jnp.where(is_pbr[..., None], spec_ggx * n_dl[..., None],
+                             spec_phong)
+            # (phong keeps the reference's unnormalized kd·nDl convention)
+            diff_term = jnp.where(is_pbr[..., None],
+                                  diffuse_col * n_dl[..., None] * jnp.pi,
+                                  kd * n_dl[..., None])
             term = jnp.where(is_ambient[..., None], kd * lrad,
-                             (kd * n_dl[..., None] + spec) * lrad)
+                             (diff_term + spec) * lrad)
             direct = direct + term * lit[..., None]
 
         radiance = radiance + jnp.where((hit_valid & is_phongish)[..., None],
