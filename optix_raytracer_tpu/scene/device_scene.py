@@ -102,10 +102,19 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         if bvh is None:
             bvh = build_lbvh(geom)
     features = []
-    if isinstance(materials, (list, tuple)) and any(
-            m.get("cutout", 0) or m.get("alpha_mode", 0) == 1
-            for m in materials):
-        features.append("cutouts")
+    if isinstance(materials, (list, tuple)):
+        if any(m.get("cutout", 0) or m.get("alpha_mode", 0) == 1
+               for m in materials):
+            features.append("cutouts")
+        from ..shade.materials import GLASS, PBR
+        if any(m.get("kind", 0) == GLASS for m in materials):
+            features.append("glass")
+        if any(m.get("kind", 0) == PBR and m.get("metallic", 0.0) > 0.99
+               for m in materials):
+            features.append("mirror")
+    else:
+        # pre-built MaterialTable: assume every material family is possible
+        features += ["glass", "mirror"]
     return DeviceScene(
         features=tuple(features),
         geom=geom,

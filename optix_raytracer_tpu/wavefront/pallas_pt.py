@@ -77,6 +77,15 @@ def _uniform2(state):
     return u1, u2, state
 
 
+def _advance2(state):
+    """Advance the stream by two draws without computing outputs — keeps the
+    sequence aligned with the XLA engine when a draw's consumer is statically
+    elided (e.g. the glass branch in diffuse-only scenes)."""
+    for _ in range(2):
+        state = state * _c32(747796405) + _c32(2891336453)
+    return state
+
+
 # ---------------------------------------------------------------------------
 # Small vector helpers on component triples
 # ---------------------------------------------------------------------------
@@ -170,7 +179,10 @@ def pack_camera(cam_params, miss_color) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _make_kernel(width, height, full_w, full_h,
-                 num_tris, num_mats, max_depth, spl):
+                 num_tris, num_mats, max_depth, spl, has_specular=True):
+    """has_specular=False (no glass/mirror materials in the scene — a static
+    scene feature) drops the reflect/refract/fresnel block from the bounce,
+    ~10% fewer VPU ops on diffuse-only scenes like the Cornell benchmark."""
     glass_kind, pbr_kind = 2.0, 1.0  # shade.materials GLASS / PBR tags
 
     def kernel(tri_ref, mat_tbl_ref, light_ref, cam_ref, misc_ref,
@@ -333,11 +345,12 @@ def _make_kernel(width, height, full_w, full_h,
                     em_r = jnp.where(sel, mat_tbl_ref[k, 4], em_r)
                     em_g = jnp.where(sel, mat_tbl_ref[k, 5], em_g)
                     em_b = jnp.where(sel, mat_tbl_ref[k, 6], em_b)
-                    metallic = jnp.where(sel, mat_tbl_ref[k, 7], metallic)
-                    ior = jnp.where(sel, mat_tbl_ref[k, 8], ior)
-                    kr_r = jnp.where(sel, mat_tbl_ref[k, 9], kr_r)
-                    kr_g = jnp.where(sel, mat_tbl_ref[k, 10], kr_g)
-                    kr_b = jnp.where(sel, mat_tbl_ref[k, 11], kr_b)
+                    if has_specular:
+                        metallic = jnp.where(sel, mat_tbl_ref[k, 7], metallic)
+                        ior = jnp.where(sel, mat_tbl_ref[k, 8], ior)
+                        kr_r = jnp.where(sel, mat_tbl_ref[k, 9], kr_r)
+                        kr_g = jnp.where(sel, mat_tbl_ref[k, 10], kr_g)
+                        kr_b = jnp.where(sel, mat_tbl_ref[k, 11], kr_b)
 
                 # two-sided shading normal
                 flip = jnp.where(_dot3(gnx, gny, gnz, dx, dy, dz) > 0.0, -1.0, 1.0)
@@ -353,10 +366,15 @@ def _make_kernel(width, height, full_w, full_h,
                 rg_ = rg_ + em_take * tg * em_g
                 rb_ = rb_ + em_take * tb * em_b
 
-                is_glass = kind == glass_kind
-                is_mirror = (kind == pbr_kind) & (metallic > 0.99)
-                is_specular = is_glass | is_mirror
-                is_diffuse = ~is_specular
+                if has_specular:
+                    is_glass = kind == glass_kind
+                    is_mirror = (kind == pbr_kind) & (metallic > 0.99)
+                    is_specular = is_glass | is_mirror
+                    is_diffuse = ~is_specular
+                else:
+                    false_lane = jnp.zeros(lane.shape, bool)
+                    is_glass = is_mirror = is_specular = false_lane
+                    is_diffuse = ~false_lane
 
                 ta_r, ta_g, ta_b = tr * alb_r, tg * alb_g, tb * alb_b
 
@@ -400,46 +418,51 @@ def _make_kernel(width, height, full_w, full_h,
                 # --- next direction ---
                 u1, u2, rng = _uniform2(rng)
                 cdx, cdy, cdz = _cosine_sample(u1, u2, nx, ny, nz)
-
                 dn = _dot3(dx, dy, dz, nx, ny, nz)
-                mrx, mry, mrz = _normalize3(dx - 2.0 * dn * nx,
-                                            dy - 2.0 * dn * ny,
-                                            dz - 2.0 * dn * nz)
 
-                # glass refract/reflect
-                entering = _dot3(dx, dy, dz, gnx, gny, gnz) < 0.0
-                eta = jnp.where(entering, 1.0 / ior, ior)
-                cos_i = jnp.clip(-dn, 0.0, 1.0)
-                sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
-                refr_ok = sin2_t <= 1.0
-                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-                rfx = eta * dx + (eta * cos_i - cos_t) * nx
-                rfy = eta * dy + (eta * cos_i - cos_t) * ny
-                rfz = eta * dz + (eta * cos_i - cos_t) * nz
-                rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
-                r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
-                one_m = 1.0 - cos_i
-                fres = r0 + (1.0 - r0) * one_m * one_m * one_m * one_m * one_m
-                u3, _u4, rng = _uniform2(rng)
-                gl_refl = (~refr_ok) | (u3 < fres)
-                gdx = jnp.where(gl_refl, mrx, rfx)
-                gdy = jnp.where(gl_refl, mry, rfy)
-                gdz = jnp.where(gl_refl, mrz, rfz)
+                if has_specular:
+                    mrx, mry, mrz = _normalize3(dx - 2.0 * dn * nx,
+                                                dy - 2.0 * dn * ny,
+                                                dz - 2.0 * dn * nz)
 
-                ndx = jnp.where(is_glass, gdx,
-                                jnp.where(is_mirror, mrx, cdx))
-                ndy = jnp.where(is_glass, gdy,
-                                jnp.where(is_mirror, mry, cdy))
-                ndz = jnp.where(is_glass, gdz,
-                                jnp.where(is_mirror, mrz, cdz))
+                    # glass refract/reflect
+                    entering = _dot3(dx, dy, dz, gnx, gny, gnz) < 0.0
+                    eta = jnp.where(entering, 1.0 / ior, ior)
+                    cos_i = jnp.clip(-dn, 0.0, 1.0)
+                    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+                    refr_ok = sin2_t <= 1.0
+                    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                    rfx = eta * dx + (eta * cos_i - cos_t) * nx
+                    rfy = eta * dy + (eta * cos_i - cos_t) * ny
+                    rfz = eta * dz + (eta * cos_i - cos_t) * nz
+                    rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+                    r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+                    one_m = 1.0 - cos_i
+                    fres = r0 + (1.0 - r0) * one_m ** 5
+                    u3, _u4, rng = _uniform2(rng)
+                    gl_refl = (~refr_ok) | (u3 < fres)
+                    gdx = jnp.where(gl_refl, mrx, rfx)
+                    gdy = jnp.where(gl_refl, mry, rfy)
+                    gdz = jnp.where(gl_refl, mrz, rfz)
 
-                has_kr = (kr_r > 0.0) | (kr_g > 0.0) | (kr_b > 0.0)
-                sp_r = jnp.where(has_kr, kr_r, alb_r)
-                sp_g = jnp.where(has_kr, kr_g, alb_g)
-                sp_b = jnp.where(has_kr, kr_b, alb_b)
-                ntr = jnp.where(is_specular, tr * sp_r, ta_r)
-                ntg = jnp.where(is_specular, tg * sp_g, ta_g)
-                ntb = jnp.where(is_specular, tb * sp_b, ta_b)
+                    ndx = jnp.where(is_glass, gdx,
+                                    jnp.where(is_mirror, mrx, cdx))
+                    ndy = jnp.where(is_glass, gdy,
+                                    jnp.where(is_mirror, mry, cdy))
+                    ndz = jnp.where(is_glass, gdz,
+                                    jnp.where(is_mirror, mrz, cdz))
+
+                    has_kr = (kr_r > 0.0) | (kr_g > 0.0) | (kr_b > 0.0)
+                    sp_r = jnp.where(has_kr, kr_r, alb_r)
+                    sp_g = jnp.where(has_kr, kr_g, alb_g)
+                    sp_b = jnp.where(has_kr, kr_b, alb_b)
+                    ntr = jnp.where(is_specular, tr * sp_r, ta_r)
+                    ntg = jnp.where(is_specular, tg * sp_g, ta_g)
+                    ntb = jnp.where(is_specular, tb * sp_b, ta_b)
+                else:
+                    rng = _advance2(rng)   # keep stream parity (glass draw)
+                    ndx, ndy, ndz = cdx, cdy, cdz
+                    ntr, ntg, ntb = ta_r, ta_g, ta_b
 
                 off = jnp.where(_dot3(ndx, ndy, ndz, nx, ny, nz) >= 0.0,
                                 1.0, -1.0) * jnp.float32(RAY_TMIN)
@@ -514,9 +537,11 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
                       jnp.asarray(x0, jnp.int32),
                       jnp.zeros((), jnp.int32)]).reshape(1, 4)
 
+    has_specular = ("glass" in scene.features) or ("mirror" in scene.features)
     kernel = _make_kernel(width, height, full_w, full_h,
                           scene.geom.num_triangles, scene.materials.num,
-                          max_depth, samples_per_launch)
+                          max_depth, samples_per_launch,
+                          has_specular=has_specular)
 
     out_shapes = tuple(jax.ShapeDtypeStruct(blk_shape, jnp.float32)
                        for _ in range(4))
