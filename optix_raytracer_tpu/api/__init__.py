@@ -27,5 +27,5 @@ from .context import DeviceContext, LogLevel  # noqa: F401
 from .module import Module, compile_with_tasks, AbortableCompile  # noqa: F401
 from .pipeline import (ProgramGroup, ProgramGroupKind, Pipeline,  # noqa: F401
                        ShaderBindingTable, SbtRecord)
-from .accel import build_gas, build_custom_gas, refit_gas  # noqa: F401
+from .accel import build_gas, build_custom_gas, build_ias, refit_gas  # noqa: F401
 from .callables import CallableTable  # noqa: F401

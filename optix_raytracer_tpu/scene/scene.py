@@ -134,7 +134,7 @@ class Scene:
         lo, hi = self.aabb()
         center = 0.5 * (lo + hi)
         extent = float(np.linalg.norm(hi - lo))
-        eye = center + np.array([0.0, 0.3, 1.1]) * extent
+        eye = center + np.array([0.6, 0.45, 1.5]) * extent
         return Camera(eye=tuple(eye), lookat=tuple(center),
                       up=(0, 1, 0), fov_y=35.0, aspect=width / height)
 
