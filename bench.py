@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 WIDTH, HEIGHT = 1920, 1088   # 1080p rounded up to a multiple of 8 rows
-SAMPLES = 4
+SAMPLES = 16               # matches the reference default (optixPathTracer.cpp:929)
 MAX_DEPTH = 4
 CHUNK = None                 # let XLA see the whole wavefront
 BASELINE_MRAYS = 200.0
@@ -50,7 +50,7 @@ def main():
     compile_s = time.time() - t0
 
     # Timed runs (progressive launches, like the reference's frame loop)
-    n_iters = 3
+    n_iters = 2
     t0 = time.time()
     f = film_w
     for _ in range(n_iters):
