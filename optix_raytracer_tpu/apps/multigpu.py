@@ -35,7 +35,7 @@ def render(width=512, height=512, samples=8, n_rows=None, n_samples=1,
     film = tiles.render_accumulate_sharded(
         scene, cam, film, mesh, width, height,
         samples_per_launch=samples // n_samples, max_depth=max_depth)
-    accum = np.asarray(film.accum)
+    accum = np.array(film.accum)   # host copy (writable for the tint)
     if tint:
         # visualize tile ownership like the reference's deviceColor()
         tile_h = height // n_rows

@@ -1,0 +1,19 @@
+"""Every sample app must import cleanly and expose main() — catches bit-rot
+across the acceptance suite without rendering each one."""
+import importlib
+
+import pytest
+
+APPS = [
+    "hello", "triangle", "sphere", "whitted", "pathtracer", "meshviewer",
+    "raycasting", "cutouts", "console", "dynamic_geometry",
+    "dynamic_materials", "multigpu", "denoiser", "curves", "hair", "ribbons",
+    "simple_motion_blur", "motion_geometry", "volume_viewer",
+    "opacity_micromap", "displaced_micromesh", "viewer",
+]
+
+
+@pytest.mark.parametrize("name", APPS)
+def test_app_imports_and_has_main(name):
+    mod = importlib.import_module(f"optix_raytracer_tpu.apps.{name}")
+    assert callable(getattr(mod, "main"))
