@@ -46,6 +46,10 @@ class DeviceScene:
         return "cutouts" in self.features
 
     @property
+    def has_pbr(self):
+        return "pbr" in self.features
+
+    @property
     def has_bvh(self):
         return self.bvh.num_nodes > 0
 
@@ -109,12 +113,17 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         from ..shade.materials import GLASS, PBR
         if any(m.get("kind", 0) == GLASS for m in materials):
             features.append("glass")
-        if any(m.get("kind", 0) == PBR and m.get("metallic", 0.0) > 0.99
-               for m in materials):
+        def _is_mirror(m):
+            return (m.get("kind", 0) == PBR and m.get("metallic", 0.0) > 0.99
+                    and m.get("roughness", 0.5) <= 0.05)
+        if any(_is_mirror(m) for m in materials):
             features.append("mirror")
+        if any(m.get("kind", 0) == PBR and not _is_mirror(m)
+               for m in materials):
+            features.append("pbr")   # rough metallic-roughness GGX lanes
     else:
         # pre-built MaterialTable: assume every material family is possible
-        features += ["glass", "mirror"]
+        features += ["glass", "mirror", "pbr"]
     return DeviceScene(
         features=tuple(features),
         geom=geom,

@@ -93,6 +93,11 @@ class Scene:
                                else mats.ALPHA_BLEND if m.alpha_mode == "BLEND"
                                else mats.ALPHA_OPAQUE),
                 "alpha_cutoff": m.alpha_cutoff,
+                # MASK materials cut against the base-color texture's alpha
+                # (glTF semantics; the reference's anyhit texture mask —
+                # optixRaycasting.cu:89 __anyhit__texture_mask)
+                "cutout": (mats.CUT_TEXTURE if m.alpha_mode == "MASK"
+                           else mats.CUT_NONE),
             })
         if not scene.materials:
             scene.add_material({"kind": mats.DIFFUSE,

@@ -41,13 +41,57 @@ RAY_TMIN = 1e-2
 SHADOW_TMAX_SCALE = 1.0 - 1e-3
 
 
+def _pbr_brdf(n, wo, wi, albedo, metallic, roughness):
+    """Metallic-roughness BRDF f(wo, wi): lambert·(1-metal) + GGX spec.
+
+    The whitted PBR closest-hit model (`SDK/cuda/whitted.cu:170-260`) made
+    integrable: Smith-Schlick GGX visibility, Schlick fresnel with
+    f0 = lerp(0.04, albedo, metallic). Returns f [..., 3].
+    """
+    h = normalize(wo + wi)
+    n_dl = jnp.maximum(dot(n, wi), 0.0)
+    n_dv = jnp.maximum(dot(n, wo), 1e-4)
+    n_dh = jnp.maximum(dot(n, h), 0.0)
+    h_dv = jnp.maximum(dot(h, wo), 0.0)
+    a = jnp.maximum(roughness, 0.05) ** 2
+    a2 = a * a
+    denom = n_dh * n_dh * (a2 - 1.0) + 1.0
+    d_term = a2 / jnp.maximum(jnp.pi * denom * denom, 1e-8)
+    k = (jnp.maximum(roughness, 0.05) + 1.0) ** 2 / 8.0
+    g = (n_dv / (n_dv * (1 - k) + k)) * (n_dl / jnp.maximum(
+        n_dl * (1 - k) + k, 1e-8))
+    f0 = 0.04 * (1.0 - metallic)[..., None] + metallic[..., None] * albedo
+    fres = f0 + (1.0 - f0) * (1.0 - h_dv)[..., None] ** 5
+    spec = fres * (d_term * g / jnp.maximum(4.0 * n_dv * n_dl, 1e-8))[..., None]
+    diff = albedo * (1.0 - metallic)[..., None] / jnp.pi
+    return jnp.where((n_dl > 0)[..., None], diff + spec, 0.0)
+
+
+def _pbr_pdf(n, wo, wi, roughness, p_spec):
+    """One-sample-MIS pdf of the cosine⊕GGX mixture used to sample wi."""
+    h = normalize(wo + wi)
+    n_dl = jnp.maximum(dot(n, wi), 0.0)
+    n_dh = jnp.maximum(dot(n, h), 0.0)
+    h_dv = jnp.maximum(dot(h, wo), 1e-6)
+    a = jnp.maximum(roughness, 0.05) ** 2
+    a2 = a * a
+    denom = n_dh * n_dh * (a2 - 1.0) + 1.0
+    d_term = a2 / jnp.maximum(jnp.pi * denom * denom, 1e-8)
+    pdf_ggx = d_term * n_dh / jnp.maximum(4.0 * h_dv, 1e-8)
+    pdf_cos = n_dl / jnp.pi
+    return p_spec * pdf_ggx + (1.0 - p_spec) * pdf_cos
+
+
 def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
-                      chunk_size):
+                      chunk_size, pbr=None):
     """Next-event estimation against the parallelogram area light.
 
     Estimator matches the reference path tracer (`optixPathTracer.cu:375-409`):
     uniform point on the quad, weight = nDl * LnDl * A / (π d²), applied to the
-    albedo-scaled throughput. Returns (contribution [N,3], rng).
+    albedo-scaled throughput (implicitly the ρ/π lambert BRDF). When `pbr` is
+    given (dict with albedo/metallic/roughness/wo/is_pbr/throughput), PBR
+    lanes instead evaluate the full metallic-roughness BRDF toward the light.
+    Returns (contribution [N,3], rng).
     """
     light = scene.area_light
     u1, u2, rng = _rng.uniform2(rng)
@@ -67,7 +111,16 @@ def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
 
     weight = jnp.where(facing & ~occluded,
                        n_dl * ln_dl * light.area / (jnp.pi * dist2), 0.0)
-    return throughput_albedo * light.emission * weight[..., None], rng
+    contrib = throughput_albedo * light.emission * weight[..., None]
+    if pbr is not None:
+        # full-BRDF estimator: T · f(wo,wi) · nDl · LnDl · A / d²
+        f = _pbr_brdf(n, pbr["wo"], wi, pbr["albedo"], pbr["metallic"],
+                      pbr["roughness"])
+        w2 = jnp.where(facing & ~occluded,
+                       n_dl * ln_dl * light.area / dist2, 0.0)
+        contrib_pbr = pbr["throughput"] * f * light.emission * w2[..., None]
+        contrib = jnp.where(pbr["is_pbr"][..., None], contrib_pbr, contrib)
+    return contrib, rng
 
 
 def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
@@ -175,14 +228,24 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         if albedo_tex is not None:
             albedo = albedo * albedo_tex
         is_glass = kind == mats.GLASS
-        is_mirror = (kind == mats.PBR) & (m["metallic"] > 0.99)
+        # perfect mirror = fully metallic AND polished; everything else PBR
+        # goes through the GGX importance-sampled path
+        is_mirror = ((kind == mats.PBR) & (m["metallic"] > 0.99)
+                     & (m["roughness"] <= 0.05))
+        is_pbr = (kind == mats.PBR) & ~is_mirror
         is_specular = is_glass | is_mirror
         is_diffuse = ~is_specular
 
-        # --- NEE direct lighting for diffuse lanes ---
+        # --- NEE direct lighting for diffuse/PBR lanes ---
+        # diffuse lanes: f = ρ/π (the estimator folds ρ into throughput and
+        # π into the weight, optixPathTracer.cu:375-409). PBR lanes swap in
+        # the metallic-roughness BRDF (kd(1-metal)/π + GGX spec).
         t_albedo = throughput * albedo
-        contrib, rng = _nee_direct_light(scene, hit_p, n, t_albedo, rng,
-                                         chunk_size)
+        contrib, rng = _nee_direct_light(
+            scene, hit_p, n, t_albedo, rng, chunk_size,
+            pbr=(dict(albedo=albedo, metallic=m["metallic"],
+                      roughness=m["roughness"], wo=-d, is_pbr=is_pbr,
+                      throughput=throughput) if scene.has_pbr else None))
         radiance = radiance + jnp.where((hit_valid & is_diffuse)[..., None],
                                         contrib, 0.0)
 
@@ -190,6 +253,30 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         u1, u2, rng = _rng.uniform2(rng)
         d_diffuse = cosine_sample_hemisphere(u1, u2, n)
         d_mirror = normalize(reflect(d, n))
+
+        pbr_throughput = None
+        if scene.has_pbr:
+            # One-sample MIS between the cosine and GGX lobes (PBR lanes).
+            from ..shade.sampling import ggx_sample_half_vector
+            rough = jnp.maximum(m["roughness"], 0.05)
+            metal = m["metallic"]
+            u5p, u6p, rng = _rng.uniform2(rng)
+            h_vec = ggx_sample_half_vector(u5p, u6p, n, rough)
+            d_ggx = normalize(reflect(d, h_vec))
+            p_spec = jnp.clip(0.5 * metal + 0.1, 0.05, 0.95)
+            u7p, _, rng = _rng.uniform2(rng)
+            choose_spec = u7p < p_spec
+            d_pbr = jnp.where(choose_spec[..., None], d_ggx, d_diffuse)
+            f_pbr = _pbr_brdf(n, -d, d_pbr, albedo, metal, rough)
+            pdf_pbr = _pbr_pdf(n, -d, d_pbr, rough, p_spec)
+            n_dl_pbr = jnp.maximum(dot(n, d_pbr), 0.0)
+            valid_dir = (n_dl_pbr > 1e-5) & (pdf_pbr > 1e-7)
+            w_pbr = jnp.where(valid_dir[..., None],
+                              f_pbr * (n_dl_pbr / jnp.maximum(pdf_pbr,
+                                                              1e-7))[..., None],
+                              0.0)
+            pbr_throughput = throughput * w_pbr
+            d_diffuse = jnp.where(is_pbr[..., None], d_pbr, d_diffuse)
 
         # Glass: fresnel (Schlick) choose reflect/refract
         entering = dot(d, geom_n) < 0.0
@@ -212,6 +299,9 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         new_throughput = jnp.where(is_specular[..., None],
                                    throughput * spec_tint,
                                    t_albedo)
+        if pbr_throughput is not None:
+            new_throughput = jnp.where(is_pbr[..., None], pbr_throughput,
+                                       new_throughput)
 
         # Cut lanes pass straight through: same direction, same throughput,
         # origin nudged past the surface (optixIgnoreIntersection semantics).
@@ -308,6 +398,7 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
             and scene.prims.num == 0
             and not scene.has_textures
             and not scene.has_cutouts
+            and not scene.has_pbr   # rough-GGX lanes only exist in XLA yet
             and scene.geom.num_triangles <= MAX_SMEM_TRIS)
 
 

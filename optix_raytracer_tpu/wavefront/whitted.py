@@ -89,7 +89,8 @@ def trace_whitted(scene: DeviceScene, rays: Rays, rng, max_depth: int = 8,
 
         kind = m["kind"]
         is_glass = kind == mats.GLASS
-        is_mirror = (kind == mats.PBR) & (m["metallic"] > 0.99)
+        is_mirror = ((kind == mats.PBR) & (m["metallic"] > 0.99)
+                     & (m["roughness"] <= 0.05))
         is_specular = is_glass | is_mirror
         is_phongish = ~is_specular
         radiance = radiance + jnp.where(hit_valid[..., None],
