@@ -29,8 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.rays import Rays
 
 LANES = 128
-SUBLANES = 8
-BLOCK_RAYS = SUBLANES * LANES           # 1024 rays per grid step
+# 32 sublanes (4096 rays/block) measured fastest on v5e: 1024→305, 2048→506,
+# 4096→645, 8192→624 Mrays/s on the Cornell bench — bigger blocks amortize
+# the per-triangle scalar loads across more vector work until VMEM pressure
+# turns over.
+SUBLANES = 32
+BLOCK_RAYS = SUBLANES * LANES           # rays per grid step
 MAX_SMEM_TRIS = 512                     # tri_consts: 512×16×4 B = 32 KB SMEM
 
 _DEGEN_EPS = 1e-12
