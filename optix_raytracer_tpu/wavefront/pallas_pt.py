@@ -312,8 +312,16 @@ def _make_kernel(width, height, full_w, full_h,
                     bnz = jnp.where(ok, consts[14], bnz)
                     return bt, bid, bmid, bnx, bny, bnz
 
-                bt, bid, bmid, gnx, gny, gnz = jax.lax.fori_loop(
-                    0, num_tris, tri_body, init)
+                # Static unroll for small meshes: removes scf loop control
+                # and lets Mosaic pipeline SMEM scalar loads with vector work.
+                if num_tris <= 64:
+                    carry = init
+                    for t in range(num_tris):
+                        carry = tri_body(t, carry)
+                    bt, bid, bmid, gnx, gny, gnz = carry
+                else:
+                    bt, bid, bmid, gnx, gny, gnz = jax.lax.fori_loop(
+                        0, num_tris, tri_body, init)
                 hit = bid >= 0
                 hit_valid = hit & (active > 0)
 
@@ -405,8 +413,13 @@ def _make_kernel(width, height, full_w, full_h,
                           & (tt > sh_tmin) & (tt < sh_tmax))
                     return jnp.maximum(occ, ok.astype(jnp.int32))
 
-                occ = jax.lax.fori_loop(0, num_tris, sh_body,
-                                        jnp.zeros(lane.shape, jnp.int32))
+                if num_tris <= 64:
+                    occ = jnp.zeros(lane.shape, jnp.int32)
+                    for t in range(num_tris):
+                        occ = sh_body(t, occ)
+                else:
+                    occ = jax.lax.fori_loop(0, num_tris, sh_body,
+                                            jnp.zeros(lane.shape, jnp.int32))
                 w_l = jnp.where((n_dl > 0.0) & (occ == 0),
                                 n_dl * ln_dl * larea
                                 / (jnp.float32(np.pi) * dist2), 0.0)
