@@ -29,12 +29,18 @@ def main(argv=None):
     p.add_argument("--upscale", action="store_true", help="2x upscale model")
     args = p.parse_args(argv)
 
-    beauty = np.asarray(load_image(args.input), np.float32)
-    if beauty.dtype == np.uint8 or beauty.max() > 1.5:
-        beauty = beauty / 255.0
+    raw = load_image(args.input)
+    beauty = np.asarray(raw, np.float32)
+    if raw.dtype == np.uint8:
+        beauty = beauty / 255.0   # LDR display image → [0,1]; HDR floats pass through
     beauty = beauty[..., :3]
-    load = lambda p: None if p is None else np.asarray(
-        load_image(p), np.float32)[..., :3]
+
+    def load(p):
+        if p is None:
+            return None
+        r = load_image(p)
+        a = np.asarray(r, np.float32)[..., :3]
+        return a / 255.0 if r.dtype == np.uint8 else a
     albedo = load(args.albedo)
     normal = load(args.normal)
     fl = None if args.flow is None else np.asarray(load_image(args.flow))

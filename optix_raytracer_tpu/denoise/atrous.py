@@ -32,6 +32,14 @@ def _shift2d(img, dy, dx):
     return jnp.roll(img, (dy, dx), axis=(0, 1))
 
 
+def _box3(x):
+    acc = jnp.zeros_like(x)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            acc = acc + _shift2d(x, dy, dx)
+    return acc / 9.0
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def denoise(beauty, albedo=None, normal=None, iterations: int = 5,
             sigma_color: float = 4.0, sigma_normal: float = 64.0,
@@ -41,6 +49,12 @@ def denoise(beauty, albedo=None, normal=None, iterations: int = 5,
     albedo/normal: optional [H, W, 3] guide layers (same meaning as the
     reference's guide layers). More iterations → larger filter footprint
     (2^iterations pixels).
+
+    The luminance edge-stop is SVGF-style: differences are measured in units
+    of the *local luminance standard deviation* (3×3 moments, re-estimated
+    per iteration), so the filter is exposure-invariant — it smooths where
+    differences look like noise and stops where they exceed `sigma_color`
+    local sigmas, at any HDR scale.
     """
     beauty = jnp.asarray(beauty, jnp.float32)
     has_albedo = albedo is not None
@@ -57,6 +71,9 @@ def denoise(beauty, albedo=None, normal=None, iterations: int = 5,
     for it in range(iterations):
         step = 1 << it
         lum0 = _luminance(out)
+        mu = _box3(lum0)
+        sigma = jnp.sqrt(jnp.maximum(_box3(lum0 * lum0) - mu * mu, 0.0))
+        denom = sigma_color * sigma + 1e-3 + 1e-2 * jnp.abs(mu)
         acc = jnp.zeros_like(out)
         wsum = jnp.zeros(out.shape[:2] + (1,), jnp.float32)
         for iy, wy in zip(_OFFSETS, _B3):
@@ -64,9 +81,9 @@ def denoise(beauty, albedo=None, normal=None, iterations: int = 5,
                 dy, dx = iy * step, ix * step
                 tap = _shift2d(out, dy, dx)
                 w = jnp.full(out.shape[:2], wy * wx, jnp.float32)
-                # luminance edge-stopping
+                # luminance edge-stopping in local-noise units
                 dl = jnp.abs(_luminance(tap) - lum0)
-                w = w * jnp.exp(-dl * sigma_color / (step + 1e-6))
+                w = w * jnp.exp(-dl / denom)
                 if normal is not None:
                     ndot = jnp.sum(_shift2d(normal, dy, dx) * normal, -1)
                     w = w * jnp.power(jnp.maximum(ndot, 0.0), sigma_normal)
