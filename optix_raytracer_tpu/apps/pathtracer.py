@@ -44,6 +44,9 @@ def main(argv=None):
                    help="samples per launch (reference default 16)")
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--ascii", action="store_true")
+    p.add_argument("--denoise", action="store_true",
+                   help="run the AI-denoiser stage with albedo/normal guides "
+                        "(the optixDenoiser post-pass)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.dim.split("x"))
 
@@ -52,6 +55,14 @@ def main(argv=None):
                          samples_per_launch=args.launch_samples)
     accum.block_until_ready()
     dt = time.time() - t0
+    if args.denoise:
+        from ..api.denoiser import Denoiser
+        from ..scene.builtins import cornell_box, cornell_camera
+        from ..wavefront.engine import render_aovs
+        aovs = render_aovs(cornell_box(), cornell_camera(w, h).params(), w, h)
+        den = Denoiser().setup(w, h)
+        accum = den.invoke(accum, albedo=aovs["albedo"],
+                           normal=aovs["normal"])
     img = np.asarray(film_mod.make_color(accum))
     save_image(args.file, img)
     if args.ascii:

@@ -446,3 +446,36 @@ def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
 
     return jax.lax.fori_loop(0, samples_per_launch, body,
                              (film, jnp.zeros((), jnp.float32)))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "chunk_size"))
+def render_aovs(scene: DeviceScene, cam_params, width: int, height: int,
+                chunk_size: Optional[int] = None):
+    """Primary-hit AOV layers for the denoiser: albedo + shading normal.
+
+    The guide layers the reference feeds `optixDenoiserInvoke`
+    (`OptixDenoiserGuideLayer` albedo/normal; produced by dedicated AOV
+    passes in `SDK/optixDenoiser`). One centered, unjittered camera ray per
+    pixel. Returns dict(albedo [H,W,3], normal [H,W,3]).
+    """
+    rays, _ = generate_rays(cam_params, width, height, jitter=False)
+    n = width * height
+    rays = jax.tree.map(lambda a: a.reshape((n,) + a.shape[2:]), rays)
+    hits = scene_closest(scene, rays, chunk_size=chunk_size)
+    m = mats.gather(scene.materials, hits.mat_id)
+    albedo = jnp.where(hits.valid[:, None], m["base_color"], 1.0)
+    if scene.has_textures:
+        from ..accel.geometry import shading_frame
+        from ..shade.texture import sample_bilinear
+        is_tri = hits.prim_id < scene.num_triangles
+        frame = shading_frame(scene.geom,
+                              jnp.minimum(jnp.maximum(hits.prim_id, 0),
+                                          scene.num_triangles - 1), hits.uv)
+        rgba = sample_bilinear(scene.textures, scene.tex_size,
+                               jnp.where(is_tri, m["base_tex"], -1),
+                               frame["uv"])
+        albedo = albedo * rgba[..., :3]
+    normal = jnp.where(hits.valid[:, None], hits.normal,
+                       -rays.direction)
+    return {"albedo": albedo.reshape(height, width, 3),
+            "normal": normal.reshape(height, width, 3)}
