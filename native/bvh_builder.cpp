@@ -51,10 +51,34 @@ struct Builder {
   std::vector<int32_t> order;  // permutation of triangle ids
   int32_t next_node = 0;
 
-  // Emit the subtree over order[first, first+count) in preorder.
-  // Returns the node index of the subtree root; fills skip = index AFTER the
-  // subtree (the escape target).
-  int32_t emit(int32_t first, int32_t count) {
+  // Work items: count > 0 → emit the subtree over order[first, first+count);
+  // count == 0 → the subtree rooted at `first` (a node index) just closed,
+  // so its escape index is known: the next node to be allocated.
+  struct Task {
+    int32_t first;
+    int32_t count;
+  };
+
+  // Emit all subtrees in preorder with an explicit work stack — degenerate
+  // splits (1 vs n-1 repeatedly) give O(n) DEPTH, which would overflow the
+  // host stack on large meshes if this recursed.
+  void build(int32_t num_tris) {
+    std::vector<Task> stack;
+    stack.push_back({0, num_tris});
+    while (!stack.empty()) {
+      const Task task = stack.back();
+      stack.pop_back();
+      if (task.count == 0) {  // close marker
+        node_skip[task.first] = next_node;
+        continue;
+      }
+      emit_node(task.first, task.count, &stack);
+    }
+  }
+
+  // Allocate one node over order[first, first+count); push children (left
+  // on top so preorder is preserved) plus a close marker for internals.
+  void emit_node(int32_t first, int32_t count, std::vector<Task>* stack) {
     int32_t node = next_node++;
     Aabb bounds;
     for (int32_t i = first; i < first + count; ++i) {
@@ -67,7 +91,7 @@ struct Builder {
     if (count == 1) {
       node_prim[node] = order[first];
       node_skip[node] = node + 1;
-      return node;
+      return;
     }
     node_prim[node] = -1;
 
@@ -140,10 +164,9 @@ struct Builder {
       if (mid == first || mid == first + count) mid = first + count / 2;
     }
 
-    emit(first, mid - first);
-    emit(mid, first + count - mid);
-    node_skip[node] = next_node;  // escape = first index after the subtree
-    return node;
+    stack->push_back({node, 0});  // close marker: set skip after subtree
+    stack->push_back({mid, first + count - mid});  // right child
+    stack->push_back({first, mid - first});        // left child (popped first)
   }
 };
 
@@ -168,7 +191,7 @@ int32_t ort_build_bvh_sah(const float* tri_lo, const float* tri_hi,
   b.node_prim = node_prim;
   b.order.resize(num_tris);
   for (int32_t i = 0; i < num_tris; ++i) b.order[i] = i;
-  b.emit(0, num_tris);
+  b.build(num_tris);
   return b.next_node;
 }
 

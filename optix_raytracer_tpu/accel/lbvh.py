@@ -71,11 +71,14 @@ def _delta(codes, i, j, n):
 
 
 def _log2_floor(x):
-    """floor(log2(x)) for uint32 (x=0 → -1): via float exponent bits."""
-    x = x.astype(jnp.uint32)
-    f = x.astype(jnp.float32)
-    exp = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) & 0xFF
-    return jnp.where(x == 0, -1, exp - 127)
+    """floor(log2(x)) for uint32 (x=0 → -1): exact, via count-leading-zeros.
+
+    Must be exact: the float-exponent trick rounds UP for values just below
+    a power of two (>= 2^24), which makes the Karras delta inconsistent
+    across pairs and yields invalid radix trees (duplicated/missing leaves).
+    """
+    xi = x.astype(jnp.uint32).astype(jnp.int32)
+    return jnp.where(xi == 0, -1, 31 - jax.lax.clz(xi))
 
 
 def _build_topology(codes, n):

@@ -66,7 +66,13 @@ def traverse(bvh: LBVH, geom: TriangleGeometry, tri_mat, rays: Rays,
         done=jnp.zeros(n, bool),
     )
 
-    inv_d = 1.0 / rays.direction
+    # Robust slab reciprocal: clamp |d| away from zero so inv_d is finite.
+    # With a true 1/0 = inf, an origin component exactly on a node bound
+    # gives 0 * inf = NaN and the comparison silently drops the subtree.
+    d = rays.direction
+    d_safe = jnp.where(jnp.abs(d) < _DEGEN_EPS,
+                       jnp.where(d < 0, -_DEGEN_EPS, _DEGEN_EPS), d)
+    inv_d = 1.0 / d_safe
 
     def cond(state):
         return jnp.any(~state["done"])

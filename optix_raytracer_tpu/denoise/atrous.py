@@ -7,8 +7,8 @@ guide layers the reference consumes, `OptixDenoiserGuideLayer`). Instead of a
 pretrained CNN (whose weights we cannot ship), this is an SVGF-style
 edge-avoiding à-trous filter: hierarchical 5×5 B3-spline passes with
 bilateral weights on luminance/normal/albedo, plus albedo demodulation so
-texture detail survives. Pure jnp stencil ops (jnp.roll shifts) → fuses into
-a handful of VPU passes on TPU. Temporal mode warps the previous output by a
+texture detail survives. Pure jnp stencil ops (edge-replicated shifts) →
+fuses into a handful of VPU passes on TPU. Temporal mode warps the previous output by a
 flow field and blends (the OPTIX_DENOISER_MODEL_KIND_TEMPORAL role).
 """
 from __future__ import annotations
@@ -29,7 +29,17 @@ def _luminance(rgb):
 
 
 def _shift2d(img, dy, dx):
-    return jnp.roll(img, (dy, dx), axis=(0, 1))
+    """Shifted view with edge replication (matches jnp.roll in the interior).
+
+    jnp.roll would wrap taps around image borders — with iterations=5 the
+    footprint reaches 64 px, so opposite edges would bleed into each other
+    and denoise_tiled would wrap inside each tile (visible seams). The
+    reference denoiser clamps at borders; so do we.
+    """
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(jnp.arange(h) - dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) - dx, 0, w - 1)
+    return img[ys][:, xs]
 
 
 def _box3(x):

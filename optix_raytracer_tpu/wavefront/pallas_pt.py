@@ -340,6 +340,7 @@ def _make_kernel(width, height, full_w, full_h,
                 em_g = fzero
                 em_b = fzero
                 metallic = fzero
+                rough = fzero
                 ior = jnp.full(lane.shape, 1.5, jnp.float32)
                 kr_r = fzero
                 kr_g = fzero
@@ -359,6 +360,7 @@ def _make_kernel(width, height, full_w, full_h,
                         kr_r = jnp.where(sel, mat_tbl_ref[k, 9], kr_r)
                         kr_g = jnp.where(sel, mat_tbl_ref[k, 10], kr_g)
                         kr_b = jnp.where(sel, mat_tbl_ref[k, 11], kr_b)
+                        rough = jnp.where(sel, mat_tbl_ref[k, 12], rough)
 
                 # two-sided shading normal
                 flip = jnp.where(_dot3(gnx, gny, gnz, dx, dy, dz) > 0.0, -1.0, 1.0)
@@ -376,7 +378,10 @@ def _make_kernel(width, height, full_w, full_h,
 
                 if has_specular:
                     is_glass = kind == glass_kind
-                    is_mirror = (kind == pbr_kind) & (metallic > 0.99)
+                    # Matches engine.py's mirror classification exactly:
+                    # rough fully-metallic PBR must NOT go down the mirror lane.
+                    is_mirror = ((kind == pbr_kind) & (metallic > 0.99)
+                                 & (rough <= 0.05))
                     is_specular = is_glass | is_mirror
                     is_diffuse = ~is_specular
                 else:
