@@ -1,4 +1,5 @@
-"""Benchmark: Cornell-box path trace at 1080p — Mrays/sec/chip.
+"""Benchmark: Cornell-box path trace at 1080p — Mrays/sec/chip — plus the
+large-mesh traversal metric (25k-triangle knot, cluster kernels) in extra.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extra}.
 Baseline = the driver-set north-star target of 200 Mrays/sec/chip
@@ -19,6 +20,67 @@ SAMPLES = 16               # matches the reference default (optixPathTracer.cpp:
 MAX_DEPTH = 4
 CHUNK = None                 # let XLA see the whole wavefront
 BASELINE_MRAYS = 200.0
+
+
+def bench_large_mesh():
+    """25k-triangle trefoil knot at 1080p through the cluster traversal
+    kernels (accel/clusters.py): tile-coherent primary closest-hit and
+    shadow any-hit throughput. The large-mesh answer to the driver RT core
+    (VERDICT round-1 item 2)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.accel import clusters as cl
+    from optix_raytracer_tpu.accel.geometry import build_triangle_geometry
+    from optix_raytracer_tpu.core.camera import generate_rays
+    from optix_raytracer_tpu.core.rays import Rays
+    from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
+
+    w, h = 1920, 1088
+    verts, idx, normals = trefoil_mesh(200, 63)          # 25200 triangles
+    geom = build_triangle_geometry(verts, idx, normals=normals)
+    cs = cl.build_clusters(geom, jnp.zeros((geom.num_triangles,), jnp.int32))
+
+    rays, _ = generate_rays(knot_camera(w, h).params(), w, h,
+                            rng_state=None, jitter=False)
+    flat = jax.tree.map(lambda a: a.reshape((w * h,) + a.shape[2:]), rays)
+    # 16x16-pixel tile order: coherent ray blocks cull far better than
+    # raster-row strips.
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    key = ((yy // 16) * (w // 16) + (xx // 16)).ravel() * 256 \
+        + ((yy % 16) * 16 + (xx % 16)).ravel()
+    perm = jnp.asarray(np.argsort(key))
+    flat = jax.tree.map(lambda a: a[perm], flat)
+    n = w * h
+
+    def sync(x):
+        return float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
+
+    out = {}
+    hits = cl.closest_hit(cs, flat)
+    sync(hits.t)
+    t0 = time.time()
+    for _ in range(3):
+        hits = cl.closest_hit(cs, flat)
+    sync(hits.t)
+    out["knot25k_closest_mrays"] = round(3 * n / (time.time() - t0) / 1e6, 1)
+
+    p = flat.origin + flat.direction * hits.t[:, None] * 0.999
+    lp = jnp.asarray([0.0, 8.0, 0.0])
+    d = lp - p
+    dist = jnp.linalg.norm(d, axis=1, keepdims=True)
+    sh = Rays(origin=p, direction=d / dist,
+              tmin=jnp.full((n,), 1e-3, jnp.float32),
+              tmax=dist[:, 0] * 0.999)
+    occ = cl.any_hit(cs, sh)
+    sync(occ)
+    t0 = time.time()
+    for _ in range(3):
+        occ = cl.any_hit(cs, sh)
+    sync(occ)
+    out["knot25k_anyhit_mrays"] = round(3 * n / (time.time() - t0) / 1e6, 1)
+    out["knot25k_tris"] = int(geom.num_triangles)
+    return out
 
 
 def main():
@@ -59,6 +121,8 @@ def main():
     dt = time.time() - t0
     total_rays = float(rays) * n_iters
 
+    large = bench_large_mesh()
+
     mrays = total_rays / dt / 1e6
     msamples = WIDTH * HEIGHT * SAMPLES * n_iters / dt / 1e6
     print(json.dumps({
@@ -75,6 +139,7 @@ def main():
             "compile_plus_first_launch_s": round(compile_s, 1),
             "timed_s": round(dt, 3),
             "device": str(jax.devices()[0]),
+            **large,
         },
     }))
 

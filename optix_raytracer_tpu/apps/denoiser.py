@@ -2,7 +2,9 @@
 
 Reference: `SDK/optixDenoiser/optixDenoiser.cpp` — beauty (+albedo/normal/
 flow) in → denoised image out, with HDR/AOV/temporal/tiled modes and -e
-exposure. Float layers travel as .npz (the tinyexr role; see io/image.py).
+exposure. Float layers travel as .exr (half-float scanline files via the
+from-scratch codec in io/exr.py, matching the reference's tinyexr file
+contract, `optixDenoiser.cpp:51-104`); .npz remains as a fallback.
 """
 from __future__ import annotations
 
@@ -16,8 +18,8 @@ from ..io.image import load_image, save_image
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="standalone denoiser (optixDenoiser)")
-    p.add_argument("input", help="noisy beauty image (.npz float or .png)")
-    p.add_argument("-o", "--out", default="denoised.npz")
+    p.add_argument("input", help="noisy beauty image (.exr/.npz float or .png)")
+    p.add_argument("-o", "--out", default="denoised.exr")
     p.add_argument("-a", "--albedo", default=None)
     p.add_argument("-n", "--normal", default=None)
     p.add_argument("-F", "--flow", default=None, help="flow .npz (temporal)")

@@ -1,11 +1,11 @@
-"""Image read/write: PNG / PPM / NPZ-float ("EXR" role) + ASCII preview.
+"""Image read/write: PNG / PPM / EXR / NPZ-float + ASCII preview.
 
 Replaces the reference's image paths: `sutil::saveImage`/`loadImage` (PPM/PNG/EXR
 via stb + tinyexr, `SDK/sutil/sutil.h:99-100`, `sutil.cpp`), `PPMLoader`
 (`sutil/PPMLoader.{h,cpp}`), and the `optixConsole` luminance-mapped ASCII dump
-(`SDK/optixConsole/optixConsole.cpp:697-760`). PNG goes through PIL; float
-images (the tinyexr role: denoiser AOVs, HDR beauty) are stored as `.npz`
-with named layers since no EXR codec is in the image.
+(`SDK/optixConsole/optixConsole.cpp:697-760`). PNG goes through PIL; HDR
+float layers (denoiser AOVs, beauty) use the from-scratch EXR codec in
+io/exr.py (the tinyexr role) — .npz remains as a fallback container.
 """
 from __future__ import annotations
 
@@ -24,6 +24,10 @@ def save_image(path: str, pixels: np.ndarray) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".npz":
         np.savez_compressed(path, image=pixels.astype(np.float32))
+        return
+    if ext == ".exr":
+        from .exr import write_exr
+        write_exr(path, pixels.astype(np.float32))
         return
     if pixels.dtype != np.uint8:
         # Linear float → sRGB uint8 (what saveImage does for float buffers).
@@ -45,6 +49,9 @@ def load_image(path: str) -> np.ndarray:
     if ext == ".npz":
         with np.load(path) as z:
             return z["image"]
+    if ext == ".exr":
+        from .exr import read_exr
+        return read_exr(path)
     if ext == ".ppm":
         return _load_ppm(path)
     from PIL import Image

@@ -14,8 +14,11 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import struct
 
+from ..accel.clusters import (ClusterSet, LANES as _CLUSTER_LANES,
+                              MAX_CLUSTERS, build_clusters)
 from ..accel.geometry import TriangleGeometry, build_triangle_geometry
 from ..accel.lbvh import LBVH, build_lbvh
+from ..accel.pallas_bf import MAX_SMEM_TRIS
 from ..accel.primitives import CustomPrims
 from ..shade.lights import LightTable, ParallelogramLight
 from ..shade.materials import MaterialTable, make_material_table
@@ -33,6 +36,9 @@ class DeviceScene:
     textures: jnp.ndarray                # [T, TH, TW, 4] f32 padded stack
     tex_size: jnp.ndarray                # [T, 2] i32 true (h, w) per texture
     bvh: LBVH                            # threaded LBVH (empty → brute force)
+    # Triangle clusters for the Pallas large-mesh traversal (accel/clusters
+    # .py); built for meshes past the fused kernel's SMEM budget.
+    clusters: ClusterSet = struct.field(default_factory=ClusterSet.empty)
     # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
     # pass-through in the integrators. Determined at scene-build time.
     features: tuple = struct.field(pytree_node=False, default=())
@@ -52,6 +58,10 @@ class DeviceScene:
     @property
     def has_bvh(self):
         return self.bvh.num_nodes > 0
+
+    @property
+    def has_clusters(self):
+        return self.clusters.num_clusters > 0
 
     @property
     def has_textures(self):
@@ -97,6 +107,7 @@ def make_device_scene(vertices, indices, tri_mat, materials,
     tex, tex_size = pack_textures(list(textures))
     geom = build_triangle_geometry(vertices, indices, normals=normals,
                                    uvs=uvs)
+    tri_mat_arr = jnp.asarray(tri_mat, jnp.int32)
     bvh = None
     if with_bvh:
         # Prefer the native host-side SAH builder (better trees for static
@@ -105,6 +116,13 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         bvh = native.build_bvh_sah(geom)
         if bvh is None:
             bvh = build_lbvh(geom)
+    # Cluster table for the Pallas large-mesh traversal: any mesh past the
+    # fused kernel's SMEM budget, up to the VMEM-resident cluster cap.
+    clusters = None
+    n_tris = geom.num_triangles
+    if (n_tris > MAX_SMEM_TRIS
+            and -(-n_tris // _CLUSTER_LANES) <= MAX_CLUSTERS):
+        clusters = build_clusters(geom, tri_mat_arr)
     features = []
     if isinstance(materials, (list, tuple)):
         if any(m.get("cutout", 0) or m.get("alpha_mode", 0) == 1
@@ -128,7 +146,8 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         features=tuple(features),
         geom=geom,
         bvh=bvh if bvh is not None else LBVH.empty(),
-        tri_mat=jnp.asarray(tri_mat, jnp.int32),
+        clusters=clusters if clusters is not None else ClusterSet.empty(),
+        tri_mat=tri_mat_arr,
         prims=prims if prims is not None else CustomPrims.empty(),
         materials=(materials if isinstance(materials, MaterialTable)
                    else make_material_table(materials)),

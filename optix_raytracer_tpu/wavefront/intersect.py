@@ -9,12 +9,22 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
+
 from ..accel import bruteforce as bf
+from ..accel import clusters as cluster_mod
 from ..accel import primitives as prim_mod
 from ..accel import traverse as trav
+from ..accel.bruteforce import _TPU_PLATFORMS
 from ..accel.pallas_bf import MAX_SMEM_TRIS
 from ..core.rays import Hits, Rays
 from ..scene.device_scene import DeviceScene
+
+
+def _use_clusters(scene: DeviceScene) -> bool:
+    # Large-mesh hot path: the cluster-culled Pallas kernels (TPU only).
+    return (scene.has_clusters
+            and jax.default_backend() in _TPU_PLATFORMS)
 
 
 def _use_bvh(scene: DeviceScene) -> bool:
@@ -23,9 +33,25 @@ def _use_bvh(scene: DeviceScene) -> bool:
     return scene.has_bvh and scene.geom.num_triangles > MAX_SMEM_TRIS
 
 
+def _flat_call(fn, rays: Rays):
+    """Run a flat-[N]-only intersector over rays of any batch shape."""
+    batch_shape = rays.batch_shape
+    n = 1
+    for s in batch_shape:
+        n *= s
+    flat = jax.tree.map(
+        lambda a: a.reshape((n,) + a.shape[len(batch_shape):]), rays)
+    out = fn(flat)
+    return jax.tree.map(
+        lambda a: a.reshape(batch_shape + a.shape[1:]), out)
+
+
 def scene_closest(scene: DeviceScene, rays: Rays,
                   chunk_size: Optional[int] = None) -> Hits:
-    if _use_bvh(scene):
+    if _use_clusters(scene):
+        hits = _flat_call(
+            lambda r: cluster_mod.closest_hit(scene.clusters, r), rays)
+    elif _use_bvh(scene):
         hits = trav.traverse(scene.bvh, scene.geom, scene.tri_mat, rays)
     else:
         hits = bf.intersect_closest(scene.geom, rays, tri_mat=scene.tri_mat,
@@ -41,7 +67,10 @@ def scene_any(scene: DeviceScene, rays: Rays,
               chunk_size: Optional[int] = None):
     if scene.has_cutouts:
         return _scene_any_alpha(scene, rays, chunk_size)
-    if _use_bvh(scene):
+    if _use_clusters(scene):
+        occ = _flat_call(
+            lambda r: cluster_mod.any_hit(scene.clusters, r), rays)
+    elif _use_bvh(scene):
         occ = trav.traverse(scene.bvh, scene.geom, None, rays, any_hit=True)
     else:
         occ = bf.intersect_any(scene.geom, rays, chunk_size=chunk_size)

@@ -1,0 +1,114 @@
+"""Cluster-culled intersection vs the XLA oracle — exact hit agreement.
+
+Runs the Pallas kernels in interpreter mode on CPU (same kernel code the
+TPU compiles). The cluster path is the large-mesh traversal core, so these
+tests are the contract that it finds exactly the hits the brute-force XLA
+path finds (reference semantics: `optixTrace` closest/any-hit,
+`include/optix_device.h:61`).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optix_raytracer_tpu.accel import bruteforce as bf
+from optix_raytracer_tpu.accel import clusters as cl
+from optix_raytracer_tpu.accel.geometry import build_triangle_geometry
+from optix_raytracer_tpu.core.rays import Rays
+
+from test_intersect import random_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    rng = np.random.default_rng(11)
+    verts, idx = random_mesh(rng, 700)   # > 5 clusters, partial last cluster
+    geom = build_triangle_geometry(verts, idx)
+    tri_mat = jnp.asarray(rng.integers(0, 6, 700), jnp.int32)
+    return geom, tri_mat, cl.build_clusters(geom, tri_mat), rng
+
+
+def make_rays(rng, n, tmax=50.0):
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return Rays.make(jnp.asarray(o), jnp.asarray(d), tmin=1e-3, tmax=tmax)
+
+
+class TestBuild:
+    def test_slot_prim_is_permutation(self, mesh):
+        geom, _, cs, _ = mesh
+        sp = np.asarray(cs.slot_prim)
+        live = sp[sp >= 0]
+        np.testing.assert_array_equal(np.sort(live),
+                                      np.arange(geom.num_triangles))
+        assert cs.num_clusters == -(-geom.num_triangles // cl.LANES)
+
+    def test_cluster_aabbs_contain_triangles(self, mesh):
+        geom, _, cs, _ = mesh
+        sp = np.asarray(cs.slot_prim)
+        aabb = np.asarray(cs.aabb)          # [rows, 6, 128]
+        v0 = np.asarray(geom.v0)
+        e1 = np.asarray(geom.e1)
+        e2 = np.asarray(geom.e2)
+        lo = np.minimum(v0, np.minimum(v0 + e1, v0 + e2))
+        hi = np.maximum(v0, np.maximum(v0 + e1, v0 + e2))
+        for c in range(cs.num_clusters):
+            prims = sp[c * cl.LANES:(c + 1) * cl.LANES]
+            prims = prims[prims >= 0]
+            row, lane = divmod(c, cl.LANES)
+            cl_lo = aabb[row, 0:3, lane]
+            cl_hi = aabb[row, 3:6, lane]
+            assert (lo[prims] >= cl_lo - 1e-5).all()
+            assert (hi[prims] <= cl_hi + 1e-5).all()
+
+    def test_baked_ids(self, mesh):
+        geom, tri_mat, cs, _ = mesh
+        comp = np.asarray(cs.comp)          # [C, 24, 128]
+        sp = np.asarray(cs.slot_prim).reshape(cs.num_clusters, cl.LANES)
+        np.testing.assert_array_equal(comp[:, 16, :].astype(np.int64), sp)
+        tm = np.asarray(tri_mat)
+        want = np.where(sp >= 0, tm[np.maximum(sp, 0)], -1)
+        np.testing.assert_array_equal(comp[:, 17, :].astype(np.int64), want)
+
+
+class TestClosest:
+    @pytest.mark.parametrize("early_exit", [True, False])
+    def test_matches_xla(self, mesh, early_exit):
+        geom, tri_mat, cs, rng = mesh
+        rays = make_rays(np.random.default_rng(2), 900)
+        ref = bf.intersect_closest(geom, rays, tri_mat=tri_mat, impl="xla",
+                                   chunk_size=None)
+        out = cl.closest_hit(cs, rays, interpret=True,
+                             early_exit=early_exit)
+        np.testing.assert_array_equal(out.prim_id, ref.prim_id)
+        np.testing.assert_array_equal(out.mat_id, ref.mat_id)
+        hit = np.asarray(ref.valid)
+        assert hit.any() and (~hit).any()
+        np.testing.assert_allclose(np.asarray(out.t)[hit],
+                                   np.asarray(ref.t)[hit], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.uv)[hit],
+                                   np.asarray(ref.uv)[hit], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.normal)[hit],
+                                   np.asarray(ref.normal)[hit], atol=1e-5)
+        # miss semantics: t = tmax, ids = -1
+        np.testing.assert_array_equal(np.asarray(out.mat_id)[~hit], -1)
+        np.testing.assert_allclose(np.asarray(out.t)[~hit],
+                                   np.asarray(rays.tmax)[~hit])
+
+    def test_tmax_window(self, mesh):
+        geom, tri_mat, cs, _ = mesh
+        rng = np.random.default_rng(3)
+        near = make_rays(rng, 400, tmax=0.8)
+        ref = bf.intersect_closest(geom, near, tri_mat=tri_mat, impl="xla",
+                                   chunk_size=None)
+        out = cl.closest_hit(cs, near, interpret=True)
+        np.testing.assert_array_equal(out.prim_id, ref.prim_id)
+
+
+class TestAnyHit:
+    def test_matches_xla(self, mesh):
+        geom, _, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(4), 900)
+        ref = bf.intersect_any(geom, rays, impl="xla", chunk_size=None)
+        out = cl.any_hit(cs, rays, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

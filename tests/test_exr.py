@@ -1,0 +1,91 @@
+"""EXR codec round-trips + the denoiser app's EXR file contract."""
+import numpy as np
+import pytest
+
+from optix_raytracer_tpu.io.exr import read_exr, write_exr
+from optix_raytracer_tpu.io.image import load_image, save_image
+
+
+@pytest.fixture
+def hdr(tmp_path):
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 1, (37, 53, 3)) ** 2 * 40.0).astype(np.float32)
+    return img, tmp_path
+
+
+class TestRoundTrip:
+    def test_half(self, hdr):
+        img, d = hdr
+        p = str(d / "a.exr")
+        write_exr(p, img, pixel_type="HALF")
+        back = read_exr(p)
+        assert back.shape == img.shape and back.dtype == np.float32
+        # half has 11 bits of mantissa; atol covers subnormal tinies
+        np.testing.assert_allclose(back, img, rtol=1.5e-3, atol=1e-6)
+
+    def test_float_exact(self, hdr):
+        img, d = hdr
+        p = str(d / "a.exr")
+        write_exr(p, img, pixel_type="FLOAT")
+        np.testing.assert_array_equal(read_exr(p), img)
+
+    def test_channel_names_and_order(self, hdr):
+        img, d = hdr
+        p = str(d / "a.exr")
+        write_exr(p, img, pixel_type="FLOAT")
+        layers = read_exr(p, layers=True)
+        assert set(layers) == {"R", "G", "B"}
+        np.testing.assert_array_equal(layers["G"], img[..., 1])
+
+    def test_two_channel_flow(self, hdr):
+        _, d = hdr
+        flow = np.random.default_rng(1).normal(
+            size=(16, 24, 2)).astype(np.float32)
+        p = str(d / "flow.exr")
+        write_exr(p, flow, channels=("R", "G"), pixel_type="FLOAT")
+        back = read_exr(p)
+        np.testing.assert_array_equal(back, flow)
+
+    def test_single_channel(self, hdr):
+        _, d = hdr
+        y = np.arange(12.0, dtype=np.float32).reshape(3, 4)
+        p = str(d / "y.exr")
+        write_exr(p, y, pixel_type="FLOAT")
+        np.testing.assert_array_equal(read_exr(p)[..., 0], y)
+
+    def test_negative_and_special_values(self, hdr):
+        _, d = hdr
+        img = np.array([[[-1.5, 0.0, 65504.0]]], np.float32)
+        p = str(d / "n.exr")
+        write_exr(p, img, pixel_type="HALF")
+        np.testing.assert_array_equal(read_exr(p), img)
+
+    def test_image_io_dispatch(self, hdr):
+        img, d = hdr
+        p = str(d / "via_image.exr")
+        save_image(p, img)
+        back = load_image(p)
+        np.testing.assert_allclose(back, img, rtol=1.5e-3, atol=1e-6)
+
+    def test_rejects_non_exr(self, hdr):
+        _, d = hdr
+        p = str(d / "bogus.exr")
+        with open(p, "wb") as f:
+            f.write(b"not an exr at all")
+        with pytest.raises(ValueError):
+            read_exr(p)
+
+
+class TestDenoiserAppContract:
+    def test_exr_in_exr_out(self, hdr, tmp_path):
+        from optix_raytracer_tpu.apps import denoiser as app
+        img, _ = hdr
+        beauty = str(tmp_path / "beauty.exr")
+        albedo = str(tmp_path / "albedo.exr")
+        out = str(tmp_path / "out.exr")
+        write_exr(beauty, img)
+        write_exr(albedo, np.full_like(img, 0.5))
+        app.main([beauty, "-a", albedo, "-o", out, "-i", "2"])
+        den = read_exr(out)
+        assert den.shape == img.shape
+        assert np.isfinite(den).all()
