@@ -28,25 +28,49 @@ from .geometry import TriangleGeometry
 
 @struct.dataclass
 class InstanceTable:
-    """SoA instance array over ONE shared GAS (the common reference pattern:
-    optixMotionGeometry/meshes instancing a geometry per node)."""
+    """SoA instance array over one shared (concatenated) GAS.
+
+    Each instance references a STATIC triangle range [prim_lo, prim_hi) of
+    the shared geometry — the analogue of one `OptixInstance` pointing at
+    its mesh's GAS handle (`Scene.cpp:1150`, instance.traversableHandle).
+    Ranges are static python ints so per-instance traversal slices the
+    geometry at trace time with no masking cost; transforms stay traced
+    arrays, so per-frame IAS matrix updates (`optixDynamicGeometry.cpp`
+    updateMeshAccel's IAS refresh) are functional replaces — no rebuild.
+    """
     transform: jnp.ndarray      # [I, 3, 4] object→world
     inv_transform: jnp.ndarray  # [I, 3, 4] world→object
     sbt_offset: jnp.ndarray     # [I] int32
     instance_id: jnp.ndarray    # [I] int32 (user-visible id)
+    prim_ranges: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num(self):
         return self.transform.shape[0]
 
+    @classmethod
+    def empty(cls):
+        return cls(transform=jnp.zeros((0, 3, 4), jnp.float32),
+                   inv_transform=jnp.zeros((0, 3, 4), jnp.float32),
+                   sbt_offset=jnp.zeros((0,), jnp.int32),
+                   instance_id=jnp.zeros((0,), jnp.int32),
+                   prim_ranges=())
+
 
 def make_instances(transforms: Sequence, sbt_offsets=None,
-                   instance_ids=None) -> InstanceTable:
+                   instance_ids=None, prim_ranges=None,
+                   num_prims: Optional[int] = None) -> InstanceTable:
+    """Build an instance table. prim_ranges: per-instance (lo, hi) triangle
+    range into the shared GAS; defaults to the whole geometry (requires
+    num_prims when ranges are omitted and the table is used for tracing)."""
     import numpy as np
     transforms = jnp.asarray(np.stack([np.asarray(t, np.float32)[:3, :4]
                                        for t in transforms]))
     n = transforms.shape[0]
     inv = xf.inverse(transforms)
+    if prim_ranges is None:
+        prim_ranges = (((0, num_prims),) * n if num_prims is not None
+                       else ())
     return InstanceTable(
         transform=transforms,
         inv_transform=inv,
@@ -54,6 +78,24 @@ def make_instances(transforms: Sequence, sbt_offsets=None,
                                else jnp.zeros(n, jnp.int32), jnp.int32),
         instance_id=jnp.asarray(instance_ids if instance_ids is not None
                                 else jnp.arange(n), jnp.int32),
+        prim_ranges=tuple((int(lo), int(hi)) for lo, hi in prim_ranges),
+    )
+
+
+def slice_geometry(geom: TriangleGeometry, lo: int, hi: int):
+    """Static triangle-range view [lo, hi) of a concatenated geometry —
+    the per-instance GAS handle. Pure slicing, no copies under jit."""
+    return TriangleGeometry(
+        vertices=geom.vertices,            # shared vertex pool
+        indices=geom.indices[lo:hi],
+        v0=geom.v0[lo:hi], e1=geom.e1[lo:hi], e2=geom.e2[lo:hi],
+        face_normal=geom.face_normal[lo:hi],
+        w_mat=geom.w_mat[:, 3 * lo:3 * hi],
+        w_off=geom.w_off[3 * lo:3 * hi],
+        valid=geom.valid[lo:hi],
+        tri_consts=geom.tri_consts[lo:hi],
+        corner_normal=geom.corner_normal[lo:hi],
+        corner_uv=geom.corner_uv[lo:hi],
     )
 
 
@@ -71,14 +113,19 @@ def intersect_instances(geom: TriangleGeometry, instances: InstanceTable,
     best = Hits.none((n,), tmax=1e16)
     best = best.replace(t=rays.tmax)
 
+    ranges = instances.prim_ranges or ((0, geom.num_triangles),) * instances.num
     for i in range(instances.num):
+        lo, hi = ranges[i]
+        sub = slice_geometry(geom, lo, hi)
+        sub_mat = None if tri_mat is None else tri_mat[lo:hi]
         inv = instances.inv_transform[i]
         o = xf.apply_point(jnp.broadcast_to(inv, (n, 3, 4)), rays.origin)
         d = xf.apply_vector(jnp.broadcast_to(inv, (n, 3, 4)), rays.direction)
         obj_rays = Rays(origin=o, direction=d, tmin=rays.tmin,
                         tmax=best.t)          # current-best culls later work
-        h = bf.intersect_closest(geom, obj_rays, tri_mat=tri_mat,
+        h = bf.intersect_closest(sub, obj_rays, tri_mat=sub_mat,
                                  chunk_size=chunk_size)
+        h = h.replace(prim_id=jnp.where(h.valid, h.prim_id + lo, -1))
         closer = h.valid & (h.t < best.t)
         # transform the normal back to world (inverse-transpose of object→world
         # linear part = transpose of inv's linear part applied as apply_normal)
@@ -100,3 +147,23 @@ def intersect_instances(geom: TriangleGeometry, instances: InstanceTable,
     miss = best.prim_id < 0
     return best.replace(mat_id=jnp.where(miss, -1, best.mat_id),
                         t=jnp.where(miss, rays.tmax, best.t))
+
+
+def intersect_instances_any(geom: TriangleGeometry,
+                            instances: InstanceTable, rays: Rays,
+                            chunk_size: Optional[int] = None):
+    """Occlusion query through the two-level structure → bool [N]
+    (terminate-on-first-hit semantics per instance)."""
+    n = rays.tmin.shape[0]
+    occ = jnp.zeros((n,), bool)
+    ranges = instances.prim_ranges or ((0, geom.num_triangles),) * instances.num
+    for i in range(instances.num):
+        lo, hi = ranges[i]
+        sub = slice_geometry(geom, lo, hi)
+        inv = instances.inv_transform[i]
+        o = xf.apply_point(jnp.broadcast_to(inv, (n, 3, 4)), rays.origin)
+        d = xf.apply_vector(jnp.broadcast_to(inv, (n, 3, 4)), rays.direction)
+        obj_rays = Rays(origin=o, direction=d, tmin=rays.tmin,
+                        tmax=rays.tmax)
+        occ = occ | bf.intersect_any(sub, obj_rays, chunk_size=chunk_size)
+    return occ

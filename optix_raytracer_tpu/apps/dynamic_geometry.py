@@ -70,14 +70,69 @@ def render_frame(handle, time_val, base_verts, width, height, samples=4):
     return film.accum, handle
 
 
+def render_frames_ias(width, height, frames, samples=4):
+    """The sample's OTHER dynamic mode: the geometry never changes — only
+    the per-instance IAS matrices do (`optixDynamicGeometry.cpp` IAS
+    update). The DeviceScene is built ONCE; each frame functionally
+    replaces the instance table (no GAS rebuild, no refit)."""
+    from ..accel.tlas import make_instances
+    from ..scene.scene import Scene
+
+    s = Scene()
+    s.add_material({"kind": mat.DIFFUSE, "base_color": (0.4, 0.6, 0.9)})
+    s.add_material({"kind": mat.DIFFUSE, "base_color": (0.9, 0.5, 0.3)})
+    verts, idx = make_grid_mesh(n=8, size=1.0)
+    mi = s.add_mesh(verts, idx, material=0)
+    s.add_instance(mi)
+    s.add_instance(mi, sbt_offset=1)
+    light = ParallelogramLight.make((-0.5, 2.0, -0.5), (1.0, 0, 0),
+                                    (0, 0, 1.0), (8.0, 8.0, 8.0))
+    scene = s.finalize(area_light=light)
+    cam = Camera(eye=(0, 2.2, 3.2), lookat=(0, 0, 0), fov_y=35,
+                 aspect=width / height).params()
+
+    def xform(dx, dy, angle):
+        c, sn = np.cos(angle), np.sin(angle)
+        t = np.eye(4, dtype=np.float32)
+        t[0, 0] = c
+        t[0, 2] = sn
+        t[2, 0] = -sn
+        t[2, 2] = c
+        t[:3, 3] = (dx, dy, 0.0)
+        return t
+
+    accum = None
+    for f in range(frames):
+        a = 0.5 * f
+        table = make_instances([xform(-0.7, 0.15 * np.sin(a), a),
+                                xform(0.7, 0.15 * np.cos(a), -a)],
+                               sbt_offsets=np.asarray([0, 1], np.int32),
+                               prim_ranges=scene.instances.prim_ranges)
+        frame_scene = scene.replace(instances=table)   # matrices only
+        film = film_mod.Film.create(height, width)
+        film, _ = render_accumulate(frame_scene, cam, film, width, height,
+                                    samples_per_launch=samples, max_depth=2,
+                                    chunk_size=None)
+        accum = film.accum
+    return accum
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="animated geometry + GAS refit (optixDynamicGeometry)")
     p.add_argument("--file", default="dynamic.png")
     p.add_argument("--dim", default="512x512")
     p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--ias", action="store_true",
+                   help="animate instance matrices instead of vertices "
+                        "(IAS update — geometry built once)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.dim.split("x"))
+    if args.ias:
+        accum = render_frames_ias(w, h, args.frames)
+        save_image(args.file, np.asarray(film_mod.make_color(accum)))
+        print(f"wrote {args.file} (IAS mode, frame {args.frames - 1})")
+        return
     base_verts, idx = make_grid_mesh()
     handle = build_gas(base_verts, idx)
     accum = None

@@ -20,6 +20,7 @@ from ..accel.geometry import TriangleGeometry, build_triangle_geometry
 from ..accel.lbvh import LBVH, build_lbvh
 from ..accel.pallas_bf import MAX_SMEM_TRIS
 from ..accel.primitives import CustomPrims
+from ..accel.tlas import InstanceTable
 from ..shade.lights import LightTable, ParallelogramLight
 from ..shade.materials import MaterialTable, make_material_table
 
@@ -39,6 +40,12 @@ class DeviceScene:
     # Triangle clusters for the Pallas large-mesh traversal (accel/clusters
     # .py); built for meshes past the fused kernel's SMEM budget.
     clusters: ClusterSet = struct.field(default_factory=ClusterSet.empty)
+    # Two-level structure: when non-empty, `geom` is the OBJECT-space
+    # concatenation of the instanced meshes and traversal goes through the
+    # IAS path (accel/tlas.py) — per-frame instance matrix updates are
+    # functional replaces, no geometry rebuild (`Scene.cpp:1134-1213`).
+    instances: InstanceTable = struct.field(
+        default_factory=InstanceTable.empty)
     # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
     # pass-through in the integrators. Determined at scene-build time.
     features: tuple = struct.field(pytree_node=False, default=())
@@ -62,6 +69,10 @@ class DeviceScene:
     @property
     def has_clusters(self):
         return self.clusters.num_clusters > 0
+
+    @property
+    def has_instances(self):
+        return self.instances.num > 0
 
     @property
     def has_textures(self):
@@ -100,7 +111,9 @@ def make_device_scene(vertices, indices, tri_mat, materials,
                       area_light: Optional[ParallelogramLight] = None,
                       lights=(), prims: Optional[CustomPrims] = None,
                       miss_color=(0.0, 0.0, 0.0), normals=None, uvs=None,
-                      textures=(), with_bvh: bool = False) -> DeviceScene:
+                      textures=(), with_bvh: bool = False,
+                      instances: Optional[InstanceTable] = None
+                      ) -> DeviceScene:
     if area_light is None:
         area_light = ParallelogramLight.make(
             (0, 0, 0), (1, 0, 0), (0, 0, 1), (0.0, 0.0, 0.0))
@@ -118,9 +131,10 @@ def make_device_scene(vertices, indices, tri_mat, materials,
             bvh = build_lbvh(geom)
     # Cluster table for the Pallas large-mesh traversal: any mesh past the
     # fused kernel's SMEM budget, up to the VMEM-resident cluster cap.
+    # (Instanced scenes traverse through the IAS path instead.)
     clusters = None
     n_tris = geom.num_triangles
-    if (n_tris > MAX_SMEM_TRIS
+    if (instances is None and n_tris > MAX_SMEM_TRIS
             and -(-n_tris // _CLUSTER_LANES) <= MAX_CLUSTERS):
         clusters = build_clusters(geom, tri_mat_arr)
     features = []
@@ -147,6 +161,8 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         geom=geom,
         bvh=bvh if bvh is not None else LBVH.empty(),
         clusters=clusters if clusters is not None else ClusterSet.empty(),
+        instances=(instances if instances is not None
+                   else InstanceTable.empty()),
         tri_mat=tri_mat_arr,
         prims=prims if prims is not None else CustomPrims.empty(),
         materials=(materials if isinstance(materials, MaterialTable)

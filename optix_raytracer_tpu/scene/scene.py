@@ -43,6 +43,9 @@ class Scene:
         self.textures: list[np.ndarray] = []
         self.cameras: list[Camera] = []
         self.lights: list[dict] = []
+        # (mesh_index, 4x4 transform, sbt_offset) — explicit IAS instances
+        # over shared meshes (Scene.cpp:1134-1213 buildInstanceAccel).
+        self.instances: list[tuple] = []
         self.miss_color = (0.05, 0.05, 0.12)
 
     # --- builders (Scene.h:86-103 addMesh/addMaterial/addImage/addCamera) ---
@@ -69,6 +72,19 @@ class Scene:
 
     def add_camera(self, camera: Camera):
         self.cameras.append(camera)
+
+    def add_instance(self, mesh_index: int, transform=None,
+                     sbt_offset: int = 0) -> int:
+        """Instance a previously added mesh under a world transform — one
+        `OptixInstance` (`optix_types.h:970-1010`). Once any instance
+        exists, finalize() keeps meshes in object space and emits the
+        two-level (IAS over shared GAS) DeviceScene: instance transforms
+        can then be updated per frame with a functional replace, no
+        geometry rebuild."""
+        t = (np.eye(4, dtype=np.float32) if transform is None
+             else np.asarray(transform, np.float32))
+        self.instances.append((int(mesh_index), t, int(sbt_offset)))
+        return len(self.instances) - 1
 
     def add_light(self, light: dict):
         self.lights.append(dict(light))
@@ -146,6 +162,8 @@ class Scene:
     # --- finalize (Scene.cpp:667-690) ---
     def finalize(self, lights=None, area_light=None,
                  with_bvh: Optional[bool] = None) -> DeviceScene:
+        if self.instances:
+            return self._finalize_instanced(lights, area_light)
         all_pos, all_idx, all_n, all_uv, tri_mat = [], [], [], [], []
         base = 0
         for m in self.meshes:
@@ -208,3 +226,60 @@ class Scene:
             miss_color=self.miss_color,
             normals=normals, uvs=uvs, textures=self.textures,
             with_bvh=with_bvh)
+
+    def _finalize_instanced(self, lights, area_light) -> DeviceScene:
+        """Two-level finalize: meshes stay in OBJECT space (their own
+        MeshEntry.transform baked as a pre-transform), shared GAS =
+        concatenation of the referenced meshes, and every instance points
+        at its mesh's static triangle range. Meshes not referenced by any
+        instance get an implicit identity instance so mixed scenes work —
+        the `buildInstanceAccel` flow of `Scene.cpp:1134-1213`."""
+        from ..accel.tlas import make_instances
+
+        inst = list(self.instances)
+        used = {mi for mi, _, _ in inst}
+        for mi in range(len(self.meshes)):
+            if mi not in used:
+                inst.append((mi, np.eye(4, dtype=np.float32), 0))
+
+        order = sorted({mi for mi, _, _ in inst})
+        ranges = {}
+        all_pos, all_idx, all_n, all_uv, tri_mat = [], [], [], [], []
+        vbase = 0
+        tbase = 0
+        for mi in order:
+            m = self.meshes[mi]
+            rot = m.transform[:3, :3]
+            obj = m.positions @ rot.T + m.transform[:3, 3]
+            all_pos.append(obj.astype(np.float32))
+            all_idx.append(m.indices + vbase)
+            if m.normals is not None:
+                inv_t = np.linalg.inv(rot).T
+                n = m.normals @ inv_t.T
+                n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True),
+                                1e-20)
+            else:
+                n = np.zeros_like(obj)
+                n[:, 2] = 1.0
+            all_n.append(n)
+            all_uv.append(m.uvs if m.uvs is not None
+                          else np.zeros((len(obj), 2), np.float32))
+            tri_mat.append(np.full(len(m.indices), m.material, np.int32))
+            ranges[mi] = (tbase, tbase + len(m.indices))
+            vbase += len(m.positions)
+            tbase += len(m.indices)
+
+        table = make_instances(
+            [t for _, t, _ in inst],
+            sbt_offsets=np.asarray([s for _, _, s in inst], np.int32),
+            prim_ranges=[ranges[mi] for mi, _, _ in inst])
+
+        return make_device_scene(
+            np.concatenate(all_pos), np.concatenate(all_idx),
+            np.concatenate(tri_mat),
+            self.materials or [{"kind": mats.DIFFUSE}],
+            lights=lights if lights is not None else self.lights,
+            area_light=area_light,
+            miss_color=self.miss_color,
+            normals=np.concatenate(all_n), uvs=np.concatenate(all_uv),
+            textures=self.textures, with_bvh=False, instances=table)

@@ -183,8 +183,12 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                                   jnp.minimum(jnp.maximum(hits.prim_id, 0),
                                               scene.num_triangles - 1),
                                   hits.uv)
-            geom_n = jnp.where(is_tri[..., None], frame["shading_normal"],
-                               geom_n)
+            if not scene.has_instances:
+                # Instanced scenes keep the intersector's (world-space)
+                # normal: corner normals live in object space and each hit
+                # would need its instance transform applied.
+                geom_n = jnp.where(is_tri[..., None],
+                                   frame["shading_normal"], geom_n)
             surf_uv = jnp.where(is_tri[..., None], frame["uv"], hits.uv)
             if scene.has_textures:
                 from ..shade.texture import sample_bilinear

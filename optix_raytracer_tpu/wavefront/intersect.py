@@ -48,7 +48,13 @@ def _flat_call(fn, rays: Rays):
 
 def scene_closest(scene: DeviceScene, rays: Rays,
                   chunk_size: Optional[int] = None) -> Hits:
-    if _use_clusters(scene):
+    if scene.has_instances:
+        from ..accel import tlas
+        hits = _flat_call(
+            lambda r: tlas.intersect_instances(
+                scene.geom, scene.instances, r, tri_mat=scene.tri_mat,
+                chunk_size=chunk_size), rays)
+    elif _use_clusters(scene):
         hits = _flat_call(
             lambda r: cluster_mod.closest_hit(scene.clusters, r), rays)
     elif _use_bvh(scene):
@@ -67,7 +73,13 @@ def scene_any(scene: DeviceScene, rays: Rays,
               chunk_size: Optional[int] = None):
     if scene.has_cutouts:
         return _scene_any_alpha(scene, rays, chunk_size)
-    if _use_clusters(scene):
+    if scene.has_instances:
+        from ..accel import tlas
+        occ = _flat_call(
+            lambda r: tlas.intersect_instances_any(
+                scene.geom, scene.instances, r, chunk_size=chunk_size),
+            rays)
+    elif _use_clusters(scene):
         occ = _flat_call(
             lambda r: cluster_mod.any_hit(scene.clusters, r), rays)
     elif _use_bvh(scene):
