@@ -126,16 +126,21 @@ def cutout_hole_mask(scene: DeviceScene, hits: Hits):
 
 
 def _scene_any_alpha(scene: DeviceScene, rays: Rays, chunk_size,
-                     max_steps: int = 4):
-    """Occlusion with alpha-mask pass-through: step through up to
-    `max_steps` masked surfaces before declaring the ray blocked (the
-    reference re-enters the anyhit program per masked hit)."""
+                     max_steps: int = 64):
+    """Occlusion with alpha-mask pass-through: re-enter past masked
+    surfaces until every ray is resolved (the reference's anyhit program
+    re-enters unboundedly, `optixCutouts.cu:295,337`).
+
+    A `lax.while_loop` exits as soon as all rays are done, so typical
+    scenes pay for the 1-3 surfaces they actually cross; `max_steps` is
+    only the infinite-loop backstop (a ray threading more than 64 masked
+    surfaces is conservatively declared blocked, and the bound is covered
+    by a test at tests/test_intersect.py)."""
+    import jax
     import jax.numpy as jnp
 
-    occluded = jnp.zeros(rays.tmin.shape, bool)
-    done = jnp.zeros(rays.tmin.shape, bool)
-    cur = rays
-    for _ in range(max_steps):
+    def body(state):
+        k, cur, occluded, done = state
         hits = scene_closest(scene, cur, chunk_size=chunk_size)
         hole = cutout_hole_mask(scene, hits)
         solid = hits.valid & ~hole
@@ -146,4 +151,14 @@ def _scene_any_alpha(scene: DeviceScene, rays: Rays, chunk_size,
         cur = Rays(origin=cur.origin, direction=cur.direction,
                    tmin=jnp.where(done, cur.tmin, new_tmin),
                    tmax=cur.tmax)
-    return occluded
+        return k + 1, cur, occluded, done
+
+    def cond(state):
+        k, _, _, done = state
+        return (k < max_steps) & jnp.any(~done)
+
+    zeros = jnp.zeros(rays.tmin.shape, bool)
+    k, _, occluded, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rays, zeros, zeros))
+    # Backstop: unresolved rays after max_steps count as blocked.
+    return occluded | ~done

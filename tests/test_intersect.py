@@ -132,3 +132,58 @@ class TestBruteForce:
         frame = shading_frame(geom, jnp.array([0]), jnp.array([[0.25, 0.5]]))
         np.testing.assert_allclose(frame["position"], [[0.5, 1.0, 0.0]], atol=1e-6)
         np.testing.assert_allclose(frame["normal"], [[0, 0, 1.0]], atol=1e-6)
+
+
+class TestAlphaShadowDepth:
+    """scene_any must re-enter past MANY masked surfaces (the old 4-step
+    unroll silently declared deep stacks blocked)."""
+
+    def _stack_scene(self, n_masked, with_solid):
+        import numpy as np
+        from optix_raytracer_tpu.scene.device_scene import make_device_scene
+        from optix_raytracer_tpu.shade import materials as mats
+
+        verts, idx, tri_mat, uvs = [], [], [], []
+        def quad(z, m):
+            b = len(verts)
+            verts.extend([(0, 0, z), (1, 0, z), (1, 1, z), (0, 1, z)])
+            uvs.extend([(0, 0), (1, 0), (1, 1), (0, 1)])
+            idx.extend([(b, b + 1, b + 2), (b, b + 2, b + 3)])
+            tri_mat.extend([m, m])
+        for i in range(n_masked):
+            quad(1.0 + i, 0)
+        if with_solid:
+            quad(1.0 + n_masked + 1.0, 1)
+        materials = [
+            {"kind": mats.DIFFUSE, "base_color": (0.5, 0.5, 0.5),
+             "cutout": mats.CUT_CHECKER, "alpha_mode": mats.ALPHA_MASK,
+             "checker_scale": 2.0},
+            {"kind": mats.DIFFUSE, "base_color": (0.5, 0.5, 0.5)},
+        ]
+        return make_device_scene(
+            np.asarray(verts, np.float32), np.asarray(idx, np.int32),
+            np.asarray(tri_mat, np.int32), materials,
+            uvs=np.asarray(uvs, np.float32))
+
+    def _shoot(self, scene, x, y):
+        import jax.numpy as jnp
+        from optix_raytracer_tpu.core.rays import Rays
+        from optix_raytracer_tpu.wavefront.intersect import scene_any
+        o = jnp.asarray([[x, y, 0.0]], jnp.float32)
+        d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+        return bool(scene_any(scene, Rays.make(o, d, tmin=1e-3,
+                                               tmax=100.0))[0])
+
+    def test_escapes_through_ten_masked_surfaces(self):
+        scene = self._stack_scene(10, with_solid=False)
+        # (0.2, 0.2): checker cell (0,0) -> hole in every stacked quad
+        assert self._shoot(scene, 0.2, 0.2) is False
+
+    def test_solid_behind_deep_stack_blocks(self):
+        scene = self._stack_scene(10, with_solid=True)
+        assert self._shoot(scene, 0.2, 0.2) is True
+
+    def test_solid_checker_cell_blocks_immediately(self):
+        scene = self._stack_scene(10, with_solid=False)
+        # (0.7, 0.2): checker cell (1,0) -> opaque
+        assert self._shoot(scene, 0.7, 0.2) is True
