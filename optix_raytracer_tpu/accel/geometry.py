@@ -46,6 +46,9 @@ class TriangleGeometry:
     #   [12:15] unit face normal, [15] pad
     corner_normal: jnp.ndarray  # [M, 3, 3] per-corner shading normals
     corner_uv: jnp.ndarray      # [M, 3, 2] per-corner texture coordinates
+    tangent: jnp.ndarray        # [M, 3] uv-aligned tangent (normal mapping)
+    uv_density: jnp.ndarray     # [M] sqrt(uv area / world area) — ray-cone
+    #   footprint → texel footprint conversion for mip selection
 
     @property
     def num_triangles(self) -> int:
@@ -108,11 +111,24 @@ def build_triangle_geometry(vertices, indices, normals=None,
     else:
         corner_uv = jnp.zeros((M, 3, 2), jnp.float32)
 
+    # Tangent frame + uv density (normal mapping and ray-cone mip LOD,
+    # the derivative data `MaterialData.h` textures get from rasterizers).
+    duv1 = corner_uv[:, 1] - corner_uv[:, 0]             # [M, 2]
+    duv2 = corner_uv[:, 2] - corner_uv[:, 0]
+    det = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tangent_raw = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) / safe_det[:, None]
+    # fall back to an arbitrary edge-aligned tangent for degenerate uvs
+    tangent = jnp.where((jnp.abs(det) < 1e-12)[:, None], e1, tangent_raw)
+    tangent = normalize(tangent)
+    world_area2 = jnp.sqrt(jnp.maximum(n_len2, 1e-24))   # 2 * area
+    uv_density = jnp.sqrt(jnp.abs(det) / world_area2)
+
     return TriangleGeometry(
         vertices=vertices, indices=indices, v0=v0, e1=e1, e2=e2,
         face_normal=face_normal, w_mat=w_mat, w_off=w_off, valid=valid,
         tri_consts=tri_consts, corner_normal=corner_normal,
-        corner_uv=corner_uv,
+        corner_uv=corner_uv, tangent=tangent, uv_density=uv_density,
     )
 
 

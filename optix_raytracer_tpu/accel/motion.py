@@ -53,6 +53,11 @@ class MotionTriangles:
         return cls(v0_0=a[0], e1_0=a[1], e2_0=a[2],
                    v0_1=b[0], e1_1=b[1], e2_1=b[2])
 
+    @classmethod
+    def empty(cls):
+        z = jnp.zeros((0, 3), jnp.float32)
+        return cls(v0_0=z, e1_0=z, e2_0=z, v0_1=z, e1_1=z, e2_1=z)
+
     @property
     def num_triangles(self):
         return self.v0_0.shape[0]

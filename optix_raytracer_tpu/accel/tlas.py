@@ -96,6 +96,8 @@ def slice_geometry(geom: TriangleGeometry, lo: int, hi: int):
         tri_consts=geom.tri_consts[lo:hi],
         corner_normal=geom.corner_normal[lo:hi],
         corner_uv=geom.corner_uv[lo:hi],
+        tangent=geom.tangent[lo:hi],
+        uv_density=geom.uv_density[lo:hi],
     )
 
 

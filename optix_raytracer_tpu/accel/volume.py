@@ -33,6 +33,12 @@ class DensityGrid:
     def res(self):
         return self.density.shape[0]
 
+    @classmethod
+    def empty(cls):
+        return cls(density=jnp.zeros((1, 1, 1), jnp.float32),
+                   lo=jnp.zeros((3,), jnp.float32),
+                   hi=jnp.ones((3,), jnp.float32))
+
 
 def sample_grid(grid: DensityGrid, pts):
     """Trilinear density at world points [..., 3] (0 outside)."""
@@ -56,6 +62,75 @@ def sample_grid(grid: DensityGrid, pts):
     val = ((c00 * (1 - fy) + c10 * fy) * (1 - fz)
            + (c01 * (1 - fy) + c11 * fy) * fz)
     return jnp.where(inside, val, 0.0)
+
+
+def _segment_window(grid: DensityGrid, origin, direction, t0, t1):
+    """Clip [t0, t1] to the grid AABB → (near, span)."""
+    inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
+    a = (grid.lo - origin) * inv_d
+    b = (grid.hi - origin) * inv_d
+    t_enter = jnp.max(jnp.minimum(a, b), axis=-1)
+    t_exit = jnp.min(jnp.maximum(a, b), axis=-1)
+    near = jnp.maximum(t0, t_enter)
+    far = jnp.minimum(t1, t_exit)
+    return near, jnp.maximum(far - near, 0.0)
+
+
+def optical_depth(grid: DensityGrid, origin, direction, t0, t1,
+                  sigma_t, num_steps: int = 16):
+    """tau along the ray segment [t0, t1] (fixed-step quadrature) — the
+    transmittance estimator of `volume.cu:310` for T = exp(-tau)."""
+    near, span = _segment_window(grid, origin, direction, t0, t1)
+    dt = span / num_steps
+
+    def body(i, tau):
+        p = origin + (near + (i + 0.5) * dt)[..., None] * direction
+        return tau + sample_grid(grid, p) * dt
+
+    tau = jax.lax.fori_loop(0, num_steps,
+                            body, jnp.zeros(t0.shape, jnp.float32))
+    return tau * sigma_t
+
+
+def segment_scatter_nee(grid: DensityGrid, origin, direction, t0, t1,
+                        sigma_t, scatter_albedo, light,
+                        num_steps: int = 16, light_steps: int = 8):
+    """Single scattering along [t0, t1] toward a parallelogram area light
+    → (tau [N], inscatter [N, 3]).
+
+    Per step: isotropic phase 1/(4pi), light sampled at its center
+    (deterministic — the segment integral itself is the stochastic part via
+    pixel jitter), light-ward transmittance by a short optical-depth march.
+    The engine composites this inside the standard bounce loop — the role
+    of `optixVolumeViewer`'s in-scatter estimate (`volume.cu:310-366`).
+    """
+    near, span = _segment_window(grid, origin, direction, t0, t1)
+    dt = span / num_steps
+    lc = light.corner + 0.5 * light.v1 + 0.5 * light.v2
+
+    def body(i, carry):
+        tau, rad = carry
+        t = near + (i + 0.5) * dt
+        p = origin + t[..., None] * direction
+        dens = sample_grid(grid, p)
+        dtau = sigma_t * dens * dt
+        trans_cam = jnp.exp(-tau)
+        delta = lc - p
+        dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-12)
+        dist = jnp.sqrt(dist2)
+        wi = delta / dist[..., None]
+        ln_dl = jnp.abs(jnp.sum(light.normal * wi, axis=-1))
+        tau_l = optical_depth(grid, p, wi, jnp.zeros_like(dist), dist,
+                              sigma_t, num_steps=light_steps)
+        li = (light.emission[None, :] * (ln_dl * light.area / dist2
+                                         / (4.0 * jnp.pi))[..., None]
+              * jnp.exp(-tau_l)[..., None])
+        rad = rad + (trans_cam * scatter_albedo * dtau)[..., None] * li
+        return tau + dtau, rad
+
+    tau0 = jnp.zeros(t0.shape, jnp.float32)
+    rad0 = jnp.zeros(t0.shape + (3,), jnp.float32)
+    return jax.lax.fori_loop(0, num_steps, body, (tau0, rad0))
 
 
 def light_transmittance_grid(grid: DensityGrid, light_dir, sigma_t: float):

@@ -72,14 +72,57 @@ def render(width=512, height=512, samples=16):
     return film.accum, film
 
 
+def render_engine(width, height, samples):
+    """Motion blur through the MAIN path tracer: the moving triangle is a
+    2-key motion GAS traced with per-path shutter times inside the standard
+    launch (the sample's motion options on the accel build), next to a
+    static floor + area light."""
+    from ..scene.device_scene import make_device_scene
+    from ..shade import materials as mat
+    from ..shade.lights import ParallelogramLight
+    from ..wavefront.engine import render_accumulate
+
+    verts0 = np.array([[-1.2, -0.4, 0], [-0.4, -0.4, 0], [-0.8, 0.5, 0]],
+                      np.float32)
+    verts1 = verts0 + np.array([1.4, 0.0, 0.0], np.float32)
+    floor = np.array([[-3, -0.6, -3], [3, -0.6, -3], [3, -0.6, 3],
+                      [-3, -0.6, 3]], np.float32)
+    idx_f = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    light = ParallelogramLight.make((-1, 3.0, -1), (2, 0, 0), (0, 0, 2),
+                                    (10.0, 10.0, 10.0))
+    scene = make_device_scene(
+        floor, idx_f, np.zeros(2, np.int32),
+        [{"kind": mat.DIFFUSE, "base_color": (0.6, 0.6, 0.65)},
+         {"kind": mat.DIFFUSE, "base_color": (0.9, 0.4, 0.2)}],
+        area_light=light,
+        motion={"verts0": verts0, "verts1": verts1,
+                "indices": np.array([[0, 1, 2]], np.int32), "tri_mat": 1})
+    cam = Camera(eye=(0, 0.6, 3.2), lookat=(0, -0.1, 0), fov_y=45,
+                 aspect=width / height).params()
+    film = film_mod.Film.create(height, width)
+    film, _ = render_accumulate(scene, cam, film, width, height,
+                                samples_per_launch=samples, max_depth=2,
+                                chunk_size=None)
+    return film.accum, film
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="motion blur (optixSimpleMotionBlur)")
     p.add_argument("--file", default="motionblur.png")
     p.add_argument("--dim", default="512x512")
     p.add_argument("--samples", type=int, default=32)
+    p.add_argument("--engine", action="store_true",
+                   help="trace the motion GAS through the main path "
+                        "tracer (per-path shutter times)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.dim.split("x"))
+    if args.engine:
+        accum, film = render_engine(w, h, samples=args.samples)
+        save_image(args.file, np.asarray(film_mod.make_color(accum)))
+        print(f"wrote {args.file} (engine mode, {int(film.subframe)} "
+              "time samples)")
+        return
     accum, film = render(w, h, samples=args.samples)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
     print(f"wrote {args.file} ({int(film.subframe)} time samples)")

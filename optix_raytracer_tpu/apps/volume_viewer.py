@@ -66,6 +66,37 @@ def render(width=512, height=512, samples=4, res=64, num_steps=96):
     return film.accum, film
 
 
+def render_engine(width, height, samples, res=48, max_depth=3):
+    """Mesh + volume through the MAIN path tracer: a pyroclastic cloud
+    inside the Cornell box rendered by render_accumulate — the composited
+    mesh+volume scene of the reference (`volume.cu:284-366` inside the
+    standard launch), with transmittance-weighted NEE."""
+    from ..scene.builtins import (CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1,
+                                  CORNELL_LIGHT_V2, CORNELL_LIGHT_EMISSION,
+                                  CORNELL_MATERIALS, _CORNELL_QUADS,
+                                  cornell_camera, quads_to_triangles)
+    from ..scene.device_scene import make_device_scene
+    from ..shade.lights import ParallelogramLight
+    from ..wavefront.engine import render_accumulate
+
+    verts, idx, tri_mat = quads_to_triangles(_CORNELL_QUADS)
+    ball = vol.pyroclastic_ball(res=res)
+    cloud = vol.DensityGrid(density=ball.density,
+                            lo=jnp.asarray([140.0, 80.0, 150.0]),
+                            hi=jnp.asarray([420.0, 360.0, 430.0]))
+    light = ParallelogramLight.make(CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1,
+                                    CORNELL_LIGHT_V2, CORNELL_LIGHT_EMISSION)
+    scene = make_device_scene(verts, idx, tri_mat, CORNELL_MATERIALS,
+                              area_light=light, volume=cloud,
+                              volume_sigma=0.02, volume_albedo=0.95)
+    cam = cornell_camera(width, height).params()
+    film = film_mod.Film.create(height, width)
+    film, _ = render_accumulate(scene, cam, film, width, height,
+                                samples_per_launch=samples,
+                                max_depth=max_depth, chunk_size=None)
+    return film.accum, film
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="fog volume (optixVolumeViewer)")
     p.add_argument("--file", default="volume.png")
@@ -73,8 +104,17 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=64, help="grid resolution")
     p.add_argument("--steps", type=int, default=96)
     p.add_argument("--samples", type=int, default=4)
+    p.add_argument("--engine", action="store_true",
+                   help="render a mesh+volume Cornell through the main "
+                        "path tracer (transmittance-weighted NEE)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.dim.split("x"))
+    if args.engine:
+        accum, film = render_engine(w, h, samples=args.samples,
+                                    res=min(args.res, 64))
+        save_image(args.file, np.asarray(film_mod.make_color(accum)))
+        print(f"wrote {args.file} (engine mode: Cornell + cloud)")
+        return
     accum, film = render(w, h, samples=args.samples, res=args.res,
                          num_steps=args.steps)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))

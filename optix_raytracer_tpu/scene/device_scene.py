@@ -18,9 +18,11 @@ from ..accel.clusters import (ClusterSet, LANES as _CLUSTER_LANES,
                               MAX_CLUSTERS, build_clusters)
 from ..accel.geometry import TriangleGeometry, build_triangle_geometry
 from ..accel.lbvh import LBVH, build_lbvh
+from ..accel.motion import MotionTriangles
 from ..accel.pallas_bf import MAX_SMEM_TRIS
 from ..accel.primitives import CustomPrims
 from ..accel.tlas import InstanceTable
+from ..accel.volume import DensityGrid
 from ..shade.lights import LightTable, ParallelogramLight
 from ..shade.materials import MaterialTable, make_material_table
 
@@ -34,8 +36,9 @@ class DeviceScene:
     lights: LightTable                   # point/ambient/directional/volumetric
     area_light: ParallelogramLight       # NEE target (emission=0 disables)
     miss_color: jnp.ndarray              # [3] constant background
-    textures: jnp.ndarray                # [T, TH, TW, 4] f32 padded stack
-    tex_size: jnp.ndarray                # [T, 2] i32 true (h, w) per texture
+    textures: jnp.ndarray                # [T, TH, TW, 4] f32 mip atlas
+    tex_size: jnp.ndarray                # [T, 2] i32 level-0 (h, w)
+    tex_mip: jnp.ndarray                 # [T, L, 4] i32 (y, x, h, w) / level
     bvh: LBVH                            # threaded LBVH (empty → brute force)
     # Triangle clusters for the Pallas large-mesh traversal (accel/clusters
     # .py); built for meshes past the fused kernel's SMEM budget.
@@ -46,6 +49,18 @@ class DeviceScene:
     # functional replaces, no geometry rebuild (`Scene.cpp:1134-1213`).
     instances: InstanceTable = struct.field(
         default_factory=InstanceTable.empty)
+    # Participating medium composited into the standard bounce loop
+    # (`optixVolumeViewer/volume.cu:284-366`): segment transmittance,
+    # single scattering toward the area light, attenuated NEE shadows.
+    volume: DensityGrid = struct.field(default_factory=DensityGrid.empty)
+    volume_params: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((2,), jnp.float32))  # sigma_t, alb
+    # 2-key motion triangles traced with per-path shutter times through the
+    # standard path (`optixSimpleMotionBlur` motion GAS).
+    motion_geom: MotionTriangles = struct.field(
+        default_factory=MotionTriangles.empty)
+    motion_tri_mat: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.int32))
     # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
     # pass-through in the integrators. Determined at scene-build time.
     features: tuple = struct.field(pytree_node=False, default=())
@@ -75,26 +90,54 @@ class DeviceScene:
         return self.instances.num > 0
 
     @property
+    def has_volume(self):
+        return "volume" in self.features
+
+    @property
+    def has_motion(self):
+        return self.motion_geom.num_triangles > 0
+
+    @property
     def has_textures(self):
         return self.textures.shape[0] > 0
 
 
-def pack_textures(images):
-    """List of [H, W, 3/4] uint8/float images → padded stack + size table.
+def _downsample2(img):
+    """2x box filter with edge replication on odd dimensions."""
+    import numpy as np
+    h, w = img.shape[:2]
+    if h > 1 and h % 2:
+        img = np.concatenate([img, img[-1:]], axis=0)
+    if w > 1 and w % 2:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+    h2 = max(1, h // 2)
+    w2 = max(1, w // 2)
+    if h == 1:
+        return 0.5 * (img[:, 0::2][:, :w2] + img[:, 1::2][:, :w2])
+    if w == 1:
+        return 0.5 * (img[0::2][:h2] + img[1::2][:h2])
+    return 0.25 * (img[0::2, 0::2][:h2, :w2] + img[1::2, 0::2][:h2, :w2]
+                   + img[0::2, 1::2][:h2, :w2] + img[1::2, 1::2][:h2, :w2])
 
-    The `cudaMallocArray`/texture-object table of `Scene.cpp:604` becomes one
-    dense [T, maxH, maxW, 4] f32 array (bilinear-gather-friendly) plus true
-    sizes. Returns (textures, tex_size).
+
+def pack_textures(images):
+    """List of [H, W, 3/4] uint8/float images → mip atlas + tables.
+
+    The `cudaMallocArray`/texture-object table of `Scene.cpp:604` becomes
+    one dense [T, H', W', 4] f32 atlas: level 0 at (0, 0); levels >= 1
+    box-filtered and stacked in a right-hand strip (the classic 1.5x-width
+    mip layout). Returns (textures, tex_size, tex_mip) where tex_size is
+    the level-0 (h, w) per texture and tex_mip [T, L, 4] i32 holds each
+    level's (y, x, h, w) atlas placement (h = 0 beyond a texture's chain).
     """
     import numpy as np
     if not images:
         return (jnp.zeros((0, 1, 1, 4), jnp.float32),
-                jnp.zeros((0, 2), jnp.int32))
-    max_h = max(im.shape[0] for im in images)
-    max_w = max(im.shape[1] for im in images)
-    out = np.zeros((len(images), max_h, max_w, 4), np.float32)
-    sizes = np.zeros((len(images), 2), np.int32)
-    for i, im in enumerate(images):
+                jnp.zeros((0, 2), jnp.int32),
+                jnp.zeros((0, 1, 4), jnp.int32))
+
+    chains = []
+    for im in images:
         im = np.asarray(im)
         if im.dtype == np.uint8:
             im = im.astype(np.float32) / 255.0
@@ -102,9 +145,35 @@ def pack_textures(images):
             im = im[..., None].repeat(3, axis=-1)
         if im.shape[-1] == 3:
             im = np.concatenate([im, np.ones_like(im[..., :1])], axis=-1)
-        out[i, :im.shape[0], :im.shape[1]] = im
-        sizes[i] = (im.shape[0], im.shape[1])
-    return jnp.asarray(out), jnp.asarray(sizes)
+        chain = [im.astype(np.float32)]
+        while max(chain[-1].shape[0], chain[-1].shape[1]) > 1:
+            chain.append(_downsample2(chain[-1]))
+        chains.append(chain)
+
+    n_levels = max(len(c) for c in chains)
+    max_h = max(c[0].shape[0] for c in chains)
+    max_w = max(c[0].shape[1] for c in chains)
+    strip_w = max(max(lv.shape[1] for lv in c[1:]) if len(c) > 1 else 0
+                  for c in chains)
+    strip_h = max(sum(lv.shape[0] for lv in c[1:]) for c in chains)
+    atlas_h = max(max_h, strip_h)
+    atlas_w = max_w + strip_w
+
+    out = np.zeros((len(images), atlas_h, atlas_w, 4), np.float32)
+    sizes = np.zeros((len(images), 2), np.int32)
+    mips = np.zeros((len(images), n_levels, 4), np.int32)
+    for i, chain in enumerate(chains):
+        h0, w0 = chain[0].shape[:2]
+        out[i, :h0, :w0] = chain[0]
+        sizes[i] = (h0, w0)
+        mips[i, 0] = (0, 0, h0, w0)
+        y = 0
+        for li, lv in enumerate(chain[1:], start=1):
+            hl, wl = lv.shape[:2]
+            out[i, y:y + hl, max_w:max_w + wl] = lv
+            mips[i, li] = (y, max_w, hl, wl)
+            y += hl
+    return jnp.asarray(out), jnp.asarray(sizes), jnp.asarray(mips)
 
 
 def make_device_scene(vertices, indices, tri_mat, materials,
@@ -112,12 +181,16 @@ def make_device_scene(vertices, indices, tri_mat, materials,
                       lights=(), prims: Optional[CustomPrims] = None,
                       miss_color=(0.0, 0.0, 0.0), normals=None, uvs=None,
                       textures=(), with_bvh: bool = False,
-                      instances: Optional[InstanceTable] = None
-                      ) -> DeviceScene:
+                      instances: Optional[InstanceTable] = None,
+                      volume: Optional[DensityGrid] = None,
+                      volume_sigma: float = 8.0, volume_albedo: float = 0.9,
+                      motion=None) -> DeviceScene:
+    """motion: optional dict(verts0, verts1, indices, tri_mat=0) — 2-key
+    moving triangles traced with per-path times through the main engine."""
     if area_light is None:
         area_light = ParallelogramLight.make(
             (0, 0, 0), (1, 0, 0), (0, 0, 1), (0.0, 0.0, 0.0))
-    tex, tex_size = pack_textures(list(textures))
+    tex, tex_size, tex_mip = pack_textures(list(textures))
     geom = build_triangle_geometry(vertices, indices, normals=normals,
                                    uvs=uvs)
     tri_mat_arr = jnp.asarray(tri_mat, jnp.int32)
@@ -156,8 +229,23 @@ def make_device_scene(vertices, indices, tri_mat, materials,
     else:
         # pre-built MaterialTable: assume every material family is possible
         features += ["glass", "mirror", "pbr"]
+    if volume is not None:
+        features.append("volume")
+    mgeom = MotionTriangles.empty()
+    mmat = jnp.zeros((0,), jnp.int32)
+    if motion is not None:
+        mgeom = MotionTriangles.make(motion["verts0"], motion["verts1"],
+                                     motion["indices"])
+        mt = motion.get("tri_mat", 0)
+        mmat = (jnp.asarray(mt, jnp.int32) if hasattr(mt, "__len__")
+                else jnp.full((mgeom.num_triangles,), int(mt), jnp.int32))
     return DeviceScene(
         features=tuple(features),
+        volume=volume if volume is not None else DensityGrid.empty(),
+        volume_params=jnp.asarray([volume_sigma, volume_albedo],
+                                  jnp.float32),
+        motion_geom=mgeom,
+        motion_tri_mat=mmat,
         geom=geom,
         bvh=bvh if bvh is not None else LBVH.empty(),
         clusters=clusters if clusters is not None else ClusterSet.empty(),
@@ -172,4 +260,5 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         miss_color=jnp.asarray(miss_color, jnp.float32),
         textures=tex,
         tex_size=tex_size,
+        tex_mip=tex_mip,
     )

@@ -45,6 +45,9 @@ class GltfMaterial:
     roughness: float = 1.0
     emissive: tuple = (0.0, 0.0, 0.0)
     base_color_texture: int = -1     # texture index
+    normal_texture: int = -1         # tangent-space normal map
+    mr_texture: int = -1             # metallic-roughness map (G=r, B=m)
+    emissive_texture: int = -1
     alpha_mode: str = "OPAQUE"
     alpha_cutoff: float = 0.5
     name: str = ""
@@ -204,6 +207,10 @@ def load_gltf(path: str) -> GltfScene:
             roughness=pbr.get("roughnessFactor", 1.0),
             emissive=tuple(m.get("emissiveFactor", (0, 0, 0))),
             base_color_texture=tex,
+            normal_texture=m.get("normalTexture", {}).get("index", -1),
+            mr_texture=pbr.get("metallicRoughnessTexture",
+                               {}).get("index", -1),
+            emissive_texture=m.get("emissiveTexture", {}).get("index", -1),
             alpha_mode=m.get("alphaMode", "OPAQUE"),
             alpha_cutoff=m.get("alphaCutoff", 0.5),
             name=m.get("name", ""),

@@ -105,6 +105,9 @@ class Scene:
                 "roughness": m.roughness,
                 "emission": tuple(m.emissive),
                 "base_tex": m.base_color_texture,
+                "normal_tex": m.normal_texture,
+                "mr_tex": m.mr_texture,
+                "emissive_tex": m.emissive_texture,
                 "alpha_mode": (mats.ALPHA_MASK if m.alpha_mode == "MASK"
                                else mats.ALPHA_BLEND if m.alpha_mode == "BLEND"
                                else mats.ALPHA_OPAQUE),

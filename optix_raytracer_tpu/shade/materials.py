@@ -50,6 +50,10 @@ class MaterialTable:
     alpha_mode: jnp.ndarray      # [K] int32
     alpha_cutoff: jnp.ndarray    # [K]
     base_tex: jnp.ndarray        # [K] int32 texture id, -1 = none
+    normal_tex: jnp.ndarray      # [K] int32 tangent-space normal map id
+    mr_tex: jnp.ndarray          # [K] int32 metallic-roughness map id
+                                 #   (glTF packing: G=roughness, B=metallic)
+    emissive_tex: jnp.ndarray    # [K] int32 emissive map id
     kr: jnp.ndarray              # [K, 3] reflectivity (whitted glass/metal)
     cutout: jnp.ndarray          # [K] int32 CUT_* mask style
 
@@ -75,11 +79,17 @@ def make_material_table(materials) -> MaterialTable:
     kind = np.zeros(K, np.int32)
     alpha_mode = np.zeros(K, np.int32)
     base_tex = np.full(K, -1, np.int32)
+    normal_tex = np.full(K, -1, np.int32)
+    mr_tex = np.full(K, -1, np.int32)
+    emissive_tex = np.full(K, -1, np.int32)
     cutout = np.zeros(K, np.int32)
     for i, m in enumerate(materials):
         kind[i] = m.get("kind", DIFFUSE)
         alpha_mode[i] = m.get("alpha_mode", ALPHA_OPAQUE)
         base_tex[i] = m.get("base_tex", -1)
+        normal_tex[i] = m.get("normal_tex", -1)
+        mr_tex[i] = m.get("mr_tex", -1)
+        emissive_tex[i] = m.get("emissive_tex", -1)
         cutout[i] = m.get("cutout", CUT_NONE)
 
     return MaterialTable(
@@ -96,6 +106,9 @@ def make_material_table(materials) -> MaterialTable:
         alpha_mode=jnp.asarray(alpha_mode),
         alpha_cutoff=plane("alpha_cutoff", 0.5),
         base_tex=jnp.asarray(base_tex),
+        normal_tex=jnp.asarray(normal_tex),
+        mr_tex=jnp.asarray(mr_tex),
+        emissive_tex=jnp.asarray(emissive_tex),
         kr=plane("kr", (0.0, 0.0, 0.0), 3),
         cutout=jnp.asarray(cutout),
     )
@@ -117,6 +130,9 @@ def gather(table: MaterialTable, mat_id):
         "checker_scale": table.checker_scale[mid],
         "kr": table.kr[mid],
         "base_tex": table.base_tex[mid],
+        "normal_tex": table.normal_tex[mid],
+        "mr_tex": table.mr_tex[mid],
+        "emissive_tex": table.emissive_tex[mid],
         "alpha_mode": table.alpha_mode[mid],
         "alpha_cutoff": table.alpha_cutoff[mid],
         "cutout": table.cutout[mid],

@@ -29,7 +29,7 @@ from .intersect import scene_any, scene_closest
 from ..core import rng as _rng
 from ..core.camera import generate_rays
 from ..core.rays import Rays
-from ..core.vecmath import dot, normalize, reflect, refract
+from ..core.vecmath import cross, dot, normalize, reflect, refract
 from ..shade import materials as mats
 from ..shade.sampling import cosine_sample_hemisphere
 from ..scene.device_scene import DeviceScene
@@ -83,7 +83,7 @@ def _pbr_pdf(n, wo, wi, roughness, p_spec):
 
 
 def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
-                      chunk_size, pbr=None):
+                      chunk_size, pbr=None, times=None):
     """Next-event estimation against the parallelogram area light.
 
     Estimator matches the reference path tracer (`optixPathTracer.cu:375-409`):
@@ -107,24 +107,36 @@ def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
     shadow_rays = Rays(origin=hit_p, direction=wi,
                        tmin=jnp.full(dist.shape, RAY_TMIN, jnp.float32),
                        tmax=dist * SHADOW_TMAX_SCALE)
-    occluded = scene_any(scene, shadow_rays, chunk_size=chunk_size)
+    occluded = scene_any(scene, shadow_rays, chunk_size=chunk_size,
+                         times=times)
+
+    # Transmittance-weighted NEE: attenuate the shadow ray through the
+    # participating medium (volume.cu:310 transmittance estimate).
+    vol_t = 1.0
+    if scene.has_volume:
+        from ..accel import volume as vol
+        tau_l = vol.optical_depth(scene.volume, hit_p, wi,
+                                  jnp.zeros_like(dist), dist,
+                                  scene.volume_params[0])
+        vol_t = jnp.exp(-tau_l)
 
     weight = jnp.where(facing & ~occluded,
-                       n_dl * ln_dl * light.area / (jnp.pi * dist2), 0.0)
+                       vol_t * n_dl * ln_dl * light.area / (jnp.pi * dist2),
+                       0.0)
     contrib = throughput_albedo * light.emission * weight[..., None]
     if pbr is not None:
         # full-BRDF estimator: T · f(wo,wi) · nDl · LnDl · A / d²
         f = _pbr_brdf(n, pbr["wo"], wi, pbr["albedo"], pbr["metallic"],
                       pbr["roughness"])
         w2 = jnp.where(facing & ~occluded,
-                       n_dl * ln_dl * light.area / dist2, 0.0)
+                       vol_t * n_dl * ln_dl * light.area / dist2, 0.0)
         contrib_pbr = pbr["throughput"] * f * light.emission * w2[..., None]
         contrib = jnp.where(pbr["is_pbr"][..., None], contrib_pbr, contrib)
     return contrib, rng
 
 
 def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
-                chunk_size: Optional[int] = 65536):
+                chunk_size: Optional[int] = 65536, pixel_spread=0.0):
     """Integrate radiance along a wavefront of camera rays → [N, 3].
 
     The per-pixel bounce loop of `optixPathTracer.cu:281-304`, restructured as
@@ -135,13 +147,23 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
     distinct kinds.
     """
     n_rays = rays.tmin.shape[0]
+    if scene.has_motion:
+        # One shutter time per path (optixSimpleMotionBlur: rays carry a
+        # random time; every segment of the path shares it).
+        path_time, _, rng = _rng.uniform2(rng)
+    else:
+        path_time = jnp.zeros((n_rays,), jnp.float32)
     state = dict(
         rays=rays,
+        time=path_time,
         throughput=jnp.ones((n_rays, 3), jnp.float32),
         radiance=jnp.zeros((n_rays, 3), jnp.float32),
         rng=rng,
         active=jnp.ones((n_rays,), bool),
         prev_specular=jnp.ones((n_rays,), bool),  # depth-0 emission counts
+        # Accumulated path length: with pixel_spread it gives the ray-cone
+        # width for mip selection (cone = spread * distance).
+        path_len=jnp.zeros((n_rays,), jnp.float32),
         # Rays actually traced (closest-hit + shadow), for Mrays/s accounting —
         # the reference's per-launch ray count is w*h*spl*(bounces+shadows).
         rays_traced=jnp.zeros((), jnp.float32),
@@ -154,8 +176,24 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         radiance = state["radiance"]
         rng = state["rng"]
 
-        hits = scene_closest(scene, rays, chunk_size=chunk_size)
+        hits = scene_closest(scene, rays, chunk_size=chunk_size,
+                             times=state["time"])
         hit_valid = hits.valid & active
+
+        # --- participating medium along this segment (volume.cu:284-366):
+        # single scattering toward the area light + transmittance applied
+        # to everything beyond the segment.
+        if scene.has_volume:
+            from ..accel import volume as vol
+            sigma_t = scene.volume_params[0]
+            v_albedo = scene.volume_params[1]
+            seg_far = jnp.where(hits.valid, hits.t, rays.tmax)
+            tau, inscatter = vol.segment_scatter_nee(
+                scene.volume, rays.origin, rays.direction, rays.tmin,
+                seg_far, sigma_t, v_albedo, scene.area_light)
+            radiance = radiance + jnp.where(active[..., None],
+                                            throughput * inscatter, 0.0)
+            throughput = throughput * jnp.exp(-tau)[..., None]
 
         # --- miss program: constant background (whitted.cu:139-147) ---
         radiance = radiance + jnp.where(
@@ -191,12 +229,54 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                                    frame["shading_normal"], geom_n)
             surf_uv = jnp.where(is_tri[..., None], frame["uv"], hits.uv)
             if scene.has_textures:
-                from ..shade.texture import sample_bilinear
-                rgba = sample_bilinear(scene.textures, scene.tex_size,
-                                       jnp.where(is_tri, m["base_tex"], -1),
-                                       surf_uv)
+                from ..shade.texture import sample_trilinear
+                pid = jnp.minimum(jnp.maximum(hits.prim_id, 0),
+                                  scene.num_triangles - 1)
+                # Ray-cone mip LOD: footprint = spread * total path length,
+                # converted to texels by the triangle's uv density.
+                cone = pixel_spread * (state["path_len"]
+                                       + jnp.where(hit_valid, hits.t, 0.0))
+                texel_scale = jnp.where(
+                    is_tri, cone * scene.geom.uv_density[pid], 0.0)
+
+                def tex(ids):
+                    return sample_trilinear(scene.textures, scene.tex_mip,
+                                            jnp.where(is_tri, ids, -1),
+                                            surf_uv,
+                                            texel_scale=texel_scale)
+
+                rgba = tex(m["base_tex"])
                 albedo_tex = rgba[..., :3]
                 tex_alpha = rgba[..., 3]
+                # metallic-roughness map (glTF packing: G=rough, B=metal,
+                # MaterialData.h:84-90 use in whitted.cu:213-224)
+                has_mr = is_tri & (m["mr_tex"] >= 0)
+                mr = tex(m["mr_tex"])
+                m["roughness"] = jnp.where(has_mr,
+                                           m["roughness"] * mr[..., 1],
+                                           m["roughness"])
+                m["metallic"] = jnp.where(has_mr,
+                                          m["metallic"] * mr[..., 2],
+                                          m["metallic"])
+                # emissive map (MaterialData.h:99-103)
+                has_em = is_tri & (m["emissive_tex"] >= 0)
+                em = tex(m["emissive_tex"])
+                m["emission"] = jnp.where(has_em[..., None],
+                                          m["emission"] * em[..., :3],
+                                          m["emission"])
+                # tangent-space normal map (MaterialData.h:62-73): TBN from
+                # the uv-aligned per-triangle tangent, Gram-Schmidt against
+                # the interpolated shading normal.
+                has_nm = is_tri & (m["normal_tex"] >= 0)
+                nm = tex(m["normal_tex"])[..., :3] * 2.0 - 1.0
+                tan = scene.geom.tangent[pid]
+                t_ = tan - geom_n * dot(tan, geom_n)[..., None]
+                t_ = t_ / jnp.maximum(
+                    jnp.linalg.norm(t_, axis=-1, keepdims=True), 1e-8)
+                b_ = cross(geom_n, t_)
+                n_mapped = normalize(t_ * nm[..., 0:1] + b_ * nm[..., 1:2]
+                                     + geom_n * nm[..., 2:3])
+                geom_n = jnp.where(has_nm[..., None], n_mapped, geom_n)
         n = geom_n * jnp.sign(-dot(geom_n, d))[..., None]
         hit_p = rays.at(hits.t)
 
@@ -249,7 +329,8 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
             scene, hit_p, n, t_albedo, rng, chunk_size,
             pbr=(dict(albedo=albedo, metallic=m["metallic"],
                       roughness=m["roughness"], wo=-d, is_pbr=is_pbr,
-                      throughput=throughput) if scene.has_pbr else None))
+                      throughput=throughput) if scene.has_pbr else None),
+            times=state["time"])
         radiance = radiance + jnp.where((hit_valid & is_diffuse)[..., None],
                                         contrib, 0.0)
 
@@ -347,11 +428,13 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
 
         return dict(
             rays=new_rays,
+            time=state["time"],
             throughput=new_throughput,
             radiance=radiance,
             rng=rng,
             active=new_active,
             prev_specular=prev_spec_next,
+            path_len=state["path_len"] + jnp.where(hit_valid, hits.t, 0.0),
             rays_traced=rays_traced,
         )
 
@@ -385,9 +468,16 @@ def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
                                 full_height=full_height, y_stride=y_stride)
     rays = jax.tree.map(
         lambda a: a.reshape((n,) + a.shape[2:]), rays)
+    # Pixel cone spread for ray-cone mip selection: vertical NDC spans
+    # 2|V| over full_h pixels of |W| focal length.
+    full_h = height if full_height is None else full_height
+    pixel_spread = (2.0 * jnp.linalg.norm(cam_params["V"])
+                    / (full_h * jnp.maximum(
+                        jnp.linalg.norm(cam_params["W"]), 1e-8)))
     radiance, _, rays_traced = trace_paths(scene, rays, rng2d.reshape(n),
                                            max_depth=max_depth,
-                                           chunk_size=chunk_size)
+                                           chunk_size=chunk_size,
+                                           pixel_spread=pixel_spread)
     return radiance.reshape(height, width, 3), rays_traced
 
 

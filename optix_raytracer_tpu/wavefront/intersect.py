@@ -46,8 +46,28 @@ def _flat_call(fn, rays: Rays):
         lambda a: a.reshape(batch_shape + a.shape[1:]), out)
 
 
+def _merge_motion_closest(scene: DeviceScene, hits: Hits, rays: Rays,
+                          times):
+    """Fold time-sampled motion-triangle hits into the static result.
+
+    Motion prim ids live past triangles AND custom prims; material ids come
+    from the motion mesh's own table (`optixSimpleMotionBlur` motion GAS in
+    the standard launch)."""
+    import jax.numpy as jnp
+    from ..accel import motion as motion_mod
+
+    if times is None:
+        times = jnp.zeros(rays.tmin.shape, jnp.float32)
+    mh = motion_mod.intersect_motion_triangles(scene.motion_geom, rays,
+                                               times)
+    mat = scene.motion_tri_mat[jnp.maximum(mh.prim_id, 0)]
+    mh = mh.replace(mat_id=jnp.where(mh.valid, mat, -1))
+    return prim_mod.merge_hits(
+        hits, mh, prim_offset=scene.num_triangles + scene.prims.num)
+
+
 def scene_closest(scene: DeviceScene, rays: Rays,
-                  chunk_size: Optional[int] = None) -> Hits:
+                  chunk_size: Optional[int] = None, times=None) -> Hits:
     if scene.has_instances:
         from ..accel import tlas
         hits = _flat_call(
@@ -66,11 +86,13 @@ def scene_closest(scene: DeviceScene, rays: Rays,
         ph = prim_mod.intersect_prims_closest(scene.prims, rays)
         hits = prim_mod.merge_hits(hits, ph,
                                    prim_offset=scene.num_triangles)
+    if scene.has_motion:
+        hits = _merge_motion_closest(scene, hits, rays, times)
     return hits
 
 
 def scene_any(scene: DeviceScene, rays: Rays,
-              chunk_size: Optional[int] = None):
+              chunk_size: Optional[int] = None, times=None):
     if scene.has_cutouts:
         return _scene_any_alpha(scene, rays, chunk_size)
     if scene.has_instances:
@@ -88,6 +110,14 @@ def scene_any(scene: DeviceScene, rays: Rays,
         occ = bf.intersect_any(scene.geom, rays, chunk_size=chunk_size)
     if scene.prims.num:
         occ = occ | prim_mod.intersect_prims_any(scene.prims, rays)
+    if scene.has_motion:
+        import jax.numpy as jnp
+        from ..accel import motion as motion_mod
+        tt = (times if times is not None
+              else jnp.zeros(rays.tmin.shape, jnp.float32))
+        mh = motion_mod.intersect_motion_triangles(scene.motion_geom, rays,
+                                                   tt)
+        occ = occ | mh.valid
     return occ
 
 
