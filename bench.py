@@ -36,10 +36,13 @@ def bench_large_mesh():
     from optix_raytracer_tpu.core.rays import Rays
     from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
 
+    from optix_raytracer_tpu.accel import native
+
     w, h = 1920, 1088
     verts, idx, normals = trefoil_mesh(200, 63)          # 25200 triangles
     geom = build_triangle_geometry(verts, idx, normals=normals)
-    cs = cl.build_clusters(geom, jnp.zeros((geom.num_triangles,), jnp.int32))
+    cs = cl.build_clusters(geom, jnp.zeros((geom.num_triangles,), jnp.int32),
+                           order=native.sah_leaf_order(geom))
 
     rays, _ = generate_rays(knot_camera(w, h).params(), w, h,
                             rng_state=None, jitter=False)
@@ -80,6 +83,9 @@ def bench_large_mesh():
     sync(occ)
     out["knot25k_anyhit_mrays"] = round(3 * n / (time.time() - t0) / 1e6, 1)
     out["knot25k_tris"] = int(geom.num_triangles)
+    stats = cl.traversal_stats(cs, flat)
+    out["knot25k_clusters_per_block"] = round(
+        stats["mean_clusters_per_block"], 2)
     return out
 
 

@@ -468,6 +468,27 @@ def closest_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
     )
 
 
+def traversal_stats(cl: ClusterSet, rays: Rays, interpret: bool = False):
+    """Traversal-work counters: how many clusters each 256-ray sub-block
+    actually walks (the step-count telemetry that lets build-quality
+    changes — SAH vs morton cluster order — be *measured*, per the
+    round-1 verdict's quality-build item). Returns a dict of python
+    floats."""
+    import numpy as np
+    n = rays.tmin.shape[0]
+    n_padded = -(-n // SUPER) * SUPER
+    packed = _pack_rays(rays, n_padded)
+    counts, _, _ = _cull(cl, packed, n_padded // SUPER,
+                         cl.num_rows * LANES, interpret)
+    c = np.asarray(counts).ravel().astype(np.float64)
+    return {
+        "mean_clusters_per_block": float(c.mean()),
+        "max_clusters_per_block": float(c.max()),
+        "mean_tris_tested_per_ray": float(c.mean() * LANES),
+        "empty_block_fraction": float((c == 0).mean()),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False):
     """Occlusion query through the cluster structure → bool [N]."""

@@ -112,3 +112,32 @@ class TestAnyHit:
         ref = bf.intersect_any(geom, rays, impl="xla", chunk_size=None)
         out = cl.any_hit(cs, rays, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestClusterOrder:
+    """SAH-leaf cluster order: identical hits, measurably better culling."""
+
+    def test_sah_order_hits_match_and_cull_no_worse(self):
+        from optix_raytracer_tpu.accel import native
+        rng = np.random.default_rng(21)
+        verts, idx = random_mesh(rng, 900)
+        geom = build_triangle_geometry(verts, idx)
+        tri_mat = jnp.zeros((900,), jnp.int32)
+        order = native.sah_leaf_order(geom)
+        if order is None:
+            pytest.skip("native SAH builder unavailable")
+        cs_m = cl.build_clusters(geom, tri_mat)
+        cs_s = cl.build_clusters(geom, tri_mat, order=jnp.asarray(order))
+
+        rays = make_rays(np.random.default_rng(22), 600)
+        hm = cl.closest_hit(cs_m, rays, interpret=True)
+        hs = cl.closest_hit(cs_s, rays, interpret=True)
+        np.testing.assert_array_equal(hm.prim_id, hs.prim_id)
+        hit = np.asarray(hm.valid)
+        np.testing.assert_allclose(np.asarray(hs.t)[hit],
+                                   np.asarray(hm.t)[hit], rtol=1e-6)
+
+        sm = cl.traversal_stats(cs_m, rays, interpret=True)
+        ss = cl.traversal_stats(cs_s, rays, interpret=True)
+        assert ss["mean_clusters_per_block"] <= \
+            sm["mean_clusters_per_block"] * 1.05
