@@ -262,8 +262,7 @@ def _closest_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
             bn_s[...] = jnp.zeros((3, SUB, LANES), jnp.float32)
             bid_s[...] = jnp.full((2, SUB, LANES), -1.0, jnp.float32)
 
-            def body(k):
-                c = list_ref[0, g, k]
+            def step(c):
                 blk = comp_ref[pl.ds(c, 1)][0]    # (24, 128)
                 tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
                 bt = bt_s[...]
@@ -278,7 +277,16 @@ def _closest_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
                 bn_s[2] = jnp.where(ok, blk[14:15, :], bn_s[2])
                 bid_s[0] = jnp.where(ok, blk[16:17, :], bid_s[0])
                 bid_s[1] = jnp.where(ok, blk[17:18, :], bid_s[1])
-                return k + 1
+
+            # Two clusters per iteration: the loop-control + scalar-fetch
+            # overhead is a large share of an iteration at these counts
+            # (~2 clusters/block mean). The sorted tail past `count` holds
+            # valid (merely unhit) cluster ids, so an odd count rounding up
+            # wastes one cheap redundant test instead of needing a mask.
+            def body(k):
+                step(list_ref[0, g, k])
+                step(list_ref[0, g, jnp.minimum(k + 1, c_pad - 1)])
+                return k + 2
 
             def cond(k):
                 # Front-to-back order: once no ray's best t exceeds the
@@ -330,18 +338,22 @@ def _any_kernel(count_ref, list_ref, comp_ref, rays_ref, occ_out):
         @pl.when(count > 0)
         def _(g=g, count=count, cols=cols):
             ox, oy, oz, dx, dy, dz, tmin, tmax = _sub_rays(rays_ref, g)
+            c_pad = list_ref.shape[2]
 
-            def body(state):
-                k, occ = state
-                c = list_ref[0, g, k]
+            def test(c):
                 blk = comp_ref[pl.ds(c, 1)][0]
                 tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
                 ok = ((jnp.abs(dpz) > _DEGEN_EPS)
                       & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                       & (tt > tmin) & (tt < tmax))
-                occ = jnp.maximum(occ, jnp.max(ok.astype(jnp.int32), axis=1,
-                                               keepdims=True))
-                return k + 1, occ
+                return jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True)
+
+            def body(state):
+                k, occ = state
+                occ = jnp.maximum(occ, test(list_ref[0, g, k]))
+                occ = jnp.maximum(
+                    occ, test(list_ref[0, g, jnp.minimum(k + 1, c_pad - 1)]))
+                return k + 2, occ
 
             def cond(state):
                 k, occ = state
