@@ -60,3 +60,38 @@ class TestShardedTextures:
         out = np.asarray(render_whitted_sample(ds_sharded, cam, 32, 32, 0,
                                                max_depth=2))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+class TestMultiSlice:
+    """Multi-host (DCN) mesh: (slice, rows, samples) — row bands across
+    slices, sample pmean intra-slice, no rendering collective on the DCN
+    axis. Must equal the single-chip accumulate exactly."""
+
+    def test_multislice_matches_single_chip(self):
+        import jax
+        import numpy as np
+        import jax.numpy as jnp
+        from optix_raytracer_tpu.core import film as film_mod
+        from optix_raytracer_tpu.multichip import multislice as ms
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        from optix_raytracer_tpu.wavefront.engine import render_accumulate
+
+        w, h = 16, 32
+        scene = cornell_box()
+        cam = cornell_camera(w, h).params()
+
+        mesh = ms.make_multislice_mesh(2, 2, 2,
+                                       devices=jax.devices()[:8])
+        film = ms.shard_film(film_mod.Film.create(h, w), mesh)
+        film = ms.render_accumulate_multislice(
+            scene, cam, film, mesh, w, h, samples_per_launch=1, max_depth=2)
+        assert int(film.subframe) == 2
+
+        ref = film_mod.Film.create(h, w)
+        for _ in range(2):
+            ref, _ = render_accumulate(scene, cam, ref, w, h,
+                                       samples_per_launch=1, max_depth=2,
+                                       chunk_size=None)
+        np.testing.assert_allclose(np.asarray(film.accum),
+                                   np.asarray(ref.accum), atol=2e-5)
