@@ -89,6 +89,41 @@ def bench_large_mesh():
     return out
 
 
+def bench_pbr_cornell():
+    """Cornell with a rough-metal GGX wall material through the fused
+    megakernel's PBR lanes (VERDICT round-1 item 4: keep non-diffuse
+    scenes on the fast path)."""
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.scene.builtins import (
+        CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1, CORNELL_LIGHT_V2,
+        CORNELL_LIGHT_EMISSION, CORNELL_MATERIALS, _CORNELL_QUADS,
+        cornell_camera, quads_to_triangles)
+    from optix_raytracer_tpu.scene.device_scene import make_device_scene
+    from optix_raytracer_tpu.shade import materials as mat
+    from optix_raytracer_tpu.shade.lights import ParallelogramLight
+    from optix_raytracer_tpu.wavefront.pallas_pt import render_sum_fused
+
+    verts, idx, tri_mat = quads_to_triangles(_CORNELL_QUADS)
+    mats = [dict(m) for m in CORNELL_MATERIALS]
+    mats[0] = {"kind": mat.PBR, "base_color": (0.8, 0.6, 0.3),
+               "metallic": 0.8, "roughness": 0.35}
+    light = ParallelogramLight.make(
+        CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1, CORNELL_LIGHT_V2,
+        CORNELL_LIGHT_EMISSION)
+    scene = make_device_scene(verts, idx, tri_mat, mats, area_light=light)
+    cam = cornell_camera(WIDTH, HEIGHT).params()
+    rf, rays = render_sum_fused(scene, cam, WIDTH, HEIGHT, 0,
+                                samples_per_launch=SAMPLES,
+                                max_depth=MAX_DEPTH)
+    float(jnp.sum(rf))
+    t0 = time.time()
+    rf, rays = render_sum_fused(scene, cam, WIDTH, HEIGHT, SAMPLES,
+                                samples_per_launch=SAMPLES,
+                                max_depth=MAX_DEPTH)
+    float(jnp.sum(rf))
+    return round(float(rays) / (time.time() - t0) / 1e6, 1)
+
+
 def main():
     import jax
     from optix_raytracer_tpu.core import film as film_mod
@@ -128,6 +163,7 @@ def main():
     total_rays = float(rays) * n_iters
 
     large = bench_large_mesh()
+    large["cornell_pbr_ggx_mrays"] = bench_pbr_cornell()
 
     mrays = total_rays / dt / 1e6
     msamples = WIDTH * HEIGHT * SAMPLES * n_iters / dt / 1e6

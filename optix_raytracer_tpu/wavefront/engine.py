@@ -492,7 +492,9 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
             and scene.prims.num == 0
             and not scene.has_textures
             and not scene.has_cutouts
-            and not scene.has_pbr   # rough-GGX lanes only exist in XLA yet
+            and not scene.has_volume
+            and not scene.has_motion
+            and not scene.has_instances
             and scene.geom.num_triangles <= MAX_SMEM_TRIS)
 
 

@@ -109,6 +109,72 @@ def _onb(nx, ny, nz):
     return (tx, ty, tz), (bx, by, bz)
 
 
+def _pbr_brdf3(nx, ny, nz, wox, woy, woz, wix, wiy, wiz,
+               ar, ag, ab, metallic, rough):
+    """Component-wise metallic-roughness BRDF — bit-matches engine._pbr_brdf
+    (lambert*(1-metal) + Smith-Schlick GGX, f0 = lerp(0.04, albedo, m))."""
+    pi = jnp.float32(np.pi)
+    hx, hy, hz = _normalize3(wox + wix, woy + wiy, woz + wiz)
+    n_dl = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0)
+    n_dv = jnp.maximum(_dot3(nx, ny, nz, wox, woy, woz), 1e-4)
+    n_dh = jnp.maximum(_dot3(nx, ny, nz, hx, hy, hz), 0.0)
+    h_dv = jnp.maximum(_dot3(hx, hy, hz, wox, woy, woz), 0.0)
+    rc = jnp.maximum(rough, 0.05)
+    a = rc * rc
+    a2 = a * a
+    denom = n_dh * n_dh * (a2 - 1.0) + 1.0
+    d_term = a2 / jnp.maximum(pi * denom * denom, 1e-8)
+    k = (rc + 1.0) ** 2 / 8.0
+    g = (n_dv / (n_dv * (1 - k) + k)) * (n_dl / jnp.maximum(
+        n_dl * (1 - k) + k, 1e-8))
+    one_m5 = (1.0 - h_dv) ** 5
+    spec_s = d_term * g / jnp.maximum(4.0 * n_dv * n_dl, 1e-8)
+    inv_pi = jnp.float32(1.0 / np.pi)
+    lit = n_dl > 0
+
+    def chan(alb):
+        f0 = 0.04 * (1.0 - metallic) + metallic * alb
+        fres = f0 + (1.0 - f0) * one_m5
+        f = alb * (1.0 - metallic) * inv_pi + fres * spec_s
+        return jnp.where(lit, f, 0.0)
+
+    return chan(ar), chan(ag), chan(ab)
+
+
+def _pbr_pdf3(nx, ny, nz, wox, woy, woz, wix, wiy, wiz, rough, p_spec):
+    """One-sample-MIS pdf of the cosine+GGX mixture (engine._pbr_pdf)."""
+    pi = jnp.float32(np.pi)
+    hx, hy, hz = _normalize3(wox + wix, woy + wiy, woz + wiz)
+    n_dl = jnp.maximum(_dot3(nx, ny, nz, wix, wiy, wiz), 0.0)
+    n_dh = jnp.maximum(_dot3(nx, ny, nz, hx, hy, hz), 0.0)
+    h_dv = jnp.maximum(_dot3(hx, hy, hz, wox, woy, woz), 1e-6)
+    rc = jnp.maximum(rough, 0.05)
+    a = rc * rc
+    a2 = a * a
+    denom = n_dh * n_dh * (a2 - 1.0) + 1.0
+    d_term = a2 / jnp.maximum(pi * denom * denom, 1e-8)
+    pdf_ggx = d_term * n_dh / jnp.maximum(4.0 * h_dv, 1e-8)
+    pdf_cos = n_dl / pi
+    return p_spec * pdf_ggx + (1.0 - p_spec) * pdf_cos
+
+
+def _ggx_sample_half(u1, u2, nx, ny, nz, rough):
+    """GGX half-vector about n — matches shade.sampling.ggx_sample_half_vector
+    (called with roughness already clamped to >= 0.05)."""
+    a2 = rough * rough
+    cos2 = (1.0 - u1) / jnp.maximum(u1 * (a2 * a2 - 1.0) + 1.0, 1e-12)
+    cos_t = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos2))
+    phi = jnp.float32(_TWO_PI) * u2
+    (tx, ty, tz), (bx, by, bz) = _onb(nx, ny, nz)
+    cp = jnp.cos(phi)
+    sp = jnp.sin(phi)
+    hx = sin_t * cp * tx + sin_t * sp * bx + cos_t * nx
+    hy = sin_t * cp * ty + sin_t * sp * by + cos_t * ny
+    hz = sin_t * cp * tz + sin_t * sp * bz + cos_t * nz
+    return _normalize3(hx, hy, hz)
+
+
 def _cosine_sample(u1, u2, nx, ny, nz):
     """Concentric-disk cosine hemisphere (matches shade.sampling)."""
     ox = 2.0 * u1 - 1.0
@@ -179,10 +245,14 @@ def pack_camera(cam_params, miss_color) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _make_kernel(width, height, full_w, full_h,
-                 num_tris, num_mats, max_depth, spl, has_specular=True):
+                 num_tris, num_mats, max_depth, spl, has_specular=True,
+                 has_pbr=False):
     """has_specular=False (no glass/mirror materials in the scene — a static
     scene feature) drops the reflect/refract/fresnel block from the bounce,
-    ~10% fewer VPU ops on diffuse-only scenes like the Cornell benchmark."""
+    ~10% fewer VPU ops on diffuse-only scenes like the Cornell benchmark.
+    has_pbr adds the rough metallic-roughness lanes: full GGX BRDF toward
+    the light in NEE plus the one-sample cosine+GGX MIS bounce — the same
+    estimator (and the same RNG draw order) as the XLA engine."""
     glass_kind, pbr_kind = 2.0, 1.0  # shade.materials GLASS / PBR tags
 
     def kernel(tri_ref, mat_tbl_ref, light_ref, cam_ref, misc_ref,
@@ -354,13 +424,14 @@ def _make_kernel(width, height, full_w, full_h,
                     em_r = jnp.where(sel, mat_tbl_ref[k, 4], em_r)
                     em_g = jnp.where(sel, mat_tbl_ref[k, 5], em_g)
                     em_b = jnp.where(sel, mat_tbl_ref[k, 6], em_b)
-                    if has_specular:
+                    if has_specular or has_pbr:
                         metallic = jnp.where(sel, mat_tbl_ref[k, 7], metallic)
+                        rough = jnp.where(sel, mat_tbl_ref[k, 12], rough)
+                    if has_specular:
                         ior = jnp.where(sel, mat_tbl_ref[k, 8], ior)
                         kr_r = jnp.where(sel, mat_tbl_ref[k, 9], kr_r)
                         kr_g = jnp.where(sel, mat_tbl_ref[k, 10], kr_g)
                         kr_b = jnp.where(sel, mat_tbl_ref[k, 11], kr_b)
-                        rough = jnp.where(sel, mat_tbl_ref[k, 12], rough)
 
                 # two-sided shading normal
                 flip = jnp.where(_dot3(gnx, gny, gnz, dx, dy, dz) > 0.0, -1.0, 1.0)
@@ -388,6 +459,10 @@ def _make_kernel(width, height, full_w, full_h,
                     false_lane = jnp.zeros(lane.shape, bool)
                     is_glass = is_mirror = is_specular = false_lane
                     is_diffuse = ~false_lane
+                if has_pbr:
+                    is_pbr = (kind == pbr_kind) & ~is_mirror
+                else:
+                    is_pbr = jnp.zeros(lane.shape, bool)
 
                 ta_r, ta_g, ta_b = tr * alb_r, tg * alb_g, tb * alb_b
 
@@ -428,15 +503,64 @@ def _make_kernel(width, height, full_w, full_h,
                 w_l = jnp.where((n_dl > 0.0) & (occ == 0),
                                 n_dl * ln_dl * larea
                                 / (jnp.float32(np.pi) * dist2), 0.0)
-                nee_take = (hit_valid & is_diffuse).astype(jnp.float32) * w_l
+                nee_take = (hit_valid & is_diffuse
+                            & ~is_pbr).astype(jnp.float32) * w_l
                 rr_ = rr_ + nee_take * ta_r * lemr
                 rg_ = rg_ + nee_take * ta_g * lemg
                 rb_ = rb_ + nee_take * ta_b * lemb
+                if has_pbr:
+                    # PBR lanes: full-BRDF NEE, T * f * em * nDl*LnDl*A/d^2
+                    # (engine.py _nee_direct_light pbr branch).
+                    nfr, nfg, nfb = _pbr_brdf3(
+                        nx, ny, nz, -dx, -dy, -dz, wix, wiy, wiz,
+                        alb_r, alb_g, alb_b, metallic, rough)
+                    w2 = jnp.where((n_dl > 0.0) & (occ == 0),
+                                   n_dl * ln_dl * larea / dist2, 0.0)
+                    pbr_take = (hit_valid & is_pbr).astype(jnp.float32) * w2
+                    rr_ = rr_ + pbr_take * tr * nfr * lemr
+                    rg_ = rg_ + pbr_take * tg * nfg * lemg
+                    rb_ = rb_ + pbr_take * tb * nfb * lemb
 
                 # --- next direction ---
                 u1, u2, rng = _uniform2(rng)
                 cdx, cdy, cdz = _cosine_sample(u1, u2, nx, ny, nz)
                 dn = _dot3(dx, dy, dz, nx, ny, nz)
+
+                if has_pbr:
+                    # One-sample MIS between the cosine and GGX lobes —
+                    # identical math AND draw order to the XLA engine.
+                    rclamp = jnp.maximum(rough, 0.05)
+                    u5p, u6p, rng = _uniform2(rng)
+                    hvx, hvy, hvz = _ggx_sample_half(u5p, u6p, nx, ny, nz,
+                                                     rclamp)
+                    dh = _dot3(dx, dy, dz, hvx, hvy, hvz)
+                    ggx, ggy, ggz = _normalize3(dx - 2.0 * dh * hvx,
+                                                dy - 2.0 * dh * hvy,
+                                                dz - 2.0 * dh * hvz)
+                    p_spec = jnp.clip(0.5 * metallic + 0.1, 0.05, 0.95)
+                    u7p, _u8p, rng = _uniform2(rng)
+                    choose_spec = u7p < p_spec
+                    pdx = jnp.where(choose_spec, ggx, cdx)
+                    pdy = jnp.where(choose_spec, ggy, cdy)
+                    pdz = jnp.where(choose_spec, ggz, cdz)
+                    pfr, pfg, pfb = _pbr_brdf3(
+                        nx, ny, nz, -dx, -dy, -dz, pdx, pdy, pdz,
+                        alb_r, alb_g, alb_b, metallic, rclamp)
+                    ppdf = _pbr_pdf3(nx, ny, nz, -dx, -dy, -dz,
+                                     pdx, pdy, pdz, rclamp, p_spec)
+                    n_dl_p = jnp.maximum(_dot3(nx, ny, nz, pdx, pdy, pdz),
+                                         0.0)
+                    pvalid = (n_dl_p > 1e-5) & (ppdf > 1e-7)
+                    pscale = jnp.where(pvalid,
+                                       n_dl_p / jnp.maximum(ppdf, 1e-7),
+                                       0.0)
+                    ptr = tr * pfr * pscale
+                    ptg = tg * pfg * pscale
+                    ptb = tb * pfb * pscale
+                    ipf = is_pbr
+                    cdx = jnp.where(ipf, pdx, cdx)
+                    cdy = jnp.where(ipf, pdy, cdy)
+                    cdz = jnp.where(ipf, pdz, cdz)
 
                 if has_specular:
                     mrx, mry, mrz = _normalize3(dx - 2.0 * dn * nx,
@@ -481,6 +605,10 @@ def _make_kernel(width, height, full_w, full_h,
                     rng = _advance2(rng)   # keep stream parity (glass draw)
                     ndx, ndy, ndz = cdx, cdy, cdz
                     ntr, ntg, ntb = ta_r, ta_g, ta_b
+                if has_pbr:
+                    ntr = jnp.where(is_pbr, ptr, ntr)
+                    ntg = jnp.where(is_pbr, ptg, ntg)
+                    ntb = jnp.where(is_pbr, ptb, ntb)
 
                 off = jnp.where(_dot3(ndx, ndy, ndz, nx, ny, nz) >= 0.0,
                                 1.0, -1.0) * jnp.float32(RAY_TMIN)
@@ -559,7 +687,8 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
     kernel = _make_kernel(width, height, full_w, full_h,
                           scene.geom.num_triangles, scene.materials.num,
                           max_depth, samples_per_launch,
-                          has_specular=has_specular)
+                          has_specular=has_specular,
+                          has_pbr=scene.has_pbr)
 
     out_shapes = tuple(jax.ShapeDtypeStruct(blk_shape, jnp.float32)
                        for _ in range(4))

@@ -63,3 +63,44 @@ class TestFusedKernel:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(bot), np.asarray(full)[8:],
                                    atol=1e-5)
+
+
+class TestFusedPBR:
+    """GGX-PBR lanes in the megakernel: same estimator, same RNG stream,
+    same image as the XLA engine (which is furnace- and radiometry-tested)."""
+
+    def _pbr_scene(self, metallic, roughness):
+        import numpy as np
+        from optix_raytracer_tpu.scene.builtins import (
+            CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1, CORNELL_LIGHT_V2,
+            CORNELL_LIGHT_EMISSION, CORNELL_MATERIALS, _CORNELL_QUADS,
+            quads_to_triangles)
+        from optix_raytracer_tpu.scene.device_scene import make_device_scene
+        from optix_raytracer_tpu.shade import materials as mat
+        from optix_raytracer_tpu.shade.lights import ParallelogramLight
+        verts, idx, tri_mat = quads_to_triangles(_CORNELL_QUADS)
+        mats = [dict(m) for m in CORNELL_MATERIALS]
+        mats[0] = {"kind": mat.PBR, "base_color": (0.8, 0.6, 0.3),
+                   "metallic": metallic, "roughness": roughness}
+        light = ParallelogramLight.make(
+            CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1, CORNELL_LIGHT_V2,
+            CORNELL_LIGHT_EMISSION)
+        return make_device_scene(verts, idx, tri_mat, mats,
+                                 area_light=light)
+
+    @pytest.mark.parametrize("metallic,roughness",
+                             [(0.8, 0.35), (0.0, 0.9), (1.0, 0.5)])
+    def test_pbr_matches_engine(self, metallic, roughness):
+        import numpy as np
+        from optix_raytracer_tpu.wavefront.engine import render_sample
+        from optix_raytracer_tpu.wavefront.pallas_pt import render_sum_fused
+        scene = self._pbr_scene(metallic, roughness)
+        assert scene.has_pbr
+        w = h = 32
+        cam = cornell_camera(w, h).params()
+        rx, _ = render_sample(scene, cam, w, h, 5, max_depth=3,
+                              chunk_size=None)
+        rf, _ = render_sum_fused(scene, cam, w, h, 5, samples_per_launch=1,
+                                 max_depth=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(rf), np.asarray(rx),
+                                   atol=2e-3)
