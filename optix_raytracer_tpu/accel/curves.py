@@ -161,3 +161,26 @@ def load_hair_file(path: str):
         radii.append(thickness[p:p + n])
         p += n
     return strands, radii
+
+
+def strand_to_swept_quads(control, widths, mat_id: int = 0):
+    """Quadratic-bspline strand → true swept-curve prim dicts.
+
+    Each span becomes one SWEPT_QUAD primitive holding power-basis
+    position/radius polynomials — the driver's built-in
+    ROUND_QUADRATIC_BSPLINE intersector role (`optix_device.h:610-699`),
+    replacing capsule tessellation with the exact swept-sphere surface.
+    """
+    from . import primitives as prim
+    control = np.asarray(control, np.float32)
+    widths = np.asarray(widths, np.float32)
+    c = len(control)
+    nspans = max(c - 2, 0)
+    out = []
+    for k in range(nspans):
+        a = _QUAD_BSPLINE @ control[k:k + 3]     # [3, 3] rows: s^0 s^1 s^2
+        r = _QUAD_BSPLINE @ widths[k:k + 3]
+        out.append({"kind": prim.SWEPT_QUAD, "mat_id": mat_id,
+                    "a0": a[0], "a1": a[1], "a2": a[2], "r": tuple(r),
+                    "u_range": (k / nspans, (k + 1) / nspans)})
+    return out

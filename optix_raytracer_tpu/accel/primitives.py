@@ -23,8 +23,11 @@ SPHERE = 0
 SPHERE_SHELL = 1
 PARALLELOGRAM = 2
 CAPSULE = 3        # round linear curve segment (the curve-primitive backend)
+SWEPT_QUAD = 4     # true swept quadratic curve segment (round bspline span)
 
 _BIG = 1e30
+_SWEPT_COARSE = 8  # coarse curve-parameter scan points
+_SWEPT_NEWTON = 6  # minimization refinement steps
 
 
 @struct.dataclass
@@ -36,9 +39,16 @@ class CustomPrims:
       SPHERE_SHELL:  [cx, cy, cz, r_inner, r_outer, 0...]
       PARALLELOGRAM: [ax, ay, az, v1x, v1y, v1z, v2x, v2y, v2z, 0...]
         (anchor + edge vectors; plane normal derived)
+      SWEPT_QUAD:    [a0(3), a1(3), a2(3), r0, r1, r2, u0, u1, 0]
+        position C(s) = a0 + a1 s + a2 s^2, radius r(s) = r0 + r1 s + r2 s^2
+        over s in [0, 1] — one quadratic-bspline span in power basis. The
+        driver's built-in ROUND_QUADRATIC_BSPLINE intersector role
+        (`optix_device.h:610-699`), solved lock-step: coarse scan + Newton
+        minimization of the point-to-ray-axis quartic, then swept-sphere
+        fix-point refinement — fixed iteration counts, no divergence.
     """
     kind: jnp.ndarray     # [P] int32
-    params: jnp.ndarray   # [P, 9] f32
+    params: jnp.ndarray   # [P, 16] f32
     mat_id: jnp.ndarray   # [P] int32
 
     @property
@@ -48,7 +58,7 @@ class CustomPrims:
     @classmethod
     def empty(cls):
         return cls(kind=jnp.zeros((0,), jnp.int32),
-                   params=jnp.zeros((0, 9), jnp.float32),
+                   params=jnp.zeros((0, 16), jnp.float32),
                    mat_id=jnp.zeros((0,), jnp.int32))
 
 
@@ -57,7 +67,7 @@ def make_prims(prims) -> CustomPrims:
     import numpy as np
     p = max(len(prims), 0)
     kind = np.zeros(p, np.int32)
-    params = np.zeros((p, 9), np.float32)
+    params = np.zeros((p, 16), np.float32)
     mat = np.zeros(p, np.int32)
     for i, pr in enumerate(prims):
         kind[i] = pr["kind"]
@@ -77,6 +87,12 @@ def make_prims(prims) -> CustomPrims:
             params[i, :3] = pr["p0"]
             params[i, 3:6] = pr["p1"]
             params[i, 6] = pr["radius"]
+        elif pr["kind"] == SWEPT_QUAD:
+            params[i, 0:3] = pr["a0"]
+            params[i, 3:6] = pr["a1"]
+            params[i, 6:9] = pr["a2"]
+            params[i, 9:12] = pr["r"]
+            params[i, 12:14] = pr.get("u_range", (0.0, 1.0))
         else:
             raise ValueError(f"unknown prim kind {pr['kind']}")
     return CustomPrims(kind=jnp.asarray(kind), params=jnp.asarray(params),
@@ -172,6 +188,81 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     t_cap = jnp.minimum(jnp.minimum(_cap_valid(tc0a, pa), _cap_valid(tc0b, pa)),
                         jnp.minimum(_cap_valid(tc1a, pb), _cap_valid(tc1b, pb)))
 
+    # --- swept quadratic curve (true round bspline span) ---
+    sa0 = prims.params[None, :, 0:3]
+    sa1 = prims.params[None, :, 3:6]
+    sa2 = prims.params[None, :, 6:9]
+    sr0 = prims.params[None, :, 9]
+    sr1 = prims.params[None, :, 10]
+    sr2 = prims.params[None, :, 11]
+
+    def _curve_pt(sv):
+        return sa0 + sv[..., None] * sa1 + (sv * sv)[..., None] * sa2
+
+    def _curve_r(sv):
+        return jnp.maximum(sr0 + sr1 * sv + sr2 * sv * sv, 1e-6)
+
+    # phi(s) = |perp(C(s) - o)|^2 - r(s)^2, a quartic in s (perp = the
+    # component orthogonal to the unit ray direction; projection is linear,
+    # so project the power-basis coefficients once).
+    def _perp(v):
+        return v - dot(v, d)[..., None] * d
+
+    q0 = _perp(sa0 - o)
+    q1 = _perp(sa1)
+    q2 = _perp(sa2)
+    A0 = dot(q0, q0) - sr0 * sr0
+    A1 = 2 * dot(q0, q1) - 2 * sr0 * sr1
+    A2 = dot(q1, q1) + 2 * dot(q0, q2) - (sr1 * sr1 + 2 * sr0 * sr2)
+    A3 = 2 * dot(q1, q2) - 2 * sr1 * sr2
+    A4 = dot(q2, q2) - sr2 * sr2
+
+    def _phi(sv):
+        return A0 + sv * (A1 + sv * (A2 + sv * (A3 + sv * A4)))
+
+    # coarse scan for the phi minimizer
+    s_best = jnp.zeros(A0.shape, jnp.float32)
+    phi_best = jnp.full(A0.shape, _BIG, jnp.float32)
+    for kk in range(_SWEPT_COARSE + 1):
+        sv = jnp.full(A0.shape, kk / _SWEPT_COARSE, jnp.float32)
+        ph = _phi(sv)
+        closer = ph < phi_best
+        s_best = jnp.where(closer, sv, s_best)
+        phi_best = jnp.where(closer, ph, phi_best)
+    # Newton refinement of the minimizer (phi' cubic, phi'' quadratic)
+    for _ in range(_SWEPT_NEWTON):
+        dphi = A1 + s_best * (2 * A2 + s_best * (3 * A3 + s_best * 4 * A4))
+        ddphi = 2 * A2 + s_best * (6 * A3 + s_best * 12 * A4)
+        stepn = dphi / jnp.where(jnp.abs(ddphi) < 1e-9, 1e-9, ddphi)
+        s_best = jnp.clip(s_best - jnp.clip(stepn, -0.25, 0.25), 0.0, 1.0)
+
+    # swept-sphere fix-point: t from the sphere at C(s), s from the curve
+    # point nearest the hit — 2 rounds converge for span-sized segments.
+    def _sphere_entry(sv):
+        cc = _curve_pt(sv)
+        rr = _curve_r(sv)
+        oc = o - cc
+        b = dot(oc, d)
+        c = dot(oc, oc) - rr * rr
+        disc = b * b - c
+        return (-b - jnp.sqrt(jnp.maximum(disc, 0.0)), disc > 0.0)
+
+    sw_s = s_best
+    t_sw, sw_ok = _sphere_entry(sw_s)
+    for _ in range(2):
+        p_sw = o + t_sw[..., None] * d
+        # project p onto the curve: Newton on psi(s) = (C(s)-p) . C'(s)
+        for _ in range(2):
+            cc = _curve_pt(sw_s)
+            cd = sa1 + 2.0 * sw_s[..., None] * sa2
+            psi = dot(cc - p_sw, cd)
+            dpsi = dot(cd, cd) + 2.0 * dot(cc - p_sw, sa2)
+            sw_s = jnp.clip(
+                sw_s - psi / jnp.where(jnp.abs(dpsi) < 1e-9, 1e-9, dpsi),
+                0.0, 1.0)
+        t_sw, sw_ok = _sphere_entry(sw_s)
+    t_swept = jnp.where(sw_ok & (phi_best < 0.0), t_sw, _BIG)
+
     in_range = lambda t: (t > tmin) & (t < tmax)
 
     # nearest valid candidate per prim
@@ -186,10 +277,13 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     t_shell = pick(to0, to1, ti0, ti1)
     t_para = pick(t_pg)
     t_capsule = pick(t_body, t_cap)
+    t_swq = pick(t_swept)
 
     t = jnp.where(kind == SPHERE, t_sphere,
                   jnp.where(kind == SPHERE_SHELL, t_shell,
-                            jnp.where(kind == CAPSULE, t_capsule, t_para)))
+                            jnp.where(kind == CAPSULE, t_capsule,
+                                      jnp.where(kind == SWEPT_QUAD, t_swq,
+                                                t_para))))
 
     # normals at the chosen t
     p_hit = o + t[..., None] * d
@@ -205,20 +299,43 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     y_hit = jnp.clip(dot(p_hit - pa, ba) / baba, 0.0, 1.0)
     axis_pt = pa + y_hit[..., None] * ba
     n_capsule = (p_hit - axis_pt) / jnp.maximum(r_cap, 1e-12)[..., None]
+    # swept curve: project the hit point back onto the curve for the
+    # normal/strand-u (same Newton projection as the intersector)
+    s_n = sw_s
+    for _ in range(2):
+        cc = _curve_pt(s_n)
+        cd = sa1 + 2.0 * s_n[..., None] * sa2
+        psi = dot(cc - p_hit, cd)
+        dpsi = dot(cd, cd) + 2.0 * dot(cc - p_hit, sa2)
+        s_n = jnp.clip(
+            s_n - psi / jnp.where(jnp.abs(dpsi) < 1e-9, 1e-9, dpsi),
+            0.0, 1.0)
+    c_n = _curve_pt(s_n)
+    n_swq = (p_hit - c_n) / _curve_r(s_n)[..., None]
+    n_swq = n_swq / jnp.maximum(
+        jnp.sqrt(dot(n_swq, n_swq)), 1e-12)[..., None]
+    u_swq = (prims.params[None, :, 12]
+             + (prims.params[None, :, 13] - prims.params[None, :, 12]) * s_n)
     normal = jnp.where((kind == PARALLELOGRAM)[..., None], n_pg,
                        jnp.where((kind == CAPSULE)[..., None], n_capsule,
-                                 n_shell))
+                                 jnp.where((kind == SWEPT_QUAD)[..., None],
+                                           n_swq, n_shell)))
 
     uv = jnp.where((kind == PARALLELOGRAM)[..., None],
                    jnp.stack([a1, a2], axis=-1),
                    jnp.where((kind == CAPSULE)[..., None],
                              jnp.stack([y_hit, jnp.zeros_like(y_hit)], -1),
-                             jnp.stack([0.5 + jnp.arctan2(rel_c[..., 2],
-                                                          rel_c[..., 0])
-                                        / (2 * jnp.pi),
-                                        0.5 - jnp.arcsin(jnp.clip(
-                                            rel_c[..., 1] / rad, -1, 1))
-                                        / jnp.pi], axis=-1)))
+                             jnp.where((kind == SWEPT_QUAD)[..., None],
+                                       jnp.stack([u_swq,
+                                                  jnp.zeros_like(u_swq)],
+                                                 -1),
+                                       jnp.stack(
+                                           [0.5 + jnp.arctan2(
+                                               rel_c[..., 2], rel_c[..., 0])
+                                            / (2 * jnp.pi),
+                                            0.5 - jnp.arcsin(jnp.clip(
+                                                rel_c[..., 1] / rad, -1, 1))
+                                            / jnp.pi], axis=-1))))
     return t, normal, uv
 
 

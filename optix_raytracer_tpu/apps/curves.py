@@ -24,15 +24,20 @@ KINDS = [cv.LINEAR, cv.QUADRATIC_BSPLINE, cv.CUBIC_BSPLINE, cv.CATMULL_ROM,
          cv.BEZIER]
 
 
-def make_curve_scene(kind=cv.CUBIC_BSPLINE, samples_per_segment=10):
+def make_curve_scene(kind=cv.CUBIC_BSPLINE, samples_per_segment=10,
+                     swept=False):
     # a spiral strand of control points
     ts = np.linspace(0, 2.2 * np.pi, 10)
     control = np.stack([0.7 * np.cos(ts), np.linspace(-0.8, 0.8, len(ts)),
                         0.7 * np.sin(ts)], 1).astype(np.float32)
     widths = np.linspace(0.12, 0.03, len(ts)).astype(np.float32)
-    pts, radii, us = cv.eval_spline(control, widths, kind,
-                                    samples_per_segment)
-    descs = cv.strand_to_capsules(pts, radii, mat_id=0)
+    if swept and kind == cv.QUADRATIC_BSPLINE:
+        # true swept-curve intersector: one primitive per bspline span
+        descs = cv.strand_to_swept_quads(control, widths, mat_id=0)
+    else:
+        pts, radii, us = cv.eval_spline(control, widths, kind,
+                                        samples_per_segment)
+        descs = cv.strand_to_capsules(pts, radii, mat_id=0)
     prims = prim.make_prims(descs)
     materials = [{"kind": mat.PHONG, "base_color": (0.8, 0.35, 0.1),
                   "specular": (0.4, 0.4, 0.4), "phong_exp": 24.0}]
@@ -48,8 +53,9 @@ def make_curve_scene(kind=cv.CUBIC_BSPLINE, samples_per_segment=10):
                              miss_color=(0.12, 0.12, 0.16))
 
 
-def render(width=512, height=512, samples=4, kind=cv.CUBIC_BSPLINE):
-    scene = make_curve_scene(kind)
+def render(width=512, height=512, samples=4, kind=cv.CUBIC_BSPLINE,
+           swept=False):
+    scene = make_curve_scene(kind, swept=swept)
     cam = Camera(eye=(0, 0.2, 3.0), lookat=(0, 0, 0), fov_y=45,
                  aspect=width / height).params()
     film = film_mod.Film.create(height, width)
@@ -66,11 +72,17 @@ def main(argv=None):
     p.add_argument("--dim", default="512x512")
     p.add_argument("--kind", default=cv.CUBIC_BSPLINE, choices=KINDS)
     p.add_argument("--samples", type=int, default=8)
+    p.add_argument("--swept", action="store_true",
+                   help="true swept-curve intersector instead of capsule "
+                        "tessellation (quadratic_bspline)")
     args = p.parse_args(argv)
+    if args.swept:
+        args.kind = cv.QUADRATIC_BSPLINE
     w, h = (int(v) for v in args.dim.split("x"))
-    accum, film = render(w, h, samples=args.samples, kind=args.kind)
+    accum, film = render(w, h, samples=args.samples, kind=args.kind,
+                         swept=args.swept)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
-    print(f"wrote {args.file} ({args.kind})")
+    print(f"wrote {args.file} ({args.kind}{' swept' if args.swept else ''})")
 
 
 if __name__ == "__main__":
