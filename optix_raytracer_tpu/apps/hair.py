@@ -40,26 +40,31 @@ def procedural_fur(num_strands=120, segs=6, seed=0):
     return strands, radii
 
 
-def build_prims(strands, radii, spline=cv.LINEAR, samples_per_segment=4):
+def build_prims(strands, radii, spline=cv.LINEAR, samples_per_segment=4,
+                swept=False):
     descs = []
     strand_of = []
     for si, (pts, rad) in enumerate(zip(strands, radii)):
-        if spline != cv.LINEAR and len(pts) >= 4:
-            pts, rad, _ = cv.eval_spline(pts, rad, spline,
-                                         samples_per_segment)
-        caps = cv.strand_to_capsules(pts, rad, mat_id=0)
-        descs.extend(caps)
-        strand_of.extend([si] * len(caps))
+        if swept and len(pts) >= 3:
+            # true swept quadratic spans (no capsule facets on silhouettes)
+            segs = cv.strand_to_swept_quads(pts, rad, mat_id=0)
+        else:
+            if spline != cv.LINEAR and len(pts) >= 4:
+                pts, rad, _ = cv.eval_spline(pts, rad, spline,
+                                             samples_per_segment)
+            segs = cv.strand_to_capsules(pts, rad, mat_id=0)
+        descs.extend(segs)
+        strand_of.extend([si] * len(segs))
     return prim.make_prims(descs), np.asarray(strand_of, np.int32)
 
 
 def render(width=512, height=512, hair_file=None, shading="strand_u",
-           spline=cv.LINEAR, samples=4):
+           spline=cv.LINEAR, samples=4, swept=False):
     if hair_file:
         strands, radii = cv.load_hair_file(hair_file)
     else:
         strands, radii = procedural_fur()
-    prims, strand_of = build_prims(strands, radii, spline)
+    prims, strand_of = build_prims(strands, radii, spline, swept=swept)
     strand_of = jnp.asarray(strand_of)
     num_strands = len(strands)
     cam = Camera(eye=(0, 0.35, 2.6), lookat=(0, 0.15, 0), fov_y=40,
@@ -111,10 +116,13 @@ def main(argv=None):
     p.add_argument("--spline", default=cv.LINEAR,
                    choices=[cv.LINEAR, cv.CUBIC_BSPLINE, cv.CATMULL_ROM])
     p.add_argument("--samples", type=int, default=4)
+    p.add_argument("--swept", action="store_true",
+                   help="true swept quadratic spans instead of capsules")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.dim.split("x"))
     accum, film = render(w, h, hair_file=args.hair, shading=args.shading,
-                         spline=args.spline, samples=args.samples)
+                         spline=args.spline, samples=args.samples,
+                         swept=args.swept)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
     print(f"wrote {args.file} ({args.shading}, {args.spline})")
 
