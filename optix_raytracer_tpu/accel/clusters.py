@@ -181,41 +181,69 @@ def _pair_test(blk, ox, oy, oz, dx, dy, dz):
 
 
 # ---------------------------------------------------------------------------
-# Kernel 1: per-(sub-block, cluster) AABB culling
+# Stage 1: block-level interval culling (pure XLA)
 # ---------------------------------------------------------------------------
 
-def _cull_kernel(aabb_ref, rays_ref, mask_out, tnear_out):
-    c_rows = aabb_ref.shape[0]
+def _block_cull(cl: "ClusterSet", packed, n_blocks, c_pad):
+    """Conservative per-(sub-block, cluster) slab test via interval
+    arithmetic over the block's ray bundle — O(blocks x clusters) instead
+    of O(rays x clusters).
 
-    for g in range(GROUPS):
-        ox, oy, oz, dx, dy, dz, tmin, tmax = _sub_rays(rays_ref, g)
-        eps = _DEGEN_EPS
-        ivx = 1.0 / jnp.where(jnp.abs(dx) < eps,
-                              jnp.where(dx < 0, -eps, eps), dx)
-        ivy = 1.0 / jnp.where(jnp.abs(dy) < eps,
-                              jnp.where(dy < 0, -eps, eps), dy)
-        ivz = 1.0 / jnp.where(jnp.abs(dz) < eps,
-                              jnp.where(dz < 0, -eps, eps), dz)
-        for row in range(c_rows):
-            blk = aabb_ref[row]                   # (6, 128)
-            x0 = (blk[0:1, :] - ox) * ivx
-            x1 = (blk[3:4, :] - ox) * ivx
-            y0 = (blk[1:2, :] - oy) * ivy
-            y1 = (blk[4:5, :] - oy) * ivy
-            z0 = (blk[2:3, :] - oz) * ivz
-            z1 = (blk[5:6, :] - oz) * ivz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(x0, x1),
-                                         jnp.minimum(y0, y1)),
-                             jnp.maximum(jnp.minimum(z0, z1), tmin))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(x0, x1),
-                                         jnp.maximum(y0, y1)),
-                             jnp.minimum(jnp.maximum(z0, z1), tmax))
-            hit = tn <= tf                        # (SUB, 128)
-            col = slice(row * LANES, (row + 1) * LANES)
-            mask_out[0:1, g:g + 1, col] = jnp.max(
-                hit.astype(jnp.int32), axis=0, keepdims=True)[None]
-            tnear_out[0:1, g:g + 1, col] = jnp.min(
-                jnp.where(hit, tn, _BIG), axis=0, keepdims=True)[None]
+    Per axis, with the block's origin interval [o_lo, o_hi] and a
+    sign-consistent direction interval, the slab-plane crossing times form
+    an interval; `L = max_axis(min_block tn_axis)` and
+    `U = min_axis(max_block tf_axis)` satisfy `L <= A(r) <= B(r) <= U` for
+    any truly hitting ray r (minimax inequality), so `L <= U` never culls
+    a cluster some ray in the block would hit, and L is a valid lower
+    bound on every ray's entry distance (used for front-to-back ordering
+    and the walk kernel's early exit). Direction intervals spanning zero
+    degenerate to "always hits" — exactly why bounce rays must be sorted
+    into coherent blocks first (see sort_rays_for_coherence).
+
+    Returns (mask [n_blocks, c_pad] bool, tnear [n_blocks, c_pad] f32).
+    """
+    blk = packed.reshape(n_blocks, SUB, 8)
+    o_lo = jnp.min(blk[:, :, 0:3], axis=1)[:, None, :]   # [B, 1, 3]
+    o_hi = jnp.max(blk[:, :, 0:3], axis=1)[:, None, :]
+    d_lo = jnp.min(blk[:, :, 3:6], axis=1)[:, None, :]
+    d_hi = jnp.max(blk[:, :, 3:6], axis=1)[:, None, :]
+    tmin_lo = jnp.min(blk[:, :, 6], axis=1)[:, None]     # [B, 1]
+    tmax_hi = jnp.max(blk[:, :, 7], axis=1)[:, None]
+
+    # Cluster AABBs back to [c_pad, 3] corner layout.
+    ab = cl.aabb.transpose(0, 2, 1).reshape(-1, 6)       # [c_pad, 6]
+    lo = ab[None, :, 0:3]                                # [1, C, 3]
+    hi = ab[None, :, 3:6]
+
+    eps = _DEGEN_EPS
+    consistent = (d_lo > eps) | (d_hi < -eps)            # [B, 1, 3]
+    safe_lo = jnp.where(consistent, d_lo, 1.0)
+    safe_hi = jnp.where(consistent, d_hi, 1.0)
+    i_lo = 1.0 / safe_hi                                 # inv interval
+    i_hi = 1.0 / safe_lo                                 # (i_lo <= i_hi)
+
+    def plane_interval(p):
+        # t = (p - o) * inv with a = p - o in [p - o_hi, p - o_lo]:
+        # full 4-product interval multiply (signs of a and inv vary).
+        a_lo = p - o_hi
+        a_hi = p - o_lo
+        p1, p2 = a_lo * i_lo, a_lo * i_hi
+        p3, p4 = a_hi * i_lo, a_hi * i_hi
+        t_lo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+        t_hi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+        return t_lo, t_hi
+
+    t0_lo, t0_hi = plane_interval(lo)                    # [B, C, 3]
+    t1_lo, t1_hi = plane_interval(hi)
+    tn_axis_lo = jnp.minimum(t0_lo, t1_lo)   # lower bound of per-ray tn
+    tf_axis_hi = jnp.maximum(t0_hi, t1_hi)   # upper bound of per-ray tf
+    tn_axis_lo = jnp.where(consistent, tn_axis_lo, -_BIG)
+    tf_axis_hi = jnp.where(consistent, tf_axis_hi, _BIG)
+
+    L = jnp.maximum(jnp.max(tn_axis_lo, axis=2), tmin_lo)  # [B, C]
+    U = jnp.minimum(jnp.min(tf_axis_hi, axis=2), tmax_hi)
+    mask = L <= U
+    return mask, jnp.maximum(L, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -244,23 +272,21 @@ def _closest_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
         count = count_ref[0, g, 0]
         cols = slice(g * SUB, (g + 1) * SUB)
 
-        @pl.when(count == 0)
-        def _(cols=cols, a=a):
-            # Fast path: nothing in range — miss everything.
-            miss = jnp.concatenate(
-                [a[:, 7:8], jnp.zeros((SUB, 5), jnp.float32),
-                 jnp.full((SUB, 2), -1.0, jnp.float32)], axis=1)
-            f_out[0:8, cols] = jnp.transpose(miss, (1, 0))
+        # Empty sub-blocks write NOTHING — ~70% of blocks on a typical
+        # framed mesh miss every cluster, and the (8, SUB) transpose+write
+        # alone is a large share of an empty group's cost. The host-side
+        # epilogue masks those rows to misses (closest_hit below).
 
         @pl.when(count > 0)
         def _(g=g, sub=sub, tmin=tmin, tmax=tmax, count=count, cols=cols,
               a=a):
             ox, oy, oz, dx, dy, dz = sub[0:6]
+            # Only the running-min t and the hit-marker plane need init:
+            # bu/bv/bn/bid[1] are written exactly where `ok`, and the
+            # final pick masks by the winner select, so stale lanes from
+            # the previous group never leak into the output.
             bt_s[...] = tmax
-            bu_s[...] = jnp.zeros((SUB, LANES), jnp.float32)
-            bv_s[...] = jnp.zeros((SUB, LANES), jnp.float32)
-            bn_s[...] = jnp.zeros((3, SUB, LANES), jnp.float32)
-            bid_s[...] = jnp.full((2, SUB, LANES), -1.0, jnp.float32)
+            bid_s[0] = jnp.full((SUB, LANES), -1.0, jnp.float32)
 
             def step(c):
                 blk = comp_ref[pl.ds(c, 1)][0]    # (24, 128)
@@ -310,10 +336,12 @@ def _closest_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
             win_lane = jnp.min(jnp.where(winner, lane, LANES), axis=1,
                                keepdims=True)
             sel = winner & (lane == win_lane)
-            sf = sel.astype(jnp.float32)
 
             def pick(x):
-                return jnp.sum(sf * x, axis=1, keepdims=True)
+                # where-mask (not multiply) so uninitialized loser lanes
+                # (possibly NaN garbage) cannot poison the sum.
+                return jnp.sum(jnp.where(sel, x, 0.0), axis=1,
+                               keepdims=True)
 
             any_hit_r = row_t < _BIG
             out = jnp.concatenate([
@@ -331,9 +359,7 @@ def _any_kernel(count_ref, list_ref, comp_ref, rays_ref, occ_out):
         count = count_ref[0, g, 0]
         cols = slice(g * SUB, (g + 1) * SUB)
 
-        @pl.when(count == 0)
-        def _(cols=cols):
-            occ_out[0:1, cols] = jnp.zeros((1, SUB), jnp.int32)
+        # Empty sub-blocks write nothing; the epilogue masks them clear.
 
         @pl.when(count > 0)
         def _(g=g, count=count, cols=cols):
@@ -384,23 +410,12 @@ def _pack_rays(rays: Rays, n_padded):
 
 
 def _cull(cl: ClusterSet, packed, n_super, c_pad, interpret):
-    """Run the cull kernel + compaction. Returns (counts [S, G, 1],
+    """Run the block-interval cull + compaction. Returns (counts [S, G, 1],
     lists [S, G, C_pad], tnear_sorted [S, G, C_pad])."""
-    mask, tnear = pl.pallas_call(
-        _cull_kernel,
-        grid=(n_super,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_super, GROUPS, c_pad), jnp.int32),
-            jax.ShapeDtypeStruct((n_super, GROUPS, c_pad), jnp.float32)),
-        interpret=interpret,
-    )(cl.aabb, packed)
+    del interpret  # pure XLA — interpret only affects the pallas kernels
+    mask, tnear = _block_cull(cl, packed, n_super * GROUPS, c_pad)
+    mask = mask.reshape(n_super, GROUPS, c_pad)
+    tnear = tnear.reshape(n_super, GROUPS, c_pad)
 
     # Compact each sub-block's hit clusters, front-to-back by entry
     # distance (misses sort to the tail at _BIG). One single-key sort:
@@ -409,7 +424,7 @@ def _cull(cl: ClusterSet, packed, n_super, c_pad, interpret):
     # their values, and truncating the low 10 mantissa bits only shifts
     # the early-exit threshold conservatively downward. 4x faster than
     # argsort + take_along_axis (gathers) on TPU.
-    hit = (mask != 0) & (jnp.arange(c_pad)[None, None, :] < cl.num_clusters)
+    hit = mask & (jnp.arange(c_pad)[None, None, :] < cl.num_clusters)
     counts = jnp.sum(hit.astype(jnp.int32), axis=2, keepdims=True)
     key = jnp.maximum(jnp.where(hit, tnear, _BIG), 0.0)
     bits = jax.lax.bitcast_convert_type(key, jnp.int32)
@@ -462,22 +477,93 @@ def closest_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
     )(counts, lists, tnear_sorted, cl.comp, packed)
 
     # Dense row reads — no gathers, no relayouts: the kernel already baked
-    # normals and prim/material ids into the hit record.
+    # normals and prim/material ids into the hit record. Rows belonging to
+    # empty sub-blocks are kernel garbage by design; `live` masks them.
+    live = jnp.repeat(counts.reshape(-1) > 0, SUB)[:n]
     t = fouts[0, :n]
     u = fouts[1, :n]
     v = fouts[2, :n]
     normal = jnp.stack([fouts[3, :n], fouts[4, :n], fouts[5, :n]], axis=-1)
-    prim = fouts[6, :n].astype(jnp.int32)
-    mat = fouts[7, :n].astype(jnp.int32)
+    prim = jnp.where(live, fouts[6, :n], -1.0).astype(jnp.int32)
+    mat = jnp.where(live, fouts[7, :n], -1.0).astype(jnp.int32)
     hit = prim >= 0
+    hit3 = hit[:, None]
     return Hits(
         t=jnp.where(hit, t, rays.tmax),
         prim_id=prim,
         inst_id=jnp.where(hit, 0, -1),
         mat_id=mat,
-        uv=jnp.stack([u, v], axis=-1),
-        normal=normal,
+        uv=jnp.where(hit3, jnp.stack([u, v], axis=-1), 0.0),
+        normal=jnp.where(hit3, normal, 0.0),
     )
+
+
+def _coherence_perm(cl: ClusterSet, rays: Rays):
+    """Permutation sorting rays into spatially coherent 256-ray blocks.
+
+    The block-interval cull (and the walk's early exit) are only as tight
+    as each block's (origin box x direction interval); bounce rays arrive
+    scattered and an unsorted block degenerates to "walk every cluster"
+    (~100x slower than tile-coherent primaries). Key layout, major to
+    minor: 12-bit morton of the origin cell over the scene bounds, then a
+    6-bit direction octant/cone (2 bits/axis — the top bit per axis IS the
+    sign, so a block never mixes direction signs and the interval cull's
+    reciprocal stays sign-consistent). This is the SER ray-reorder role of
+    `optixReorder` (include/optix_device.h:184) done wavefront-style.
+    """
+    return jnp.argsort(coherence_key(cl, rays)).astype(jnp.int32)
+
+
+def coherence_key(cl: ClusterSet, rays: Rays,
+                  okey_bits: int = 3, dkey_bits: int = 4):
+    """[N] u32 sort key: origin-cell morton (major) | direction morton
+    (minor). More direction bits than origin bits: the interval cull
+    degrades fastest with direction spread (a cone near an axis zero makes
+    the reciprocal interval unbounded), while origins of one bounce
+    wavefront already concentrate on visible surfaces."""
+    from .morton import expand_bits
+
+    ab = cl.aabb.transpose(0, 2, 1).reshape(-1, 6)
+    real = jnp.arange(ab.shape[0]) < cl.num_clusters
+    lo = jnp.min(jnp.where(real[:, None], ab[:, 0:3], _BIG), axis=0)
+    hi = jnp.max(jnp.where(real[:, None], ab[:, 3:6], -_BIG), axis=0)
+
+    def morton(points, bits):
+        q = jnp.clip(points, 0.0, 1.0 - 1e-7)
+        c = (q * (1 << bits)).astype(jnp.uint32)
+        return ((expand_bits(c[:, 0]) << 2) | (expand_bits(c[:, 1]) << 1)
+                | expand_bits(c[:, 2]))
+
+    extent = jnp.maximum(hi - lo, 1e-12)
+    okey = morton((rays.origin - lo) / extent, okey_bits)
+    dkey = morton(rays.direction * 0.5 + 0.5, dkey_bits)
+    return (okey << jnp.uint32(3 * dkey_bits)) | dkey
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "early_exit"))
+def closest_hit_sorted(cl: ClusterSet, rays: Rays, interpret: bool = False,
+                       early_exit: bool = True) -> Hits:
+    """closest_hit with a coherence pre-sort — use for bounce/scattered
+    rays; tile-ordered primaries should call closest_hit directly (the
+    sort costs ~a few ms that coherent rays don't earn back)."""
+    perm = _coherence_perm(cl, rays)
+    sorted_rays = jax.tree.map(lambda a: a[perm], rays)
+    hits = closest_hit(cl, sorted_rays, interpret=interpret,
+                       early_exit=early_exit)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32))
+    return jax.tree.map(lambda a: a[inv], hits)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def any_hit_sorted(cl: ClusterSet, rays: Rays, interpret: bool = False):
+    """any_hit with a coherence pre-sort (scattered shadow/AO rays)."""
+    perm = _coherence_perm(cl, rays)
+    sorted_rays = jax.tree.map(lambda a: a[perm], rays)
+    occ = any_hit(cl, sorted_rays, interpret=interpret)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32))
+    return occ[inv]
 
 
 def traversal_stats(cl: ClusterSet, rays: Rays, interpret: bool = False):
@@ -528,4 +614,5 @@ def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False):
         interpret=interpret,
     )(counts, lists, cl.comp, packed)
 
-    return occ[0, :n] != 0
+    live = jnp.repeat(counts.reshape(-1) > 0, SUB)[:n]
+    return live & (occ[0, :n] != 0)

@@ -60,6 +60,34 @@ class TestRoundTrip:
         write_exr(p, img, pixel_type="HALF")
         np.testing.assert_array_equal(read_exr(p), img)
 
+    @pytest.mark.parametrize("comp", ["NONE", "ZIPS", "ZIP"])
+    def test_compression_modes(self, hdr, comp):
+        img, d = hdr
+        p = str(d / f"c_{comp}.exr")
+        write_exr(p, img, pixel_type="FLOAT", compression=comp)
+        np.testing.assert_array_equal(read_exr(p), img)
+
+    def test_zip_shrinks_smooth_data(self, tmp_path):
+        # A render-like smooth gradient must actually compress.
+        import os
+        yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+        img = np.stack([yy / 64, xx / 96, (yy + xx) / 160], axis=-1)
+        pn = str(tmp_path / "n.exr")
+        pz = str(tmp_path / "z.exr")
+        write_exr(pn, img, compression="NONE")
+        write_exr(pz, img, compression="ZIP")
+        assert os.path.getsize(pz) < 0.7 * os.path.getsize(pn)
+        np.testing.assert_allclose(read_exr(pz), read_exr(pn))
+
+    def test_zip_incompressible_chunk_stored_raw(self, tmp_path):
+        # Random half data rarely deflates; the raw-chunk fallback must
+        # still round-trip.
+        rng = np.random.default_rng(3)
+        img = rng.standard_normal((21, 33, 3)).astype(np.float32)
+        p = str(tmp_path / "r.exr")
+        write_exr(p, img, pixel_type="FLOAT", compression="ZIPS")
+        np.testing.assert_array_equal(read_exr(p), img)
+
     def test_image_io_dispatch(self, hdr):
         img, d = hdr
         p = str(d / "via_image.exr")
