@@ -1,9 +1,15 @@
-"""Denoiser API: the `optixDenoiser*` surface over the à-trous backend.
+"""Denoiser API: the `optixDenoiser*` surface over two backends.
 
 Model kinds (`optix_types.h:1609-1635`): LDR, HDR, AOV, TEMPORAL, UPSCALE2X.
 Entry points mirror `optixDenoiserCreate/Setup/Invoke/ComputeIntensity/
 ComputeAverageColor` (`optix_host.h:814-1028`) plus the tiled helper
 (`optix_denoiser_tiling.h:223`).
+
+Backends: "kpcnn" — the trained kernel-prediction CNN
+(denoise/kpcnn.py), the analogue of the reference's pretrained model;
+"atrous" — the SVGF-style filter (no weights needed). "auto" picks the
+CNN when the shipped checkpoint exists, matching the reference's
+behavior of always using the learned model.
 """
 from __future__ import annotations
 
@@ -11,7 +17,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ..denoise import atrous, flow as flow_mod
+from ..denoise import atrous, flow as flow_mod, kpcnn
 
 
 class ModelKind:
@@ -24,12 +30,28 @@ class ModelKind:
 
 class Denoiser:
     def __init__(self, context=None, model_kind: str = ModelKind.HDR,
-                 guide_albedo: bool = True, guide_normal: bool = True):
+                 guide_albedo: bool = True, guide_normal: bool = True,
+                 backend: str = "auto"):
         self.context = context
         self.model_kind = model_kind
         self.guide_albedo = guide_albedo
         self.guide_normal = guide_normal
+        if backend == "auto":
+            backend = "kpcnn" if kpcnn.has_weights() else "atrous"
+        if backend == "kpcnn" and kpcnn.load_params() is None:
+            raise ValueError("backend='kpcnn' but no trained checkpoint at "
+                             f"{kpcnn.WEIGHTS_PATH} (run "
+                             "tools/train_denoiser.py)")
+        self.backend = backend
         self._setup = None
+
+    def _spatial(self, work, albedo, normal, iterations):
+        """One spatial denoise pass through the selected backend."""
+        if self.backend == "kpcnn":
+            return kpcnn.denoise_kp(kpcnn.load_params(), work,
+                                    albedo=albedo, normal=normal)
+        return atrous.denoise(work, albedo=albedo, normal=normal,
+                              iterations=iterations)
 
     def setup(self, width: int, height: int, tiled: bool = False,
               tile: int = 256, overlap: int = 32, iterations: int = 5):
@@ -75,21 +97,25 @@ class Denoiser:
                 else self.compute_intensity(beauty)
         work = beauty * scale
 
+        core = None
+        if self.backend == "kpcnn":
+            core = (lambda b, a, n:
+                    kpcnn.denoise_kp(kpcnn.load_params(), b, a, n))
+
         if self.model_kind == ModelKind.TEMPORAL and previous_output is not None:
             if flow is None:
                 flow = jnp.zeros(beauty.shape[:2] + (2,), jnp.float32)
             out = atrous.denoise_temporal(work,
                                           jnp.asarray(previous_output) * scale,
                                           flow, albedo=albedo, normal=normal,
-                                          iterations=it)
+                                          iterations=it, core=core)
         elif self._setup["tiled"]:
             out = jnp.asarray(atrous.denoise_tiled(
                 work, albedo=albedo, normal=normal,
                 tile=self._setup["tile"], overlap=self._setup["overlap"],
-                iterations=it))
+                iterations=it, core=core))
         else:
-            out = atrous.denoise(work, albedo=albedo, normal=normal,
-                                 iterations=it)
+            out = self._spatial(work, albedo, normal, it)
 
         out = out / scale
         if blend_factor > 0.0:
@@ -104,9 +130,8 @@ class Denoiser:
                           + jnp.roll(out, (1, 1), (0, 1)))
 
         if self.model_kind == ModelKind.AOV and aovs:
-            den_aovs = {k: atrous.denoise(jnp.asarray(v) * scale,
-                                          albedo=albedo, normal=normal,
-                                          iterations=it) / scale
+            den_aovs = {k: self._spatial(jnp.asarray(v) * scale,
+                                         albedo, normal, it) / scale
                         for k, v in aovs.items()}
             return out, den_aovs
         return out

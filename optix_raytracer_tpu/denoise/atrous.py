@@ -109,14 +109,11 @@ def denoise(beauty, albedo=None, normal=None, iterations: int = 5,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def denoise_temporal(beauty, prev_output, flow, albedo=None, normal=None,
-                     iterations: int = 5, alpha: float = 0.2):
-    """Temporal mode: warp the previous denoised frame by `flow` ([H, W, 2],
-    pixels, previous→current like the reference's flow layer) and blend
-    before spatial filtering (`OPTIX_DENOISER_MODEL_KIND_TEMPORAL`,
-    `optix_types.h:1609-1635`)."""
-    h, w = beauty.shape[:2]
+@jax.jit
+def warp_by_flow(prev_output, flow):
+    """Bilinear back-warp of the previous frame: out(p) = prev(p - flow(p)),
+    flow in pixels, previous→current like the reference's flow layer."""
+    h, w = prev_output.shape[:2]
     yy = jnp.arange(h, dtype=jnp.float32)[:, None]
     xx = jnp.arange(w, dtype=jnp.float32)[None, :]
     src_y = yy - flow[..., 1]
@@ -131,18 +128,30 @@ def denoise_temporal(beauty, prev_output, flow, albedo=None, normal=None,
     p10 = prev_output[y0i, x0i + 1]
     p01 = prev_output[y0i + 1, x0i]
     p11 = prev_output[y0i + 1, x0i + 1]
-    warped = (p00 * (1 - fx) + p10 * fx) * (1 - fy) \
+    return (p00 * (1 - fx) + p10 * fx) * (1 - fy) \
         + (p01 * (1 - fx) + p11 * fx) * fy
+
+
+def denoise_temporal(beauty, prev_output, flow, albedo=None, normal=None,
+                     iterations: int = 5, alpha: float = 0.2, core=None):
+    """Temporal mode: warp the previous denoised frame by `flow` and blend
+    before spatial filtering (`OPTIX_DENOISER_MODEL_KIND_TEMPORAL`,
+    `optix_types.h:1609-1635`). `core` overrides the spatial filter
+    (e.g. the trained KPCNN)."""
+    warped = warp_by_flow(prev_output, flow)
     blended = alpha * beauty + (1.0 - alpha) * warped
+    if core is not None:
+        return core(blended, albedo, normal)
     return denoise(blended, albedo=albedo, normal=normal,
                    iterations=iterations)
 
 
 def denoise_tiled(beauty, albedo=None, normal=None, tile: int = 256,
-                  overlap: int = 32, **kw):
+                  overlap: int = 32, core=None, **kw):
     """Tile-wise invocation with overlap windows for images larger than
     memory — `optixUtilDenoiserInvokeTiled` (`optix_denoiser_tiling.h:223`,
-    overlap sizing `optix_host.h:857-865`)."""
+    overlap sizing `optix_host.h:857-865`). `core` overrides the spatial
+    filter applied per tile."""
     import numpy as np
     h, w = beauty.shape[:2]
     out = np.zeros((h, w, 3), np.float32)
@@ -155,8 +164,11 @@ def denoise_tiled(beauty, albedo=None, normal=None, tile: int = 256,
             x0 = max(0, x - overlap)
             x1 = min(w, x + tile + overlap)
             sub = lambda img: None if img is None else img[y0:y1, x0:x1]
-            den = denoise(beauty[y0:y1, x0:x1], albedo=sub(albedo),
-                          normal=sub(normal), **kw)
+            if core is not None:
+                den = core(beauty[y0:y1, x0:x1], sub(albedo), sub(normal))
+            else:
+                den = denoise(beauty[y0:y1, x0:x1], albedo=sub(albedo),
+                              normal=sub(normal), **kw)
             oy = y - y0
             ox = x - x0
             ny = min(tile, h - y)

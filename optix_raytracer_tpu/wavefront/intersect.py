@@ -78,7 +78,14 @@ def scene_closest(scene: DeviceScene, rays: Rays,
         hits = _flat_call(
             lambda r: cluster_mod.closest_hit(scene.clusters, r), rays)
     elif _use_bvh(scene):
-        hits = trav.traverse(scene.bvh, scene.geom, scene.tri_mat, rays)
+        # Chunked: one unbounded while_loop over a multi-million-ray
+        # wavefront runs past the device watchdog (the slowest ray stalls
+        # every lane); fixed-size chunks bound each kernel invocation.
+        hits = _flat_call(
+            lambda r: bf._chunked(
+                lambda c: trav.traverse(scene.bvh, scene.geom,
+                                        scene.tri_mat, c),
+                r, chunk_size), rays)
     else:
         hits = bf.intersect_closest(scene.geom, rays, tri_mat=scene.tri_mat,
                                     chunk_size=chunk_size)
@@ -105,7 +112,11 @@ def scene_any(scene: DeviceScene, rays: Rays,
         occ = _flat_call(
             lambda r: cluster_mod.any_hit(scene.clusters, r), rays)
     elif _use_bvh(scene):
-        occ = trav.traverse(scene.bvh, scene.geom, None, rays, any_hit=True)
+        occ = _flat_call(
+            lambda r: bf._chunked(
+                lambda c: trav.traverse(scene.bvh, scene.geom, None, c,
+                                        any_hit=True),
+                r, chunk_size), rays)
     else:
         occ = bf.intersect_any(scene.geom, rays, chunk_size=chunk_size)
     if scene.prims.num:

@@ -41,6 +41,47 @@ class TestCheckpoint:
                                    rtol=1e-5, atol=1e-6)
         assert int(f3.subframe) == 8
 
+    def test_orbax_round_trip(self, scene, tmp_path):
+        w = h = 16
+        cam_obj = cornell_camera(w, h)
+        f1, _ = render_accumulate(scene, cam_obj.params(),
+                                  film_mod.Film.create(h, w), w, h,
+                                  samples_per_launch=2, max_depth=2,
+                                  chunk_size=None)
+        path = str(tmp_path / "orbax_ck")
+        ckpt.save_checkpoint_orbax(path, f1, cam_obj, {"spp": 2})
+        f2, cam2, cfg = ckpt.load_checkpoint_orbax(path)
+        assert cfg["spp"] == 2
+        assert cam2.eye == cam_obj.eye
+        np.testing.assert_array_equal(np.asarray(f2.accum),
+                                      np.asarray(f1.accum))
+        assert int(f2.subframe) == int(f1.subframe)
+
+    def test_orbax_sharded_restore(self, scene, tmp_path):
+        """Multichip film state restores directly onto a mesh sharding."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        w, h = 16, 16
+        cam_obj = cornell_camera(w, h)
+        f1, _ = render_accumulate(scene, cam_obj.params(),
+                                  film_mod.Film.create(h, w), w, h,
+                                  samples_per_launch=1, max_depth=2,
+                                  chunk_size=None)
+        path = str(tmp_path / "orbax_sharded")
+        ckpt.save_checkpoint_orbax(path, f1, cam_obj)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("rows",))
+        sh = NamedSharding(mesh, P("rows"))
+        abstract = film_mod.Film(
+            accum=jax.ShapeDtypeStruct(f1.accum.shape, f1.accum.dtype,
+                                       sharding=sh),
+            subframe=jax.ShapeDtypeStruct(
+                f1.subframe.shape, f1.subframe.dtype,
+                sharding=NamedSharding(mesh, P())))
+        f2, _, _ = ckpt.load_checkpoint_orbax(path, abstract_film=abstract)
+        np.testing.assert_array_equal(np.asarray(f2.accum),
+                                      np.asarray(f1.accum))
+
 
 class TestViewer:
     def test_progressive_frames(self, scene):

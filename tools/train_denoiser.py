@@ -1,0 +1,266 @@
+"""Train the kernel-prediction denoiser on this framework's own renders.
+
+The reference ships pretrained denoiser weights inside the driver
+(`optixDenoiserCreate`, model kinds at `optix_types.h:1609-1635`). We
+cannot ship NVIDIA's weights, so we train our own: random Cornell-variant
+scenes rendered by the fused path tracer — low-spp noisy input + AOV guide
+layers vs high-spp target — through the KPCNN (denoise/kpcnn.py), saved to
+optix_raytracer_tpu/denoise/weights/kpcnn.npz.
+
+Usage:
+  python tools/train_denoiser.py --scenes 96 --steps 4000
+  python tools/train_denoiser.py --render-only   # just build the dataset
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RES = 256          # rendered scene resolution
+PATCH = 128
+DATA = "/tmp/denoiser_data"
+
+
+def random_scene(rng: np.random.Generator):
+    """A randomized Cornell-style room: recolored walls, 1-3 random boxes
+    (some metal/rough-PBR), random ceiling light."""
+    from optix_raytracer_tpu.scene.builtins import quads_to_triangles
+    from optix_raytracer_tpu.scene.device_scene import make_device_scene
+    from optix_raytracer_tpu.shade import materials as mat
+    from optix_raytracer_tpu.shade.lights import ParallelogramLight
+
+    def color():
+        c = rng.uniform(0.05, 0.9, 3)
+        if rng.random() < 0.5:          # mostly-neutral surfaces too
+            c[:] = rng.uniform(0.2, 0.9)
+        return tuple(float(x) for x in c)
+
+    mats = []
+
+    def add_mat():
+        i = len(mats)
+        if rng.random() < 0.25:
+            mats.append({"kind": mat.PBR, "base_color": color(),
+                         "metallic": float(rng.uniform(0.0, 1.0)),
+                         "roughness": float(rng.uniform(0.1, 0.9))})
+        else:
+            mats.append({"kind": mat.DIFFUSE, "base_color": color()})
+        return i
+
+    quads = []
+    S = 556.0
+    m_floor, m_ceil, m_back = add_mat(), add_mat(), add_mat()
+    m_left, m_right = add_mat(), add_mat()
+    quads.append(([(S, 0, 0), (0, 0, 0), (0, 0, S), (S, 0, S)], m_floor))
+    quads.append(([(S, S, 0), (S, S, S), (0, S, S), (0, S, 0)], m_ceil))
+    quads.append(([(S, 0, S), (0, 0, S), (0, S, S), (S, S, S)], m_back))
+    quads.append(([(0, 0, S), (0, 0, 0), (0, S, 0), (0, S, S)], m_right))
+    quads.append(([(S, 0, 0), (S, 0, S), (S, S, S), (S, S, 0)], m_left))
+
+    n_boxes = int(rng.integers(1, 4))
+    for b in range(3):          # always 3 box slots → fixed triangle count
+        if b >= n_boxes:
+            # degenerate (zero-area) quads: never hit, keep shapes static
+            # so every scene reuses one compiled render executable
+            for _ in range(5):
+                quads.append(([(0.0, 0.0, 0.0)] * 4, 0))
+            continue
+        m = add_mat()
+        w, d, h = rng.uniform(60, 200, 3)
+        cx = rng.uniform(w / 2 + 10, S - w / 2 - 10)
+        cz = rng.uniform(d / 2 + 10, S - d / 2 - 10)
+        ang = rng.uniform(0, np.pi / 2)
+        ca, sa = np.cos(ang), np.sin(ang)
+        corners = []
+        for dx, dz in ((-w / 2, -d / 2), (w / 2, -d / 2), (w / 2, d / 2),
+                       (-w / 2, d / 2)):
+            corners.append((cx + dx * ca - dz * sa, h,
+                            cz + dx * sa + dz * ca))
+        quads.append((corners, m))                       # top
+        for i in range(4):
+            a, b = corners[i], corners[(i + 1) % 4]
+            quads.append(([(a[0], 0, a[2]), (a[0], h, a[2]),
+                           (b[0], h, b[2]), (b[0], 0, b[2])], m))
+
+    # light quad just below the ceiling
+    lw, ld = rng.uniform(80, 200, 2)
+    lx = rng.uniform(lw / 2 + 20, S - lw / 2 - 20)
+    lz = rng.uniform(ld / 2 + 20, S - ld / 2 - 20)
+    emission = tuple(float(x) for x in rng.uniform(8.0, 30.0, 3))
+    m_light = len(mats)
+    mats.append({"kind": mat.DIFFUSE, "base_color": (0.8, 0.8, 0.8),
+                 "emission": emission})
+    corner = (lx + lw / 2, 548.6, lz - ld / 2)
+    v1, v2 = (-lw, 0.0, 0.0), (0.0, 0.0, ld)
+    quads.append(([corner,
+                   (corner[0] + v1[0], corner[1], corner[2]),
+                   (corner[0] + v1[0], corner[1], corner[2] + v2[2]),
+                   (corner[0], corner[1], corner[2] + v2[2])], m_light))
+
+    while len(mats) < 9:        # fixed material-table shape (no recompiles)
+        mats.append({"kind": mat.DIFFUSE, "base_color": (0.5, 0.5, 0.5)})
+
+    verts, idx, tri_mat = quads_to_triangles(quads)
+    light = ParallelogramLight.make(corner, v1, v2, emission)
+    return make_device_scene(verts, idx, tri_mat, mats, area_light=light)
+
+
+def random_camera(rng: np.random.Generator, w, h):
+    from optix_raytracer_tpu.core.camera import Camera
+    eye = (278 + rng.uniform(-120, 120), 273 + rng.uniform(-120, 120),
+           -900 + rng.uniform(-100, 300))
+    lookat = (278 + rng.uniform(-80, 80), 273 + rng.uniform(-80, 80), 330)
+    return Camera(eye=eye, lookat=lookat, up=(0, 1, 0),
+                  fov_y=float(rng.uniform(28, 45)), aspect=w / h).params()
+
+
+def render_dataset(n_scenes: int, seed: int = 0, noisy_spp=(1, 2, 4, 8),
+                   clean_spp: int = 1024):
+    import jax
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.core.film import Film
+    from optix_raytracer_tpu.wavefront.engine import (render_accumulate,
+                                                      render_aovs)
+
+    os.makedirs(DATA, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n_scenes):
+        path = os.path.join(DATA, f"scene_{i:04d}.npz")
+        if os.path.exists(path):
+            continue
+        t0 = time.time()
+        scene = random_scene(rng)
+        cam = random_camera(rng, RES, RES)
+        spp = int(rng.choice(noisy_spp))
+
+        film = Film.create(RES, RES)
+        film, _ = render_accumulate(scene, cam, film, RES, RES,
+                                    samples_per_launch=spp, max_depth=4)
+        noisy = np.asarray(film.accum)
+        film = Film.create(RES, RES)
+        # split the clean render into launches to bound kernel runtime
+        for _ in range(clean_spp // 64):
+            film, _ = render_accumulate(scene, cam, film, RES, RES,
+                                        samples_per_launch=64, max_depth=4)
+        clean = np.asarray(film.accum)
+        aovs = render_aovs(scene, cam, RES, RES)
+        np.savez_compressed(
+            path, noisy=noisy.astype(np.float16),
+            clean=clean.astype(np.float16), spp=spp,
+            albedo=np.asarray(aovs["albedo"], np.float16),
+            normal=np.asarray(aovs["normal"], np.float16))
+        print(f"[{i+1}/{n_scenes}] spp={spp} {time.time()-t0:.1f}s",
+              flush=True)
+
+
+def load_dataset():
+    files = sorted(os.path.join(DATA, f) for f in os.listdir(DATA)
+                   if f.endswith(".npz"))
+    out = []
+    for f in files:
+        d = np.load(f)
+        out.append({k: np.asarray(d[k], np.float32)
+                    for k in ("noisy", "clean", "albedo", "normal")})
+    return out
+
+
+def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
+          seed: int = 0, val_frac: float = 0.1):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from optix_raytracer_tpu.denoise import kpcnn
+
+    data = load_dataset()
+    assert data, "no dataset — run with --render-only first"
+    n_val = max(1, int(len(data) * val_frac))
+    val, trainset = data[:n_val], data[n_val:]
+    print(f"dataset: {len(trainset)} train / {n_val} val scenes")
+
+    rng = np.random.default_rng(seed)
+    params = kpcnn.init_params(jax.random.PRNGKey(seed))
+    sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+
+    def tonemap(x):
+        return jnp.log1p(jnp.maximum(x, 0.0))
+
+    def loss_fn(params, noisy, albedo, normal, clean):
+        out = kpcnn.denoise_kp(params, noisy, albedo, normal)
+        lt = jnp.abs(tonemap(out) - tonemap(clean))
+        gy = jnp.abs(jnp.diff(tonemap(out), axis=1)
+                     - jnp.diff(tonemap(clean), axis=1))
+        gx = jnp.abs(jnp.diff(tonemap(out), axis=2)
+                     - jnp.diff(tonemap(clean), axis=2))
+        return jnp.mean(lt) + 0.5 * (jnp.mean(gx) + jnp.mean(gy))
+
+    @jax.jit
+    def step(params, opt_state, noisy, albedo, normal, clean):
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, albedo,
+                                                  normal, clean)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def sample_batch(ds):
+        ns, als, nms, cls_ = [], [], [], []
+        for _ in range(batch):
+            s = ds[rng.integers(len(ds))]
+            y = rng.integers(0, RES - PATCH + 1)
+            x = rng.integers(0, RES - PATCH + 1)
+            sl = np.s_[y:y + PATCH, x:x + PATCH]
+            ns.append(s["noisy"][sl])
+            als.append(s["albedo"][sl])
+            nms.append(s["normal"][sl])
+            cls_.append(s["clean"][sl])
+        return (jnp.asarray(np.stack(ns)), jnp.asarray(np.stack(als)),
+                jnp.asarray(np.stack(nms)), jnp.asarray(np.stack(cls_)))
+
+    @jax.jit
+    def val_mse(params, noisy, albedo, normal, clean):
+        out = kpcnn.denoise_kp(params, noisy, albedo, normal)
+        return (jnp.mean((tonemap(out) - tonemap(clean)) ** 2),
+                jnp.mean((tonemap(noisy) - tonemap(clean)) ** 2))
+
+    t0 = time.time()
+    for i in range(steps):
+        b = sample_batch(trainset)
+        params, opt_state, loss = step(params, opt_state, *b)
+        if (i + 1) % 200 == 0:
+            vm, nm = 0.0, 0.0
+            for s in val:
+                a, b_ = val_mse(params, jnp.asarray(s["noisy"][None]),
+                                jnp.asarray(s["albedo"][None]),
+                                jnp.asarray(s["normal"][None]),
+                                jnp.asarray(s["clean"][None]))
+                vm += float(a); nm += float(b_)
+            print(f"step {i+1}: loss={float(loss):.4f} "
+                  f"val_mse={vm/len(val):.5f} noisy_mse={nm/len(val):.5f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    kpcnn.save_params(params)
+    print("saved", kpcnn.WEIGHTS_PATH)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=96)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--clean-spp", type=int, default=1024)
+    ap.add_argument("--render-only", action="store_true")
+    ap.add_argument("--train-only", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    if not args.train_only:
+        render_dataset(args.scenes, seed=args.seed,
+                       clean_spp=args.clean_spp)
+    if not args.render_only:
+        train(steps=args.steps, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()
