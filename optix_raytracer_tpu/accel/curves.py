@@ -163,6 +163,34 @@ def load_hair_file(path: str):
     return strands, radii
 
 
+def strand_to_swept_cubics(control, widths, kind: str = CUBIC_BSPLINE,
+                           mat_id: int = 0):
+    """Cubic strand → true swept-curve prim dicts (one per span).
+
+    kind: CUBIC_BSPLINE, CATMULL_ROM or BEZIER — the power-basis transform
+    is the only difference (the ROUND_CUBIC_* builtin intersector roles,
+    `optix_device.h:610-699`). Replaces capsule tessellation with the exact
+    swept-sphere surface of each degree-3 span.
+    """
+    from . import primitives as prim
+    control = np.asarray(control, np.float32)
+    widths = np.asarray(widths, np.float32)
+    m = _BASIS[kind]
+    step = 3 if kind == BEZIER else 1
+    c = len(control)
+    starts = list(range(0, c - 3, step))
+    nspans = len(starts)
+    out = []
+    for si, k in enumerate(starts):
+        a = m @ control[k:k + 4]                 # [4, 3] rows: s^0..s^3
+        r = m @ widths[k:k + 4]
+        out.append({"kind": prim.SWEPT_CUBIC, "mat_id": mat_id,
+                    "a0": a[0], "a1": a[1], "a2": a[2], "a3": a[3],
+                    "r": tuple(r),
+                    "u_range": (si / nspans, (si + 1) / nspans)})
+    return out
+
+
 def strand_to_swept_quads(control, widths, mat_id: int = 0):
     """Quadratic-bspline strand → true swept-curve prim dicts.
 

@@ -24,10 +24,12 @@ SPHERE_SHELL = 1
 PARALLELOGRAM = 2
 CAPSULE = 3        # round linear curve segment (the curve-primitive backend)
 SWEPT_QUAD = 4     # true swept quadratic curve segment (round bspline span)
+SWEPT_CUBIC = 5    # true swept cubic curve segment (bspline/catmullrom/bezier)
 
 _BIG = 1e30
-_SWEPT_COARSE = 8  # coarse curve-parameter scan points
-_SWEPT_NEWTON = 6  # minimization refinement steps
+_SWEPT_COARSE = 16  # coarse curve-parameter scan points (phi is degree 6
+                    # for cubics — up to 3 local minima — so scan densely)
+_SWEPT_NEWTON = 6   # minimization refinement steps
 
 
 @struct.dataclass
@@ -39,16 +41,20 @@ class CustomPrims:
       SPHERE_SHELL:  [cx, cy, cz, r_inner, r_outer, 0...]
       PARALLELOGRAM: [ax, ay, az, v1x, v1y, v1z, v2x, v2y, v2z, 0...]
         (anchor + edge vectors; plane normal derived)
-      SWEPT_QUAD:    [a0(3), a1(3), a2(3), r0, r1, r2, u0, u1, 0]
+      SWEPT_QUAD:    [a0(3), a1(3), a2(3), r0, r1, r2, u0, u1, 0...]
         position C(s) = a0 + a1 s + a2 s^2, radius r(s) = r0 + r1 s + r2 s^2
         over s in [0, 1] — one quadratic-bspline span in power basis. The
         driver's built-in ROUND_QUADRATIC_BSPLINE intersector role
         (`optix_device.h:610-699`), solved lock-step: coarse scan + Newton
         minimization of the point-to-ray-axis quartic, then swept-sphere
         fix-point refinement — fixed iteration counts, no divergence.
+      SWEPT_CUBIC:   [a0(3), a1(3), a2(3), a3(3), r0, r1, r2, r3, u0, u1]
+        degree-3 span in power basis (cubic bspline / Catmull-Rom / Bézier
+        — the ROUND_CUBIC_* builtin intersectors): same scan+Newton scheme
+        with phi of degree 6.
     """
     kind: jnp.ndarray     # [P] int32
-    params: jnp.ndarray   # [P, 16] f32
+    params: jnp.ndarray   # [P, 18] f32
     mat_id: jnp.ndarray   # [P] int32
 
     @property
@@ -58,7 +64,7 @@ class CustomPrims:
     @classmethod
     def empty(cls):
         return cls(kind=jnp.zeros((0,), jnp.int32),
-                   params=jnp.zeros((0, 16), jnp.float32),
+                   params=jnp.zeros((0, 18), jnp.float32),
                    mat_id=jnp.zeros((0,), jnp.int32))
 
 
@@ -67,7 +73,7 @@ def make_prims(prims) -> CustomPrims:
     import numpy as np
     p = max(len(prims), 0)
     kind = np.zeros(p, np.int32)
-    params = np.zeros((p, 16), np.float32)
+    params = np.zeros((p, 18), np.float32)
     mat = np.zeros(p, np.int32)
     for i, pr in enumerate(prims):
         kind[i] = pr["kind"]
@@ -93,6 +99,13 @@ def make_prims(prims) -> CustomPrims:
             params[i, 6:9] = pr["a2"]
             params[i, 9:12] = pr["r"]
             params[i, 12:14] = pr.get("u_range", (0.0, 1.0))
+        elif pr["kind"] == SWEPT_CUBIC:
+            params[i, 0:3] = pr["a0"]
+            params[i, 3:6] = pr["a1"]
+            params[i, 6:9] = pr["a2"]
+            params[i, 9:12] = pr["a3"]
+            params[i, 12:16] = pr["r"]
+            params[i, 16:18] = pr.get("u_range", (0.0, 1.0))
         else:
             raise ValueError(f"unknown prim kind {pr['kind']}")
     return CustomPrims(kind=jnp.asarray(kind), params=jnp.asarray(params),
@@ -188,21 +201,31 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     t_cap = jnp.minimum(jnp.minimum(_cap_valid(tc0a, pa), _cap_valid(tc0b, pa)),
                         jnp.minimum(_cap_valid(tc1a, pb), _cap_valid(tc1b, pb)))
 
-    # --- swept quadratic curve (true round bspline span) ---
+    # --- swept curves (true round bspline/catmullrom/bezier spans) ---
+    # Quadratic and cubic spans share one solver: a quad span is a cubic
+    # with a3 = r3 = 0 (the coefficient layouts differ — select per kind).
+    is_cub = (kind == SWEPT_CUBIC)
+    is_cub3 = is_cub[..., None]
     sa0 = prims.params[None, :, 0:3]
     sa1 = prims.params[None, :, 3:6]
     sa2 = prims.params[None, :, 6:9]
-    sr0 = prims.params[None, :, 9]
-    sr1 = prims.params[None, :, 10]
-    sr2 = prims.params[None, :, 11]
+    sa3 = jnp.where(is_cub3, prims.params[None, :, 9:12], 0.0)
+    sr0 = jnp.where(is_cub, prims.params[None, :, 12],
+                    prims.params[None, :, 9])
+    sr1 = jnp.where(is_cub, prims.params[None, :, 13],
+                    prims.params[None, :, 10])
+    sr2 = jnp.where(is_cub, prims.params[None, :, 14],
+                    prims.params[None, :, 11])
+    sr3 = jnp.where(is_cub, prims.params[None, :, 15], 0.0)
 
     def _curve_pt(sv):
-        return sa0 + sv[..., None] * sa1 + (sv * sv)[..., None] * sa2
+        s1 = sv[..., None]
+        return sa0 + s1 * (sa1 + s1 * (sa2 + s1 * sa3))
 
     def _curve_r(sv):
-        return jnp.maximum(sr0 + sr1 * sv + sr2 * sv * sv, 1e-6)
+        return jnp.maximum(sr0 + sv * (sr1 + sv * (sr2 + sv * sr3)), 1e-6)
 
-    # phi(s) = |perp(C(s) - o)|^2 - r(s)^2, a quartic in s (perp = the
+    # phi(s) = |perp(C(s) - o)|^2 - r(s)^2 — degree 6 in s (perp = the
     # component orthogonal to the unit ray direction; projection is linear,
     # so project the power-basis coefficients once).
     def _perp(v):
@@ -211,28 +234,59 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     q0 = _perp(sa0 - o)
     q1 = _perp(sa1)
     q2 = _perp(sa2)
+    q3 = _perp(sa3)
     A0 = dot(q0, q0) - sr0 * sr0
     A1 = 2 * dot(q0, q1) - 2 * sr0 * sr1
     A2 = dot(q1, q1) + 2 * dot(q0, q2) - (sr1 * sr1 + 2 * sr0 * sr2)
-    A3 = 2 * dot(q1, q2) - 2 * sr1 * sr2
-    A4 = dot(q2, q2) - sr2 * sr2
+    A3 = 2 * (dot(q0, q3) + dot(q1, q2)) - 2 * (sr0 * sr3 + sr1 * sr2)
+    A4 = (dot(q2, q2) + 2 * dot(q1, q3)
+          - (sr2 * sr2 + 2 * sr1 * sr3))
+    A5 = 2 * dot(q2, q3) - 2 * sr2 * sr3
+    A6 = dot(q3, q3) - sr3 * sr3
 
     def _phi(sv):
-        return A0 + sv * (A1 + sv * (A2 + sv * (A3 + sv * A4)))
+        return A0 + sv * (A1 + sv * (A2 + sv * (
+            A3 + sv * (A4 + sv * (A5 + sv * A6)))))
 
-    # coarse scan for the phi minimizer
+    def _sphere_entry_scan(sv):
+        cc = _curve_pt(sv)
+        rr = _curve_r(sv)
+        oc = o - cc
+        b = dot(oc, d)
+        c = dot(oc, oc) - rr * rr
+        disc = b * b - c
+        tt = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        return jnp.where((disc > 0.0) & (tt > 0.0), tt, _BIG)
+
+    # Coarse scan tracks TWO candidates: the phi minimizer (catches thin
+    # basins the scan straddles) and the in-basin point with the smallest
+    # sphere-entry t. Degree-6 phi can have up to 3 negative basins, and
+    # the global phi minimum need not be the basin nearest along the ray —
+    # refining only it returns the wrong (farther) intersection for rays
+    # that pass close to a curled strand twice.
     s_best = jnp.zeros(A0.shape, jnp.float32)
     phi_best = jnp.full(A0.shape, _BIG, jnp.float32)
+    s_tmin = jnp.zeros(A0.shape, jnp.float32)
+    t_scan = jnp.full(A0.shape, _BIG, jnp.float32)
     for kk in range(_SWEPT_COARSE + 1):
         sv = jnp.full(A0.shape, kk / _SWEPT_COARSE, jnp.float32)
         ph = _phi(sv)
         closer = ph < phi_best
         s_best = jnp.where(closer, sv, s_best)
         phi_best = jnp.where(closer, ph, phi_best)
-    # Newton refinement of the minimizer (phi' cubic, phi'' quadratic)
+        tt = jnp.where(ph < 0.0, _sphere_entry_scan(sv), _BIG)
+        nearer = tt < t_scan
+        s_tmin = jnp.where(nearer, sv, s_tmin)
+        t_scan = jnp.where(nearer, tt, t_scan)
+    # Newton refinement of the minimizer (phi' degree 5, phi'' degree 4),
+    # safeguarded by the step clip so a flat phi'' can't fling s away from
+    # the scanned basin.
     for _ in range(_SWEPT_NEWTON):
-        dphi = A1 + s_best * (2 * A2 + s_best * (3 * A3 + s_best * 4 * A4))
-        ddphi = 2 * A2 + s_best * (6 * A3 + s_best * 12 * A4)
+        dphi = A1 + s_best * (2 * A2 + s_best * (
+            3 * A3 + s_best * (4 * A4 + s_best * (
+                5 * A5 + s_best * 6 * A6))))
+        ddphi = 2 * A2 + s_best * (6 * A3 + s_best * (
+            12 * A4 + s_best * (20 * A5 + s_best * 30 * A6)))
         stepn = dphi / jnp.where(jnp.abs(ddphi) < 1e-9, 1e-9, ddphi)
         s_best = jnp.clip(s_best - jnp.clip(stepn, -0.25, 0.25), 0.0, 1.0)
 
@@ -247,21 +301,50 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
         disc = b * b - c
         return (-b - jnp.sqrt(jnp.maximum(disc, 0.0)), disc > 0.0)
 
-    sw_s = s_best
-    t_sw, sw_ok = _sphere_entry(sw_s)
-    for _ in range(2):
-        p_sw = o + t_sw[..., None] * d
-        # project p onto the curve: Newton on psi(s) = (C(s)-p) . C'(s)
+    def _project_to_curve(s_init, p):
+        """Newton on psi(s) = (C(s) - p) . C'(s): nearest curve parameter."""
+        s = s_init
         for _ in range(2):
-            cc = _curve_pt(sw_s)
-            cd = sa1 + 2.0 * sw_s[..., None] * sa2
-            psi = dot(cc - p_sw, cd)
-            dpsi = dot(cd, cd) + 2.0 * dot(cc - p_sw, sa2)
-            sw_s = jnp.clip(
-                sw_s - psi / jnp.where(jnp.abs(dpsi) < 1e-9, 1e-9, dpsi),
+            cc = _curve_pt(s)
+            s1 = s[..., None]
+            cd = sa1 + s1 * (2.0 * sa2 + s1 * 3.0 * sa3)
+            cdd = 2.0 * sa2 + s1 * 6.0 * sa3
+            psi = dot(cc - p, cd)
+            dpsi = dot(cd, cd) + dot(cc - p, cdd)
+            s = jnp.clip(
+                s - psi / jnp.where(jnp.abs(dpsi) < 1e-9, 1e-9, dpsi),
                 0.0, 1.0)
-        t_sw, sw_ok = _sphere_entry(sw_s)
-    t_swept = jnp.where(sw_ok & (phi_best < 0.0), t_sw, _BIG)
+        return s
+
+    def _refine(s0):
+        # The swept volume is the union over s of balls B(C(s), r(s)), so
+        # for an exterior origin EVERY per-s sphere entry is an upper bound
+        # on the true entry t and the min over evaluated candidates
+        # converges to it. The fix-point (project the current hit point to
+        # the curve, re-enter that sphere) proposes better s values, but a
+        # step can overshoot on curled spans — so keep the best (smallest
+        # valid) t seen across ALL evaluations, never the last one.
+        s = s0
+        t, ok = _sphere_entry(s)
+        s_out = s
+        t_out = jnp.where(ok, t, _BIG)
+        for _ in range(2):
+            p_sw = o + t[..., None] * d
+            s = _project_to_curve(s, p_sw)
+            t, ok = _sphere_entry(s)
+            tv = jnp.where(ok, t, _BIG)
+            better = tv < t_out
+            s_out = jnp.where(better, s, s_out)
+            t_out = jnp.where(better, tv, t_out)
+        return s_out, t_out
+
+    s_a, t_a = _refine(s_best)
+    t_a = jnp.where(phi_best < 0.0, t_a, _BIG)
+    s_b, t_b = _refine(s_tmin)
+    t_b = jnp.where(t_scan < _BIG, t_b, _BIG)
+    use_b = t_b < t_a
+    sw_s = jnp.where(use_b, s_b, s_a)
+    t_swept = jnp.minimum(t_a, t_b)
 
     in_range = lambda t: (t > tmin) & (t < tmax)
 
@@ -279,10 +362,11 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     t_capsule = pick(t_body, t_cap)
     t_swq = pick(t_swept)
 
+    is_swq = (kind == SWEPT_QUAD) | (kind == SWEPT_CUBIC)
     t = jnp.where(kind == SPHERE, t_sphere,
                   jnp.where(kind == SPHERE_SHELL, t_shell,
                             jnp.where(kind == CAPSULE, t_capsule,
-                                      jnp.where(kind == SWEPT_QUAD, t_swq,
+                                      jnp.where(is_swq, t_swq,
                                                 t_para))))
 
     # normals at the chosen t
@@ -301,31 +385,26 @@ def _prim_candidates(prims: CustomPrims, rays: Rays):
     n_capsule = (p_hit - axis_pt) / jnp.maximum(r_cap, 1e-12)[..., None]
     # swept curve: project the hit point back onto the curve for the
     # normal/strand-u (same Newton projection as the intersector)
-    s_n = sw_s
-    for _ in range(2):
-        cc = _curve_pt(s_n)
-        cd = sa1 + 2.0 * s_n[..., None] * sa2
-        psi = dot(cc - p_hit, cd)
-        dpsi = dot(cd, cd) + 2.0 * dot(cc - p_hit, sa2)
-        s_n = jnp.clip(
-            s_n - psi / jnp.where(jnp.abs(dpsi) < 1e-9, 1e-9, dpsi),
-            0.0, 1.0)
+    s_n = _project_to_curve(sw_s, p_hit)
     c_n = _curve_pt(s_n)
     n_swq = (p_hit - c_n) / _curve_r(s_n)[..., None]
     n_swq = n_swq / jnp.maximum(
         jnp.sqrt(dot(n_swq, n_swq)), 1e-12)[..., None]
-    u_swq = (prims.params[None, :, 12]
-             + (prims.params[None, :, 13] - prims.params[None, :, 12]) * s_n)
+    su0 = jnp.where(is_cub, prims.params[None, :, 16],
+                    prims.params[None, :, 12])
+    su1 = jnp.where(is_cub, prims.params[None, :, 17],
+                    prims.params[None, :, 13])
+    u_swq = su0 + (su1 - su0) * s_n
     normal = jnp.where((kind == PARALLELOGRAM)[..., None], n_pg,
                        jnp.where((kind == CAPSULE)[..., None], n_capsule,
-                                 jnp.where((kind == SWEPT_QUAD)[..., None],
+                                 jnp.where(is_swq[..., None],
                                            n_swq, n_shell)))
 
     uv = jnp.where((kind == PARALLELOGRAM)[..., None],
                    jnp.stack([a1, a2], axis=-1),
                    jnp.where((kind == CAPSULE)[..., None],
                              jnp.stack([y_hit, jnp.zeros_like(y_hit)], -1),
-                             jnp.where((kind == SWEPT_QUAD)[..., None],
+                             jnp.where(is_swq[..., None],
                                        jnp.stack([u_swq,
                                                   jnp.zeros_like(u_swq)],
                                                  -1),

@@ -34,6 +34,9 @@ def make_curve_scene(kind=cv.CUBIC_BSPLINE, samples_per_segment=10,
     if swept and kind == cv.QUADRATIC_BSPLINE:
         # true swept-curve intersector: one primitive per bspline span
         descs = cv.strand_to_swept_quads(control, widths, mat_id=0)
+    elif swept and kind in (cv.CUBIC_BSPLINE, cv.CATMULL_ROM, cv.BEZIER):
+        descs = cv.strand_to_swept_cubics(control, widths, kind=kind,
+                                          mat_id=0)
     else:
         pts, radii, us = cv.eval_spline(control, widths, kind,
                                         samples_per_segment)
@@ -74,9 +77,10 @@ def main(argv=None):
     p.add_argument("--samples", type=int, default=8)
     p.add_argument("--swept", action="store_true",
                    help="true swept-curve intersector instead of capsule "
-                        "tessellation (quadratic_bspline)")
+                        "tessellation (quadratic/cubic bspline, "
+                        "catmullrom, bezier)")
     args = p.parse_args(argv)
-    if args.swept:
+    if args.swept and args.kind == cv.LINEAR:
         args.kind = cv.QUADRATIC_BSPLINE
     w, h = (int(v) for v in args.dim.split("x"))
     accum, film = render(w, h, samples=args.samples, kind=args.kind,

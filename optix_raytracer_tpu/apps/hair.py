@@ -45,7 +45,12 @@ def build_prims(strands, radii, spline=cv.LINEAR, samples_per_segment=4,
     descs = []
     strand_of = []
     for si, (pts, rad) in enumerate(zip(strands, radii)):
-        if swept and len(pts) >= 3:
+        if swept and spline in (cv.CUBIC_BSPLINE, cv.CATMULL_ROM,
+                                cv.BEZIER) and len(pts) >= 4:
+            # true swept cubic spans of the requested basis
+            segs = cv.strand_to_swept_cubics(pts, rad, kind=spline,
+                                             mat_id=0)
+        elif swept and len(pts) >= 3:
             # true swept quadratic spans (no capsule facets on silhouettes)
             segs = cv.strand_to_swept_quads(pts, rad, mat_id=0)
         else:
@@ -117,7 +122,8 @@ def main(argv=None):
                    choices=[cv.LINEAR, cv.CUBIC_BSPLINE, cv.CATMULL_ROM])
     p.add_argument("--samples", type=int, default=4)
     p.add_argument("--swept", action="store_true",
-                   help="true swept quadratic spans instead of capsules")
+                   help="true swept spans instead of capsules (cubic for "
+                        "cubic/catmullrom/bezier splines, else quadratic)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.dim.split("x"))
     accum, film = render(w, h, hair_file=args.hair, shading=args.shading,
