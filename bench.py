@@ -89,6 +89,76 @@ def bench_large_mesh():
     return out
 
 
+def bench_stream_mesh():
+    """500k-triangle dense knot at 1080p through the HBM-streaming cluster
+    kernels (cluster table past the VMEM cap, DMA ring) — the arbitrary-
+    GAS-size role of the driver RT core."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.accel import clusters as cl, native
+    from optix_raytracer_tpu.accel.geometry import build_triangle_geometry
+    from optix_raytracer_tpu.core.camera import generate_rays
+    from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
+
+    w, h = 1920, 1088
+    verts, idx, normals = trefoil_mesh(1000, 250)          # 500k triangles
+    geom = build_triangle_geometry(verts, idx, normals=normals)
+    cs = cl.build_clusters(geom, jnp.zeros((geom.num_triangles,), jnp.int32),
+                           order=native.sah_leaf_order(geom))
+    assert cs.num_clusters > cl.MAX_CLUSTERS  # really the streaming path
+
+    rays, _ = generate_rays(knot_camera(w, h).params(), w, h,
+                            rng_state=None, jitter=False)
+    flat = jax.tree.map(lambda a: a.reshape((w * h,) + a.shape[2:]), rays)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    key = ((yy // 16) * (w // 16) + (xx // 16)).ravel() * 256 \
+        + ((yy % 16) * 16 + (xx % 16)).ravel()
+    perm = jnp.asarray(np.argsort(key))
+    flat = jax.tree.map(lambda a: a[perm], flat)
+    n = w * h
+    hits = cl.closest_hit(cs, flat)
+    float(jnp.sum(hits.t))
+    t0 = time.time()
+    for _ in range(3):
+        hits = cl.closest_hit(cs, flat)
+    float(jnp.sum(hits.t))
+    return {"knot500k_closest_mrays": round(3 * n / (time.time() - t0) / 1e6,
+                                            1),
+            "knot500k_tris": int(geom.num_triangles)}
+
+
+def bench_knot_pathtrace():
+    """Full path trace of the 25k-tri knot through the engine (depth 3):
+    exercises the bounce-coherence sort + dead-lane block culling — the
+    honest end-to-end large-mesh number, incoherent bounces included."""
+    import numpy as np
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.core import film as film_mod
+    from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
+    from optix_raytracer_tpu.scene.device_scene import make_device_scene
+    from optix_raytracer_tpu.wavefront.engine import render_accumulate
+
+    w, h = 1920, 1088
+    verts, idx, normals = trefoil_mesh(200, 63)
+    scene = make_device_scene(verts, idx, np.zeros(len(idx), np.int32),
+                              [{"kind": 0, "base_color": (0.7, 0.6, 0.5)}],
+                              normals=normals)
+    cam = knot_camera(w, h).params()
+    film = film_mod.Film.create(h, w)
+    film, rays = render_accumulate(scene, cam, film, w, h,
+                                   samples_per_launch=1, max_depth=3,
+                                   chunk_size=None)
+    float(jnp.sum(film.accum))
+    t0 = time.time()
+    for _ in range(2):
+        film, rays = render_accumulate(scene, cam, film, w, h,
+                                       samples_per_launch=1, max_depth=3,
+                                       chunk_size=None)
+    float(jnp.sum(film.accum))
+    return round(2 * float(rays) / (time.time() - t0) / 1e6, 1)
+
+
 def bench_pbr_cornell():
     """Cornell with a rough-metal GGX wall material through the fused
     megakernel's PBR lanes (VERDICT round-1 item 4: keep non-diffuse
@@ -164,6 +234,8 @@ def main():
 
     large = bench_large_mesh()
     large["cornell_pbr_ggx_mrays"] = bench_pbr_cornell()
+    large["knot25k_pathtrace_mrays"] = bench_knot_pathtrace()
+    large.update(bench_stream_mesh())
 
     mrays = total_rays / dt / 1e6
     msamples = WIDTH * HEIGHT * SAMPLES * n_iters / dt / 1e6

@@ -31,8 +31,11 @@ The per-(ray, triangle) test is identical math to accel/pallas_bf.py
 (`_tri_test`), so hits match the brute-force and XLA paths bit-for-bit.
 
 Capacity: clusters stay VMEM-resident up to MAX_CLUSTERS (1024 clusters =
-131k triangles ~= 8.4 MB); larger meshes fall back to the XLA LBVH
-traversal until the HBM-streaming variant lands.
+131k triangles); up to MAX_STREAM_CLUSTERS (1M triangles) the walk
+switches to the HBM-streaming kernels — the cluster table stays in HBM
+and each listed cluster is DMA'd into a double-buffered VMEM scratch,
+prefetching cluster k+1 behind cluster k's pair test. Beyond that the
+XLA LBVH traversal takes over.
 """
 from __future__ import annotations
 
@@ -53,6 +56,11 @@ SUB = 256                   # rays per pair-test sub-block (sublane axis)
 GROUPS = 16                 # sub-blocks per grid step
 SUPER = SUB * GROUPS        # rays per grid step
 MAX_CLUSTERS = 1024         # VMEM-resident cluster cap (131k triangles)
+MAX_STREAM_CLUSTERS = 8192  # HBM-streaming cap (1M triangles; bounded by
+                            # the 13 low key bits of the cull's packed sort)
+NBUF = 4                    # streaming DMA ring: cluster k+3 is issued
+                            # while k is pair-tested — one 12 KB copy in
+                            # flight is latency-bound, not bandwidth-bound
 
 _DEGEN_EPS = 1e-12
 _BIG = 3.0e38
@@ -250,6 +258,55 @@ def _block_cull(cl: "ClusterSet", packed, n_blocks, c_pad):
 # Kernel 2: per-sub-block cluster walk, pair-test closest hit
 # ---------------------------------------------------------------------------
 
+def _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
+                  bt_s, bu_s, bv_s, bn_s, bid_s):
+    """Pair-test one cluster block (24, 128) and fold into the running-min
+    hit scratch."""
+    tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
+    bt = bt_s[...]
+    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+          & (tt > tmin) & (tt < bt))  # per-lane running min
+    bt_s[...] = jnp.where(ok, tt, bt)
+    bu_s[...] = jnp.where(ok, uu, bu_s[...])
+    bv_s[...] = jnp.where(ok, vv, bv_s[...])
+    bn_s[0] = jnp.where(ok, blk[12:13, :], bn_s[0])
+    bn_s[1] = jnp.where(ok, blk[13:14, :], bn_s[1])
+    bn_s[2] = jnp.where(ok, blk[14:15, :], bn_s[2])
+    bid_s[0] = jnp.where(ok, blk[16:17, :], bid_s[0])
+    bid_s[1] = jnp.where(ok, blk[17:18, :], bid_s[1])
+
+
+def _emit_closest(a, f_out, cols, bt_s, bu_s, bv_s, bn_s, bid_s):
+    """Single lane-reduction: per-ray closest over the 128 lanes, written
+    as one dense (8, SUB) column block."""
+    bt = bt_s[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
+    tmax1 = a[:, 7:8]                     # (SUB, 1)
+    hit_lane = bid_s[0] >= 0.0
+    ttm = jnp.where(hit_lane, bt, _BIG)
+    row_t = jnp.min(ttm, axis=1, keepdims=True)
+    winner = (ttm == row_t) & hit_lane
+    win_lane = jnp.min(jnp.where(winner, lane, LANES), axis=1,
+                       keepdims=True)
+    sel = winner & (lane == win_lane)
+
+    def pick(x):
+        # where-mask (not multiply) so uninitialized loser lanes
+        # (possibly NaN garbage) cannot poison the sum.
+        return jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+
+    any_hit_r = row_t < _BIG
+    out = jnp.concatenate([
+        jnp.where(any_hit_r, row_t, tmax1),
+        pick(bu_s[...]), pick(bv_s[...]),
+        pick(bn_s[0]), pick(bn_s[1]), pick(bn_s[2]),
+        jnp.where(any_hit_r, pick(bid_s[0]), -1.0),
+        jnp.where(any_hit_r, pick(bid_s[1]), -1.0),
+    ], axis=1)                            # (SUB, 8)
+    f_out[0:8, cols] = jnp.transpose(out, (1, 0))
+
+
 def _closest_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
                     f_out, bt_s, bu_s, bv_s, bn_s, bid_s,
                     *, early_exit: bool):
@@ -290,19 +347,8 @@ def _closest_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
 
             def step(c):
                 blk = comp_ref[pl.ds(c, 1)][0]    # (24, 128)
-                tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
-                bt = bt_s[...]
-                ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (tt > tmin) & (tt < bt))  # per-lane running min
-                bt_s[...] = jnp.where(ok, tt, bt)
-                bu_s[...] = jnp.where(ok, uu, bu_s[...])
-                bv_s[...] = jnp.where(ok, vv, bv_s[...])
-                bn_s[0] = jnp.where(ok, blk[12:13, :], bn_s[0])
-                bn_s[1] = jnp.where(ok, blk[13:14, :], bn_s[1])
-                bn_s[2] = jnp.where(ok, blk[14:15, :], bn_s[2])
-                bid_s[0] = jnp.where(ok, blk[16:17, :], bid_s[0])
-                bid_s[1] = jnp.where(ok, blk[17:18, :], bid_s[1])
+                _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
+                              bt_s, bu_s, bv_s, bn_s, bid_s)
 
             # Two clusters per iteration: the loop-control + scalar-fetch
             # overhead is a large share of an iteration at these counts
@@ -325,33 +371,132 @@ def _closest_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
             else:
                 jax.lax.while_loop(lambda k: k < count, body, jnp.int32(0))
 
-            # Single lane-reduction: per-ray closest over the 128 lanes.
-            bt = bt_s[...]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANES), 1)
-            tmax1 = a[:, 7:8]                     # (SUB, 1)
-            hit_lane = bid_s[0] >= 0.0
-            ttm = jnp.where(hit_lane, bt, _BIG)
-            row_t = jnp.min(ttm, axis=1, keepdims=True)
-            winner = (ttm == row_t) & hit_lane
-            win_lane = jnp.min(jnp.where(winner, lane, LANES), axis=1,
-                               keepdims=True)
-            sel = winner & (lane == win_lane)
+            _emit_closest(a, f_out, cols, bt_s, bu_s, bv_s, bn_s, bid_s)
 
-            def pick(x):
-                # where-mask (not multiply) so uninitialized loser lanes
-                # (possibly NaN garbage) cannot poison the sum.
-                return jnp.sum(jnp.where(sel, x, 0.0), axis=1,
-                               keepdims=True)
 
-            any_hit_r = row_t < _BIG
-            out = jnp.concatenate([
-                jnp.where(any_hit_r, row_t, tmax1),
-                pick(bu_s[...]), pick(bv_s[...]),
-                pick(bn_s[0]), pick(bn_s[1]), pick(bn_s[2]),
-                jnp.where(any_hit_r, pick(bid_s[0]), -1.0),
-                jnp.where(any_hit_r, pick(bid_s[1]), -1.0),
-            ], axis=1)                            # (SUB, 8)
-            f_out[0:8, cols] = jnp.transpose(out, (1, 0))
+def _closest_kernel_stream(count_ref, list_ref, tnear_ref, comp_hbm,
+                           rays_ref, f_out, bt_s, bu_s, bv_s, bn_s, bid_s,
+                           cbuf, sem, *, early_exit: bool):
+    """HBM-streaming cluster walk: same hit semantics as _closest_kernel,
+    but the cluster table stays in HBM and each listed cluster's (24, 128)
+    block is DMA'd into a double-buffered VMEM scratch, prefetching
+    cluster k+1 while k is pair-tested. This removes the VMEM residency
+    cap (MAX_CLUSTERS) — the >131k-triangle role of the driver RT core
+    (`include/optix_device.h:61` optixTrace on arbitrary GAS sizes)."""
+    for g in range(GROUPS):
+        a = rays_ref[g * SUB:(g + 1) * SUB, :]
+        sub = _sub_rays(rays_ref, g)
+        tmin = sub[6]
+        count = count_ref[0, g, 0]
+        cols = slice(g * SUB, (g + 1) * SUB)
+
+        @pl.when(count > 0)
+        def _(g=g, sub=sub, tmin=tmin, count=count, cols=cols, a=a):
+            ox, oy, oz, dx, dy, dz = sub[0:6]
+            bt_s[...] = sub[7]
+            bid_s[0] = jnp.full((SUB, LANES), -1.0, jnp.float32)
+
+            def dma(k):
+                c = list_ref[0, g, k]
+                return pltpu.make_async_copy(
+                    comp_hbm.at[pl.ds(c, 1)],
+                    cbuf.at[pl.ds(k % NBUF, 1)], sem.at[k % NBUF])
+
+            for w in range(NBUF - 1):
+                @pl.when(w < count)
+                def _(w=w):
+                    dma(jnp.int32(w)).start()
+
+            def body(k):
+                @pl.when(k + (NBUF - 1) < count)
+                def _():
+                    dma(k + (NBUF - 1)).start()
+                dma(k).wait()
+                blk = cbuf[pl.ds(k % NBUF, 1)][0]  # (24, 128)
+                _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
+                              bt_s, bu_s, bv_s, bn_s, bid_s)
+                return k + 1
+
+            c_pad = list_ref.shape[2]
+
+            def cond(k):
+                tn = tnear_ref[0, g, jnp.minimum(k, c_pad - 1)]
+                return (k < count) & (jnp.max(bt_s[...]) > tn)
+
+            if early_exit:
+                kf = jax.lax.while_loop(cond, body, jnp.int32(0))
+            else:
+                kf = jax.lax.while_loop(lambda k: k < count, body,
+                                        jnp.int32(0))
+
+            # Drain in-flight prefetches on early exit: an unawaited DMA
+            # would leave its semaphore signaled and corrupt the next
+            # group's first wait.
+            for w in range(NBUF - 1):
+                @pl.when(kf + w < count)
+                def _(w=w):
+                    dma(kf + w).wait()
+
+            _emit_closest(a, f_out, cols, bt_s, bu_s, bv_s, bn_s, bid_s)
+
+
+def _any_kernel_stream(count_ref, list_ref, comp_hbm, rays_ref, occ_out,
+                       occ_s, cbuf, sem):
+    """Streaming occlusion walk (see _closest_kernel_stream)."""
+    for g in range(GROUPS):
+        count = count_ref[0, g, 0]
+        cols = slice(g * SUB, (g + 1) * SUB)
+
+        @pl.when(count > 0)
+        def _(g=g, count=count, cols=cols):
+            a = rays_ref[g * SUB:(g + 1) * SUB, :]
+            ox, oy, oz, dx, dy, dz, tmin, tmax = _sub_rays(rays_ref, g)
+            # Dead lanes (empty window) start "resolved" so the
+            # all-occluded early exit only tracks live rays — without
+            # this a single dead lane forces the full-list walk.
+            dead = (a[:, 7:8] <= a[:, 6:7]).astype(jnp.int32)  # (SUB, 1)
+            occ_s[...] = dead
+
+            def dma(k):
+                c = list_ref[0, g, k]
+                return pltpu.make_async_copy(
+                    comp_hbm.at[pl.ds(c, 1)],
+                    cbuf.at[pl.ds(k % NBUF, 1)], sem.at[k % NBUF])
+
+            for w in range(NBUF - 1):
+                @pl.when(w < count)
+                def _(w=w):
+                    dma(jnp.int32(w)).start()
+
+            def body(k):
+                @pl.when(k + (NBUF - 1) < count)
+                def _():
+                    dma(k + (NBUF - 1)).start()
+                dma(k).wait()
+                blk = cbuf[pl.ds(k % NBUF, 1)][0]
+                tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
+                ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt > tmin) & (tt < tmax))
+                occ_s[...] = jnp.maximum(
+                    occ_s[...], jnp.max(ok.astype(jnp.int32), axis=1,
+                                        keepdims=True))
+                return k + 1
+
+            def cond(k):
+                return (k < count) & (jnp.min(occ_s[...]) == 0)
+
+            kf = jax.lax.while_loop(cond, body, jnp.int32(0))
+
+            for w in range(NBUF - 1):
+                @pl.when(kf + w < count)
+                def _(w=w):
+                    dma(kf + w).wait()
+
+            # Dead lanes report unoccluded (their start-resolved marker is
+            # an exit aid, not a hit).
+            occ_out[0:1, cols] = jnp.transpose(
+                occ_s[...] * (1 - dead), (1, 0))
 
 
 def _any_kernel(count_ref, list_ref, comp_ref, rays_ref, occ_out):
@@ -363,8 +508,12 @@ def _any_kernel(count_ref, list_ref, comp_ref, rays_ref, occ_out):
 
         @pl.when(count > 0)
         def _(g=g, count=count, cols=cols):
+            a = rays_ref[g * SUB:(g + 1) * SUB, :]
             ox, oy, oz, dx, dy, dz, tmin, tmax = _sub_rays(rays_ref, g)
             c_pad = list_ref.shape[2]
+            # Dead lanes (empty window) start "resolved" so the
+            # all-occluded early exit only tracks live rays.
+            dead = (a[:, 7:8] <= a[:, 6:7]).astype(jnp.int32)  # (SUB, 1)
 
             def test(c):
                 blk = comp_ref[pl.ds(c, 1)][0]
@@ -383,12 +532,12 @@ def _any_kernel(count_ref, list_ref, comp_ref, rays_ref, occ_out):
 
             def cond(state):
                 k, occ = state
-                # Exit once every ray in the sub-block is occluded.
+                # Exit once every live ray in the sub-block is occluded.
                 return (k < count) & (jnp.min(occ) == 0)
 
             _, occ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), jnp.zeros((SUB, 1), jnp.int32)))
-            occ_out[0:1, cols] = jnp.transpose(occ, (1, 0))
+                cond, body, (jnp.int32(0), dead))
+            occ_out[0:1, cols] = jnp.transpose(occ * (1 - dead), (1, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -428,14 +577,88 @@ def _cull(cl: ClusterSet, packed, n_super, c_pad, interpret):
     counts = jnp.sum(hit.astype(jnp.int32), axis=2, keepdims=True)
     key = jnp.maximum(jnp.where(hit, tnear, _BIG), 0.0)
     bits = jax.lax.bitcast_convert_type(key, jnp.int32)
-    assert c_pad <= 1024, "cluster id must fit the low 10 key bits"
-    packed_key = (bits & ~jnp.int32(0x3FF)) | jnp.arange(
+    # id_bits = 10 up to the VMEM-resident cap, 13 for the HBM-streaming
+    # range; truncating low mantissa bits only shifts the early-exit
+    # threshold conservatively downward (≤0.1% relative at 13 bits).
+    id_bits = 10 if c_pad <= 1024 else 13
+    assert c_pad <= (1 << id_bits), "cluster id must fit the low key bits"
+    id_mask = jnp.int32((1 << id_bits) - 1)
+    packed_key = (bits & ~id_mask) | jnp.arange(
         c_pad, dtype=jnp.int32)[None, None, :]
     skey = jnp.sort(packed_key, axis=2)
-    order = skey & 0x3FF
+    order = skey & id_mask
     tnear_sorted = jax.lax.bitcast_convert_type(
-        skey & ~jnp.int32(0x3FF), jnp.float32)
+        skey & ~id_mask, jnp.float32)
     return counts, order, tnear_sorted
+
+
+def _closest_core(cl: ClusterSet, packed, interpret, early_exit):
+    """Cull + walk over packed [n_padded, 8] rays → (fouts [8, n_padded],
+    counts [n_super, GROUPS, 1]). Dispatches to the VMEM-resident kernel
+    up to MAX_CLUSTERS and the HBM-streaming kernel beyond."""
+    n_padded = packed.shape[0]
+    n_super = n_padded // SUPER
+    c_pad = cl.num_rows * LANES
+
+    counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
+                                        interpret)
+
+    smem3 = pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
+    stream = cl.num_clusters > MAX_CLUSTERS
+    scratch = [pltpu.VMEM((SUB, LANES), jnp.float32),
+               pltpu.VMEM((SUB, LANES), jnp.float32),
+               pltpu.VMEM((SUB, LANES), jnp.float32),
+               pltpu.VMEM((3, SUB, LANES), jnp.float32),
+               pltpu.VMEM((2, SUB, LANES), jnp.float32)]
+    if stream:
+        kernel = functools.partial(_closest_kernel_stream,
+                                   early_exit=early_exit)
+        comp_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [pltpu.VMEM((NBUF, 24, LANES), jnp.float32),
+                    pltpu.SemaphoreType.DMA((NBUF,))]
+    else:
+        kernel = functools.partial(_closest_kernel, early_exit=early_exit)
+        comp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fouts = pl.pallas_call(
+        kernel,
+        grid=(n_super,),
+        in_specs=[pl.BlockSpec((1, GROUPS, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+                  smem3, smem3,
+                  comp_spec,
+                  pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, SUPER), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, n_padded), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(counts, lists, tnear_sorted, cl.comp, packed)
+    return fouts, counts
+
+
+def _hits_from_rows(rows, live, tmax):
+    """Build Hits from per-ray record rows [N, 8] + live mask [N].
+
+    Rows belonging to empty sub-blocks are kernel garbage by design;
+    `live` masks them."""
+    t = rows[:, 0]
+    u = rows[:, 1]
+    v = rows[:, 2]
+    normal = rows[:, 3:6]
+    prim = jnp.where(live, rows[:, 6], -1.0).astype(jnp.int32)
+    mat = jnp.where(live, rows[:, 7], -1.0).astype(jnp.int32)
+    hit = prim >= 0
+    hit3 = hit[:, None]
+    return Hits(
+        t=jnp.where(hit, t, tmax),
+        prim_id=prim,
+        inst_id=jnp.where(hit, 0, -1),
+        mat_id=mat,
+        uv=jnp.where(hit3, jnp.stack([u, v], axis=-1), 0.0),
+        normal=jnp.where(hit3, normal, 0.0),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "early_exit"))
@@ -447,80 +670,24 @@ def closest_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
     (baked at build_clusters time) — no geometry access needed here."""
     n = rays.tmin.shape[0]
     n_padded = -(-n // SUPER) * SUPER
-    n_super = n_padded // SUPER
-    c_pad = cl.num_rows * LANES
     packed = _pack_rays(rays, n_padded)
-
-    counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
-                                        interpret)
-
-    smem3 = pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM)
-    fouts = pl.pallas_call(
-        functools.partial(_closest_kernel, early_exit=early_exit),
-        grid=(n_super,),
-        in_specs=[pl.BlockSpec((1, GROUPS, 1), lambda i: (i, 0, 0),
-                               memory_space=pltpu.SMEM),
-                  smem3, smem3,
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, SUPER), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, n_padded), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((SUB, LANES), jnp.float32),
-                        pltpu.VMEM((SUB, LANES), jnp.float32),
-                        pltpu.VMEM((SUB, LANES), jnp.float32),
-                        pltpu.VMEM((3, SUB, LANES), jnp.float32),
-                        pltpu.VMEM((2, SUB, LANES), jnp.float32)],
-        interpret=interpret,
-    )(counts, lists, tnear_sorted, cl.comp, packed)
-
+    fouts, counts = _closest_core(cl, packed, interpret, early_exit)
     # Dense row reads — no gathers, no relayouts: the kernel already baked
-    # normals and prim/material ids into the hit record. Rows belonging to
-    # empty sub-blocks are kernel garbage by design; `live` masks them.
+    # normals and prim/material ids into the hit record.
     live = jnp.repeat(counts.reshape(-1) > 0, SUB)[:n]
-    t = fouts[0, :n]
-    u = fouts[1, :n]
-    v = fouts[2, :n]
-    normal = jnp.stack([fouts[3, :n], fouts[4, :n], fouts[5, :n]], axis=-1)
-    prim = jnp.where(live, fouts[6, :n], -1.0).astype(jnp.int32)
-    mat = jnp.where(live, fouts[7, :n], -1.0).astype(jnp.int32)
-    hit = prim >= 0
-    hit3 = hit[:, None]
-    return Hits(
-        t=jnp.where(hit, t, rays.tmax),
-        prim_id=prim,
-        inst_id=jnp.where(hit, 0, -1),
-        mat_id=mat,
-        uv=jnp.where(hit3, jnp.stack([u, v], axis=-1), 0.0),
-        normal=jnp.where(hit3, normal, 0.0),
-    )
-
-
-def _coherence_perm(cl: ClusterSet, rays: Rays):
-    """Permutation sorting rays into spatially coherent 256-ray blocks.
-
-    The block-interval cull (and the walk's early exit) are only as tight
-    as each block's (origin box x direction interval); bounce rays arrive
-    scattered and an unsorted block degenerates to "walk every cluster"
-    (~100x slower than tile-coherent primaries). Key layout, major to
-    minor: 12-bit morton of the origin cell over the scene bounds, then a
-    6-bit direction octant/cone (2 bits/axis — the top bit per axis IS the
-    sign, so a block never mixes direction signs and the interval cull's
-    reciprocal stays sign-consistent). This is the SER ray-reorder role of
-    `optixReorder` (include/optix_device.h:184) done wavefront-style.
-    """
-    return jnp.argsort(coherence_key(cl, rays)).astype(jnp.int32)
+    rows = fouts[:, :n].T
+    return _hits_from_rows(rows, live, rays.tmax)
 
 
 def coherence_key(cl: ClusterSet, rays: Rays,
-                  okey_bits: int = 3, dkey_bits: int = 4):
+                  okey_bits: int = 2, dkey_bits: int = 5):
     """[N] u32 sort key: origin-cell morton (major) | direction morton
-    (minor). More direction bits than origin bits: the interval cull
-    degrades fastest with direction spread (a cone near an axis zero makes
-    the reciprocal interval unbounded), while origins of one bounce
-    wavefront already concentrate on visible surfaces."""
+    (minor). Direction bits dominate: the interval cull degrades fastest
+    with direction spread (a cone near an axis zero makes the reciprocal
+    interval unbounded). Swept on the 25k-knot diffuse-bounce wavefront:
+    (2, 5) walks 56 clusters per live block vs 77 at (3, 4) and ~197 with
+    direction-major keys — and origin bits past 2 or direction bits past
+    5 measured no further gain (256-ray blocks saturate the resolution)."""
     from .morton import expand_bits
 
     ab = cl.aabb.transpose(0, 2, 1).reshape(-1, 6)
@@ -537,33 +704,55 @@ def coherence_key(cl: ClusterSet, rays: Rays,
     extent = jnp.maximum(hi - lo, 1e-12)
     okey = morton((rays.origin - lo) / extent, okey_bits)
     dkey = morton(rays.direction * 0.5 + 0.5, dkey_bits)
-    return (okey << jnp.uint32(3 * dkey_bits)) | dkey
+    key = (okey << jnp.uint32(3 * dkey_bits)) | dkey
+    # Dead rays (empty [tmin, tmax) window — terminated/missed wavefront
+    # lanes) sort to the tail: they pack into fully-dead blocks the cull
+    # drops outright, so the walk only pays for live paths.
+    return jnp.where(rays.tmax <= rays.tmin, jnp.uint32(0xFFFFFFFF), key)
+
+
+def _sorted_perm(cl: ClusterSet, rays: Rays, n_padded):
+    """Coherence permutation over the PADDED ray count (padding rays have
+    an empty window so the dead-tail key sends them to the very end)."""
+    n = rays.tmin.shape[0]
+    key = coherence_key(cl, rays)
+    key = jnp.concatenate(
+        [key, jnp.full((n_padded - n,), 0xFFFFFFFF, jnp.uint32)])
+    return jnp.argsort(key).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "early_exit"))
 def closest_hit_sorted(cl: ClusterSet, rays: Rays, interpret: bool = False,
                        early_exit: bool = True) -> Hits:
     """closest_hit with a coherence pre-sort — use for bounce/scattered
-    rays; tile-ordered primaries should call closest_hit directly (the
-    sort costs ~a few ms that coherent rays don't earn back)."""
-    perm = _coherence_perm(cl, rays)
-    sorted_rays = jax.tree.map(lambda a: a[perm], rays)
-    hits = closest_hit(cl, sorted_rays, interpret=interpret,
-                       early_exit=early_exit)
-    inv = jnp.zeros_like(perm).at[perm].set(
-        jnp.arange(perm.shape[0], dtype=jnp.int32))
-    return jax.tree.map(lambda a: a[inv], hits)
+    rays; tile-ordered primaries should call closest_hit directly.
+
+    Gather discipline: per-field [N] gathers dominate the sort cost on TPU
+    (~5x the argsort itself), so rays travel through exactly ONE packed
+    [N, 8] gather in and the hit records through ONE [N, 9] row scatter
+    out."""
+    n = rays.tmin.shape[0]
+    n_padded = -(-n // SUPER) * SUPER
+    packed = _pack_rays(rays, n_padded)
+    perm = _sorted_perm(cl, rays, n_padded)
+    fouts, counts = _closest_core(cl, packed[perm], interpret, early_exit)
+    live = jnp.repeat(counts.reshape(-1) > 0, SUB)
+    cols = jnp.concatenate(
+        [fouts.T, live[:, None].astype(jnp.float32)], axis=1)  # [np, 9]
+    back = jnp.zeros_like(cols).at[perm].set(cols)
+    return _hits_from_rows(back[:n, :8], back[:n, 8] > 0.0, rays.tmax)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def any_hit_sorted(cl: ClusterSet, rays: Rays, interpret: bool = False):
     """any_hit with a coherence pre-sort (scattered shadow/AO rays)."""
-    perm = _coherence_perm(cl, rays)
-    sorted_rays = jax.tree.map(lambda a: a[perm], rays)
-    occ = any_hit(cl, sorted_rays, interpret=interpret)
-    inv = jnp.zeros_like(perm).at[perm].set(
-        jnp.arange(perm.shape[0], dtype=jnp.int32))
-    return occ[inv]
+    n = rays.tmin.shape[0]
+    n_padded = -(-n // SUPER) * SUPER
+    packed = _pack_rays(rays, n_padded)
+    perm = _sorted_perm(cl, rays, n_padded)
+    occ = _any_core(cl, packed[perm], interpret)
+    back = jnp.zeros_like(occ).at[perm].set(occ)
+    return back[:n] != 0
 
 
 def traversal_stats(cl: ClusterSet, rays: Rays, interpret: bool = False):
@@ -587,32 +776,51 @@ def traversal_stats(cl: ClusterSet, rays: Rays, interpret: bool = False):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False):
-    """Occlusion query through the cluster structure → bool [N]."""
-    n = rays.tmin.shape[0]
-    n_padded = -(-n // SUPER) * SUPER
+def _any_core(cl: ClusterSet, packed, interpret):
+    """Cull + occlusion walk over packed rays → i32 [n_padded] (0/1),
+    empty-block live-masking already applied."""
+    n_padded = packed.shape[0]
     n_super = n_padded // SUPER
     c_pad = cl.num_rows * LANES
-    packed = _pack_rays(rays, n_padded)
 
     counts, lists, _ = _cull(cl, packed, n_super, c_pad, interpret)
 
+    stream = cl.num_clusters > MAX_CLUSTERS
+    if stream:
+        kernel = _any_kernel_stream
+        comp_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((SUB, 1), jnp.int32),
+                   pltpu.VMEM((NBUF, 24, LANES), jnp.float32),
+                   pltpu.SemaphoreType.DMA((NBUF,))]
+    else:
+        kernel = _any_kernel
+        comp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratch = []
     occ = pl.pallas_call(
-        _any_kernel,
+        kernel,
         grid=(n_super,),
         in_specs=[pl.BlockSpec((1, GROUPS, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  comp_spec,
                   pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, SUPER), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(counts, lists, cl.comp, packed)
 
-    live = jnp.repeat(counts.reshape(-1) > 0, SUB)[:n]
-    return live & (occ[0, :n] != 0)
+    live = jnp.repeat(counts.reshape(-1) > 0, SUB)
+    return jnp.where(live, occ[0], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False):
+    """Occlusion query through the cluster structure → bool [N]."""
+    n = rays.tmin.shape[0]
+    n_padded = -(-n // SUPER) * SUPER
+    packed = _pack_rays(rays, n_padded)
+    return _any_core(cl, packed, interpret)[:n] != 0

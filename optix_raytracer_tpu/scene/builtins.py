@@ -170,17 +170,17 @@ def trefoil_mesh(segments: int = 140, sides: int = 45, tube_radius=0.35,
     normals = ring.reshape(-1, 3).astype(np.float32)
     verts = verts.reshape(-1, 3).astype(np.float32)
 
-    idx = []
-    for i in range(segments):
-        i2 = (i + 1) % segments
-        for j in range(sides):
-            j2 = (j + 1) % sides
-            a = i * sides + j
-            b_ = i * sides + j2
-            c = i2 * sides + j
-            d = i2 * sides + j2
-            idx.append((a, b_, d))
-            idx.append((a, d, c))
+    ii, jj = np.meshgrid(np.arange(segments), np.arange(sides),
+                         indexing="ij")
+    i2 = (ii + 1) % segments
+    j2 = (jj + 1) % sides
+    a = ii * sides + jj
+    b_ = ii * sides + j2
+    c = i2 * sides + jj
+    d = i2 * sides + j2
+    tri1 = np.stack([a, b_, d], axis=-1).reshape(-1, 3)
+    tri2 = np.stack([a, d, c], axis=-1).reshape(-1, 3)
+    idx = np.stack([tri1, tri2], axis=1).reshape(-1, 3)
     return verts, np.asarray(idx, np.int32), normals
 
 

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..accel.clusters import (ClusterSet, LANES as _CLUSTER_LANES,
-                              MAX_CLUSTERS, build_clusters)
+                              MAX_STREAM_CLUSTERS, build_clusters)
 from ..accel.geometry import TriangleGeometry, build_triangle_geometry
 from ..accel.lbvh import LBVH, build_lbvh
 from ..accel.motion import MotionTriangles
@@ -203,12 +203,13 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         if bvh is None:
             bvh = build_lbvh(geom)
     # Cluster table for the Pallas large-mesh traversal: any mesh past the
-    # fused kernel's SMEM budget, up to the VMEM-resident cluster cap.
+    # fused kernel's SMEM budget, up to the HBM-streaming cluster cap
+    # (VMEM-resident kernels below MAX_CLUSTERS, DMA-streaming beyond).
     # (Instanced scenes traverse through the IAS path instead.)
     clusters = None
     n_tris = geom.num_triangles
     if (instances is None and n_tris > MAX_SMEM_TRIS
-            and -(-n_tris // _CLUSTER_LANES) <= MAX_CLUSTERS):
+            and -(-n_tris // _CLUSTER_LANES) <= MAX_STREAM_CLUSTERS):
         # SAH-tree leaf order makes tighter clusters than raw morton
         # (~25% fewer clusters per ray block); fall back to morton when
         # the native builder is unavailable.

@@ -83,7 +83,8 @@ def _pbr_pdf(n, wo, wi, roughness, p_spec):
 
 
 def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
-                      chunk_size, pbr=None, times=None):
+                      chunk_size, pbr=None, times=None, coherent=True,
+                      mask=None):
     """Next-event estimation against the parallelogram area light.
 
     Estimator matches the reference path tracer (`optixPathTracer.cu:375-409`):
@@ -104,11 +105,17 @@ def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
     ln_dl = jnp.abs(dot(jnp.broadcast_to(light.normal, wi.shape), wi))
     facing = n_dl > 0.0
 
+    # Lanes whose contribution is masked out anyway (miss/dead/specular or
+    # facing away) get an empty ray window: the traversal's block cull then
+    # skips whole blocks of them — on a typical framed mesh most of the
+    # frame is background, so most shadow blocks vanish outright.
+    shadow_live = facing if mask is None else (facing & mask)
     shadow_rays = Rays(origin=hit_p, direction=wi,
                        tmin=jnp.full(dist.shape, RAY_TMIN, jnp.float32),
-                       tmax=dist * SHADOW_TMAX_SCALE)
+                       tmax=jnp.where(shadow_live,
+                                      dist * SHADOW_TMAX_SCALE, 0.0))
     occluded = scene_any(scene, shadow_rays, chunk_size=chunk_size,
-                         times=times)
+                         times=times, coherent=coherent)
 
     # Transmittance-weighted NEE: attenuate the shadow ray through the
     # participating medium (volume.cu:310 transmittance estimate).
@@ -169,7 +176,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         rays_traced=jnp.zeros((), jnp.float32),
     )
 
-    def bounce(depth, state):
+    def bounce(depth, state, coherent=False):
         rays = state["rays"]
         active = state["active"]
         throughput = state["throughput"]
@@ -177,7 +184,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         rng = state["rng"]
 
         hits = scene_closest(scene, rays, chunk_size=chunk_size,
-                             times=state["time"])
+                             times=state["time"], coherent=coherent)
         hit_valid = hits.valid & active
 
         # --- participating medium along this segment (volume.cu:284-366):
@@ -330,7 +337,8 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
             pbr=(dict(albedo=albedo, metallic=m["metallic"],
                       roughness=m["roughness"], wo=-d, is_pbr=is_pbr,
                       throughput=throughput) if scene.has_pbr else None),
-            times=state["time"])
+            times=state["time"], coherent=coherent,
+            mask=hit_valid & is_diffuse)
         radiance = radiance + jnp.where((hit_valid & is_diffuse)[..., None],
                                         contrib, 0.0)
 
@@ -402,6 +410,10 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         new_rays = Rays(origin=hit_p + offset_n * RAY_TMIN,
                         direction=new_dir,
                         tmin=jnp.full(hits.t.shape, RAY_TMIN, jnp.float32),
+                        # Dead lanes (miss/terminated) get an empty window:
+                        # the traversal's block cull drops whole blocks of
+                        # them (and the coherence sort packs them to the
+                        # tail), so later bounces only pay for live paths.
                         tmax=jnp.full(hits.t.shape, 1e16, jnp.float32))
 
         # --- Russian roulette (optixPathTracer.cu:294-298) after depth 1 ---
@@ -425,6 +437,8 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
             new_active = (hit_valid | is_cut) & survive
             prev_spec_next = jnp.where(is_cut, state["prev_specular"],
                                        is_specular)
+        new_rays = new_rays.replace(
+            tmax=jnp.where(new_active, new_rays.tmax, 0.0))
 
         return dict(
             rays=new_rays,
@@ -438,7 +452,17 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
             rays_traced=rays_traced,
         )
 
-    state = jax.lax.fori_loop(0, max_depth, bounce, state)
+    if scene.has_clusters:
+        # Peel the first bounce: camera rays arrive tile-coherent (no sort
+        # needed; shadow rays inherit that coherence), while every later
+        # wavefront is scattered and earns the cluster path's coherence
+        # pre-sort (~8x on the 25k-knot bounce wavefront). Costs one extra
+        # unrolled bounce body in the executable — cluster scenes only.
+        state = bounce(0, state, coherent=True)
+        state = jax.lax.fori_loop(1, max_depth, bounce, state)
+    else:
+        state = jax.lax.fori_loop(
+            0, max_depth, functools.partial(bounce, coherent=True), state)
     return state["radiance"], state["rng"], state["rays_traced"]
 
 

@@ -67,7 +67,12 @@ def _merge_motion_closest(scene: DeviceScene, hits: Hits, rays: Rays,
 
 
 def scene_closest(scene: DeviceScene, rays: Rays,
-                  chunk_size: Optional[int] = None, times=None) -> Hits:
+                  chunk_size: Optional[int] = None, times=None,
+                  coherent: bool = True) -> Hits:
+    """coherent=False marks scattered rays (bounce/shadow wavefronts): the
+    cluster path then pre-sorts them into spatially coherent blocks — the
+    wavefront-style `optixReorder` SER role (`optix_device.h:184`).
+    Tile-ordered primaries keep coherent=True and skip the sort cost."""
     if scene.has_instances:
         from ..accel import tlas
         hits = _flat_call(
@@ -75,8 +80,10 @@ def scene_closest(scene: DeviceScene, rays: Rays,
                 scene.geom, scene.instances, r, tri_mat=scene.tri_mat,
                 chunk_size=chunk_size), rays)
     elif _use_clusters(scene):
+        fn = (cluster_mod.closest_hit if coherent
+              else cluster_mod.closest_hit_sorted)
         hits = _flat_call(
-            lambda r: cluster_mod.closest_hit(scene.clusters, r), rays)
+            lambda r: fn(scene.clusters, r), rays)
     elif _use_bvh(scene):
         # Chunked: one unbounded while_loop over a multi-million-ray
         # wavefront runs past the device watchdog (the slowest ray stalls
@@ -99,7 +106,8 @@ def scene_closest(scene: DeviceScene, rays: Rays,
 
 
 def scene_any(scene: DeviceScene, rays: Rays,
-              chunk_size: Optional[int] = None, times=None):
+              chunk_size: Optional[int] = None, times=None,
+              coherent: bool = True):
     if scene.has_cutouts:
         return _scene_any_alpha(scene, rays, chunk_size)
     if scene.has_instances:
@@ -109,8 +117,9 @@ def scene_any(scene: DeviceScene, rays: Rays,
                 scene.geom, scene.instances, r, chunk_size=chunk_size),
             rays)
     elif _use_clusters(scene):
+        fn = cluster_mod.any_hit if coherent else cluster_mod.any_hit_sorted
         occ = _flat_call(
-            lambda r: cluster_mod.any_hit(scene.clusters, r), rays)
+            lambda r: fn(scene.clusters, r), rays)
     elif _use_bvh(scene):
         occ = _flat_call(
             lambda r: bf._chunked(

@@ -141,3 +141,128 @@ class TestClusterOrder:
         ss = cl.traversal_stats(cs_s, rays, interpret=True)
         assert ss["mean_clusters_per_block"] <= \
             sm["mean_clusters_per_block"] * 1.05
+
+
+class TestCoherenceSort:
+    """closest_hit_sorted/any_hit_sorted: exact agreement with the unsorted
+    kernels on scattered (bounce-like) rays — the engine dispatches bounce
+    wavefronts through these (wavefront/engine.py peeled bounce loop)."""
+
+    def test_sorted_matches_unsorted_closest(self, mesh):
+        geom, tri_mat, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(33), 700)
+        h0 = cl.closest_hit(cs, rays, interpret=True)
+        h1 = cl.closest_hit_sorted(cs, rays, interpret=True)
+        np.testing.assert_array_equal(np.asarray(h0.prim_id),
+                                      np.asarray(h1.prim_id))
+        np.testing.assert_array_equal(np.asarray(h0.mat_id),
+                                      np.asarray(h1.mat_id))
+        np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+        np.testing.assert_array_equal(np.asarray(h0.uv), np.asarray(h1.uv))
+        np.testing.assert_array_equal(np.asarray(h0.normal),
+                                      np.asarray(h1.normal))
+
+    def test_sorted_matches_unsorted_any(self, mesh):
+        geom, tri_mat, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(34), 700)
+        o0 = cl.any_hit(cs, rays, interpret=True)
+        o1 = cl.any_hit_sorted(cs, rays, interpret=True)
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    def test_coherence_key_equal_implies_same_octant(self, mesh):
+        # the top direction bit per axis IS the sign bit: rays that share
+        # a sort key must share a direction octant (the interval cull's
+        # reciprocal needs sign consistency within a key group)
+        geom, tri_mat, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(35), 4096)
+        key = np.asarray(cl.coherence_key(cs, rays))
+        d = np.asarray(rays.direction)
+        octant = ((d[:, 0] >= 0).astype(int) * 4
+                  + (d[:, 1] >= 0).astype(int) * 2
+                  + (d[:, 2] >= 0).astype(int))
+        for k in np.unique(key)[:200]:
+            occ = octant[key == k]
+            assert (occ == occ[0]).all()
+
+
+class TestStreaming:
+    """HBM-streaming kernels (cluster table in HBM, DMA ring): exact
+    agreement with the VMEM-resident kernels. Forced by dropping
+    MAX_CLUSTERS below the fixture's cluster count; the jit caches must be
+    cleared or the resident executable would be silently reused."""
+
+    def _force_stream(self, monkeypatch):
+        monkeypatch.setattr(cl, "MAX_CLUSTERS", 2)
+        cl.closest_hit.clear_cache()
+        cl.any_hit.clear_cache()
+
+    def _restore(self):
+        cl.closest_hit.clear_cache()
+        cl.any_hit.clear_cache()
+
+    def test_streaming_matches_resident(self, mesh, monkeypatch):
+        geom, tri_mat, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(44), 600)
+        h0 = cl.closest_hit(cs, rays, interpret=True)
+        a0 = cl.any_hit(cs, rays, interpret=True)
+        self._force_stream(monkeypatch)
+        try:
+            h1 = cl.closest_hit(cs, rays, interpret=True)
+            a1 = cl.any_hit(cs, rays, interpret=True)
+        finally:
+            self._restore()
+        for f in ("t", "prim_id", "mat_id", "uv", "normal"):
+            np.testing.assert_array_equal(np.asarray(getattr(h0, f)),
+                                          np.asarray(getattr(h1, f)))
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    def test_streaming_with_dead_lanes(self, mesh, monkeypatch):
+        # mixed live/dead blocks: dead lanes (empty window) must report
+        # miss/unoccluded and must not poison neighbours
+        geom, tri_mat, cs, _ = mesh
+        rng = np.random.default_rng(45)
+        rays = make_rays(rng, 600)
+        dead = rng.uniform(size=600) < 0.5
+        rays = rays.replace(tmax=jnp.where(jnp.asarray(dead), 0.0,
+                                           rays.tmax))
+        h0 = cl.closest_hit(cs, rays, interpret=True)
+        a0 = cl.any_hit(cs, rays, interpret=True)
+        assert not np.asarray(h0.valid)[dead].any()
+        assert not np.asarray(a0)[dead].any()
+        self._force_stream(monkeypatch)
+        try:
+            h1 = cl.closest_hit(cs, rays, interpret=True)
+            a1 = cl.any_hit(cs, rays, interpret=True)
+        finally:
+            self._restore()
+        np.testing.assert_array_equal(np.asarray(h0.prim_id),
+                                      np.asarray(h1.prim_id))
+        np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+
+    def test_cull_id_bits_beyond_1024(self, mesh):
+        # the packed-key sort must widen its id field for streaming-scale
+        # cluster counts: simulate c_pad > 1024 via a padded cull call
+        geom, tri_mat, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(46), cl.SUPER)
+        packed = cl._pack_rays(rays, cl.SUPER)
+        pad_rows = 16   # 16 * 128 = 2048 cluster slots
+        aabb = jnp.concatenate(
+            [cs.aabb, jnp.broadcast_to(
+                jnp.array([cl._BIG] * 3 + [-cl._BIG] * 3,
+                          jnp.float32)[None, :, None],
+                (pad_rows - cs.aabb.shape[0], 6, cl.LANES))])
+        cs_wide = cs.replace(aabb=aabb)
+        counts, lists, tnear = cl._cull(cs_wide, packed, 1,
+                                        pad_rows * cl.LANES, False)
+        counts0, lists0, tnear0 = cl._cull(cs, packed, 1,
+                                           cs.aabb.shape[0] * cl.LANES,
+                                           False)
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.asarray(counts0))
+        # same clusters in the same front-to-back order
+        n0 = np.asarray(counts0)
+        for g in range(cl.GROUPS):
+            k = int(n0[0, g, 0])
+            np.testing.assert_array_equal(np.asarray(lists[0, g, :k]),
+                                          np.asarray(lists0[0, g, :k]))
