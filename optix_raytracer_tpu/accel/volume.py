@@ -92,6 +92,47 @@ def optical_depth(grid: DensityGrid, origin, direction, t0, t1,
     return tau * sigma_t
 
 
+def sample_scatter(grid: DensityGrid, origin, direction, t0, t1, sigma_t,
+                   u, num_steps: int = 16):
+    """Distance-sample one single-scatter point along [t0, t1].
+
+    Inverse-transform sampling on the marched optical depth: t_s is
+    distributed ∝ sigma_t(t)·T(t) within the segment, so the camera-side
+    transmittance cancels against the pdf and the single-scatter
+    estimator collapses to  L ≈ w · albedo · phase · L_nee(t_s)  with
+    w = 1 − exp(−tau_total). Returns (t_s [N], w [N], tau_total [N]).
+
+    This replaces the deterministic per-step light marches of the first
+    design: one stochastic point per segment lets the engine afford a REAL
+    shadow query (geometry occlusion + area-light sampling) at that point
+    (`volume.cu:310-366` does per-step center-sampled light only).
+    """
+    near, span = _segment_window(grid, origin, direction, t0, t1)
+    dt = span / num_steps
+
+    def step_tau(_, i):
+        p = origin + (near + (i + 0.5) * dt)[..., None] * direction
+        return None, sample_grid(grid, p) * dt * sigma_t
+
+    _, dtaus = jax.lax.scan(step_tau, None,
+                            jnp.arange(num_steps))       # [S, N]
+    cum = jnp.cumsum(dtaus, axis=0)                      # tau at step ends
+    tau_total = cum[-1]
+    w = -jnp.expm1(-tau_total)                           # 1 - e^-tau
+    target = -jnp.log1p(-jnp.clip(u, 0.0, 1.0 - 1e-6) * w)
+    idx = jnp.clip(jnp.sum((cum < target[None]).astype(jnp.int32), axis=0),
+                   0, num_steps - 1)
+    cum_start = jnp.where(idx > 0,
+                          jnp.take_along_axis(
+                              cum, jnp.maximum(idx - 1, 0)[None], axis=0)[0],
+                          0.0)
+    dtau_i = jnp.take_along_axis(dtaus, idx[None], axis=0)[0]
+    frac = jnp.clip((target - cum_start)
+                    / jnp.where(dtau_i > 1e-12, dtau_i, 1e-12), 0.0, 1.0)
+    t_s = near + (idx.astype(jnp.float32) + frac) * dt
+    return t_s, w, tau_total
+
+
 def segment_scatter_nee(grid: DensityGrid, origin, direction, t0, t1,
                         sigma_t, scatter_albedo, light,
                         num_steps: int = 16, light_steps: int = 8):

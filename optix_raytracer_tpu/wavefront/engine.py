@@ -188,18 +188,45 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         hit_valid = hits.valid & active
 
         # --- participating medium along this segment (volume.cu:284-366):
-        # single scattering toward the area light + transmittance applied
-        # to everything beyond the segment.
+        # distance-sampled single scattering toward the area light, with
+        # REAL occlusion — one stochastic scatter point per segment (pdf ∝
+        # sigma_t·T, so camera-side transmittance cancels), then an
+        # area-light NEE shadow ray from it through geometry AND volume.
         if scene.has_volume:
             from ..accel import volume as vol
             sigma_t = scene.volume_params[0]
             v_albedo = scene.volume_params[1]
             seg_far = jnp.where(hits.valid, hits.t, rays.tmax)
-            tau, inscatter = vol.segment_scatter_nee(
+            u_s, u_l1, rng = _rng.uniform2(rng)
+            u_l2, _, rng = _rng.uniform2(rng)
+            t_s, w_s, tau = vol.sample_scatter(
                 scene.volume, rays.origin, rays.direction, rays.tmin,
-                seg_far, sigma_t, v_albedo, scene.area_light)
-            radiance = radiance + jnp.where(active[..., None],
-                                            throughput * inscatter, 0.0)
+                seg_far, sigma_t, u_s)
+            light = scene.area_light
+            p_s = rays.origin + t_s[..., None] * rays.direction
+            lp = (light.corner + u_l1[..., None] * light.v1
+                  + u_l2[..., None] * light.v2)
+            delta = lp - p_s
+            dist2 = jnp.maximum(dot(delta, delta), 1e-12)
+            dist = jnp.sqrt(dist2)
+            wi_s = delta / dist[..., None]
+            ln_dl = jnp.abs(dot(jnp.broadcast_to(light.normal, wi_s.shape),
+                                wi_s))
+            scatter_live = active & (w_s > 1e-6)
+            vol_shadow = Rays(
+                origin=p_s, direction=wi_s,
+                tmin=jnp.full(dist.shape, RAY_TMIN, jnp.float32),
+                tmax=jnp.where(scatter_live, dist * SHADOW_TMAX_SCALE, 0.0))
+            occ_s = scene_any(scene, vol_shadow, chunk_size=chunk_size,
+                              times=state["time"], coherent=coherent)
+            tau_l = vol.optical_depth(scene.volume, p_s, wi_s,
+                                      jnp.zeros_like(dist), dist, sigma_t)
+            li = (light.emission * (ln_dl * light.area / dist2)[..., None]
+                  * jnp.exp(-tau_l)[..., None])
+            inscatter = (w_s * v_albedo / (4.0 * jnp.pi))[..., None] * li
+            radiance = radiance + jnp.where(
+                (scatter_live & ~occ_s)[..., None],
+                throughput * inscatter, 0.0)
             throughput = throughput * jnp.exp(-tau)[..., None]
 
         # --- miss program: constant background (whitted.cu:139-147) ---

@@ -173,3 +173,72 @@ class TestMotionInEngine:
         img_open = render(build(False), cam, spl=48, depth=1)
         img_occ = render(build(True), cam, spl=48, depth=1)
         assert img_occ.mean() < 0.2 * img_open.mean()
+
+
+class TestDistanceSampling:
+    """sample_scatter: inverse-transform distance sampling along the
+    marched optical depth (accel/volume.py)."""
+
+    def test_uniform_slab_analytic(self):
+        from optix_raytracer_tpu.accel import volume as vol
+        slab = uniform_slab((-1, -1, -1), (1, 1, 1))
+        n = 20000
+        rng = np.random.default_rng(0)
+        o = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -3.0]), (n, 3))
+        d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        sigma = 0.7
+        u = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+        t_s, w, tau = vol.sample_scatter(
+            slab, o, d, jnp.zeros(n), jnp.full(n, 100.0), sigma, u)
+        # uniform density 1.0 over a length-2 chord: tau = 2 sigma
+        np.testing.assert_allclose(np.asarray(tau), 2 * sigma, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(w), 1 - np.exp(-2 * sigma),
+                                   rtol=1e-4)
+        # scatter points lie inside the slab chord [2, 4]
+        ts = np.asarray(t_s)
+        assert (ts >= 2.0 - 1e-3).all() and (ts <= 4.0 + 1e-3).all()
+        # depth into the medium follows the truncated-exponential CDF:
+        # mean depth = (1 - (1+tau) e^-tau) / (sigma (1 - e^-tau))
+        depth = ts - 2.0
+        tau_t = 2 * sigma
+        want_mean = (1 - (1 + tau_t) * np.exp(-tau_t)) \
+            / (sigma * (1 - np.exp(-tau_t)))
+        np.testing.assert_allclose(depth.mean(), want_mean, rtol=0.05)
+
+    def test_empty_segment_zero_weight(self):
+        from optix_raytracer_tpu.accel import volume as vol
+        slab = uniform_slab((-1, -1, -1), (1, 1, 1))
+        o = jnp.asarray([[5.0, 5.0, 5.0]])
+        d = jnp.asarray([[0.0, 0.0, 1.0]])
+        _, w, tau = vol.sample_scatter(slab, o, d, jnp.zeros(1),
+                                       jnp.full(1, 100.0), 1.0,
+                                       jnp.asarray([0.5]))
+        assert float(w[0]) == 0.0 and float(tau[0]) == 0.0
+
+
+class TestInscatterOcclusion:
+    def test_fog_glow_shadowed_by_geometry(self):
+        # light above a fog slab; an opaque panel covers HALF the slab.
+        # In-scatter under the panel must be darker than the open half —
+        # impossible with the old center-sampled, occlusion-free estimator.
+        slab = uniform_slab((-2, -0.5, -0.5), (2, 0.5, 0.5))
+        panel = np.array([[-2.2, 1.0, -1.2], [0.0, 1.0, -1.2],
+                          [0.0, 1.0, 1.2], [-2.2, 1.0, 1.2]], np.float32)
+        idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        light = ParallelogramLight.make((-0.4, 3.0, -0.4), (0.8, 0, 0),
+                                        (0, 0, 0.8), (40.0, 40.0, 40.0))
+        scene = make_device_scene(
+            panel, idx, np.zeros(2, np.int32),
+            [{"kind": mat.DIFFUSE, "base_color": (0.0, 0.0, 0.0)}],
+            area_light=light, volume=slab, volume_sigma=0.8,
+            volume_albedo=0.9)
+        cam = Camera(eye=(0, 0, -5), lookat=(0, 0, 0), up=(0, 1, 0),
+                     fov_y=40.0, aspect=2.0)
+        img = render(scene, cam, w=48, h=24, spl=96, depth=1)
+        # Camera U = forward x up points toward -x here, so image columns
+        # run from world +x (left of frame) to -x: the open half (x > 0)
+        # lands in columns ~10-22, the paneled half (x < 0) in ~26-38.
+        open_half = img[:, 10:22].mean()
+        paneled = img[:, 26:38].mean()
+        assert open_half > 1e-3
+        assert paneled < 0.6 * open_half, (paneled, open_half)
