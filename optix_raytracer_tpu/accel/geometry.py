@@ -49,6 +49,10 @@ class TriangleGeometry:
     tangent: jnp.ndarray        # [M, 3] uv-aligned tangent (normal mapping)
     uv_density: jnp.ndarray     # [M] sqrt(uv area / world area) — ray-cone
     #   footprint → texel footprint conversion for mip selection
+    smooth: bool = struct.field(pytree_node=False, default=False)
+    #   True when real per-vertex normals were provided (corner_normal
+    #   carries shading normals, not replicated face normals) — the engine
+    #   interpolates them at hits only when this is set
 
     @property
     def num_triangles(self) -> int:
@@ -129,6 +133,7 @@ def build_triangle_geometry(vertices, indices, normals=None,
         face_normal=face_normal, w_mat=w_mat, w_off=w_off, valid=valid,
         tri_consts=tri_consts, corner_normal=corner_normal,
         corner_uv=corner_uv, tangent=tangent, uv_density=uv_density,
+        smooth=normals is not None,
     )
 
 
@@ -152,7 +157,10 @@ def shading_frame(geom: TriangleGeometry, prim_id, uv):
     cn = geom.corner_normal[pid]                 # [..., 3, 3]
     sn = (w[..., None] * cn[..., 0, :] + u[..., None] * cn[..., 1, :]
           + v[..., None] * cn[..., 2, :])
-    sn = normalize(sn)
+    # Degenerate interpolation (zero-filled corner normals for meshes that
+    # shipped none, or opposing normals cancelling) → geometric normal.
+    sn_len = jnp.linalg.norm(sn, axis=-1, keepdims=True)
+    sn = jnp.where(sn_len > 1e-6, sn / jnp.maximum(sn_len, 1e-12), n)
     cuv = geom.corner_uv[pid]                    # [..., 3, 2]
     tex_uv = (w[..., None] * cuv[..., 0, :] + u[..., None] * cuv[..., 1, :]
               + v[..., None] * cuv[..., 2, :])

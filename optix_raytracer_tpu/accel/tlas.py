@@ -43,6 +43,9 @@ class InstanceTable:
     sbt_offset: jnp.ndarray     # [I] int32
     instance_id: jnp.ndarray    # [I] int32 (user-visible id)
     prim_ranges: tuple = struct.field(pytree_node=False, default=())
+    row_ids: bool = struct.field(pytree_node=False, default=True)
+    #   True when instance_id == row index (the default construction):
+    #   lets shading look up per-hit instance transforms by inst_id
 
     @property
     def num(self):
@@ -79,6 +82,7 @@ def make_instances(transforms: Sequence, sbt_offsets=None,
         instance_id=jnp.asarray(instance_ids if instance_ids is not None
                                 else jnp.arange(n), jnp.int32),
         prim_ranges=tuple((int(lo), int(hi)) for lo, hi in prim_ranges),
+        row_ids=instance_ids is None,
     )
 
 
@@ -98,6 +102,7 @@ def slice_geometry(geom: TriangleGeometry, lo: int, hi: int):
         corner_uv=geom.corner_uv[lo:hi],
         tangent=geom.tangent[lo:hi],
         uv_density=geom.uv_density[lo:hi],
+        smooth=geom.smooth,
     )
 
 

@@ -92,7 +92,12 @@ class Denoiser:
 
         scale = 1.0
         if self.model_kind in (ModelKind.HDR, ModelKind.TEMPORAL,
-                               ModelKind.UPSCALE2X):
+                               ModelKind.UPSCALE2X) and self.backend != "kpcnn":
+            # The KPCNN is trained on RAW HDR radiance (tools/
+            # train_denoiser.py, log1p loss) — pre-scaling shifts its
+            # input off the training distribution and measurably degrades
+            # output, so intensity normalization applies to the filter
+            # backends only.
             scale = intensity if intensity is not None \
                 else self.compute_intensity(beauty)
         work = beauty * scale

@@ -46,6 +46,24 @@ def render(width=512, height=512, samples=8, n_rows=None, n_samples=1,
     return accum, film
 
 
+def render_multihost(width, height, samples, sample_shards=1, max_depth=3):
+    """Multi-host path: jax.distributed bring-up + one slice per process
+    over the (slice, rows, samples) mesh — render-time collectives stay
+    on ICI; DCN only moves final pixels (multichip/multislice.py)."""
+    from ..multichip import distributed as dist
+    from ..multichip import multislice as ms
+    info = dist.initialize()
+    mesh = dist.pod_mesh(samples_per_slice=sample_shards)
+    scene = cornell_box()
+    cam = cornell_camera(width, height).params()
+    film = ms.shard_film(film_mod.Film.create(height, width), mesh)
+    assert samples % sample_shards == 0
+    film = ms.render_accumulate_multislice(
+        scene, cam, film, mesh, width, height,
+        samples_per_launch=samples // sample_shards, max_depth=max_depth)
+    return np.array(film.accum), film, info
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="multi-chip tiles (optixMultiGPU)")
     p.add_argument("--file", default="multigpu.png")
@@ -54,8 +72,22 @@ def main(argv=None):
     p.add_argument("--rows", type=int, default=None)
     p.add_argument("--sample-shards", type=int, default=1)
     p.add_argument("--tint", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed bring-up + (slice, rows, samples) "
+                        "mesh with one slice per host (env-configured: "
+                        "JAX_COORDINATOR_ADDRESS/_NUM_PROCESSES/_PROCESS_ID"
+                        "; single-process it degenerates to one slice)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.dim.split("x"))
+    if args.multihost:
+        accum, film, info = render_multihost(
+            w, h, samples=args.samples, sample_shards=args.sample_shards)
+        if info.process_id == 0:
+            save_image(args.file, np.asarray(film_mod.make_color(accum)))
+            print(f"wrote {args.file} ({info.num_processes} hosts x "
+                  f"{len(info.local_devices)} chips, "
+                  f"{int(film.subframe)} spp)")
+        return
     accum, film = render(w, h, samples=args.samples, n_rows=args.rows,
                          n_samples=args.sample_shards, tint=args.tint)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))

@@ -208,9 +208,8 @@ class Scene:
                 parts.append(n if n is not None
                              else np.zeros_like(p))
             normals = np.concatenate(parts)
-            # zero normals → engine falls back per-face via normalize guard
-            zero = np.linalg.norm(normals, axis=1) < 1e-8
-            normals[zero] = np.array([0.0, 0.0, 1.0], np.float32)
+            # zero normals (meshes that shipped none) → shading_frame
+            # falls back to the geometric face normal per hit
         if have_uvs:
             parts = []
             for p, u in zip(all_pos, all_uv):
@@ -262,8 +261,7 @@ class Scene:
                 n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True),
                                 1e-20)
             else:
-                n = np.zeros_like(obj)
-                n[:, 2] = 1.0
+                n = None
             all_n.append(n)
             all_uv.append(m.uvs if m.uvs is not None
                           else np.zeros((len(obj), 2), np.float32))
@@ -284,5 +282,9 @@ class Scene:
             lights=lights if lights is not None else self.lights,
             area_light=area_light,
             miss_color=self.miss_color,
-            normals=np.concatenate(all_n), uvs=np.concatenate(all_uv),
+            normals=(np.concatenate(
+                [n if n is not None else np.zeros((len(p), 3), np.float32)
+                 for p, n in zip(all_pos, all_n)])
+                if any(n is not None for n in all_n) else None),
+            uvs=np.concatenate(all_uv),
             textures=self.textures, with_bvh=False, instances=table)

@@ -245,7 +245,8 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         albedo_tex = None
         tex_alpha = None
         surf_uv = hits.uv
-        if scene.has_textures or scene.has_cutouts:
+        if (scene.has_textures or scene.has_cutouts
+                or scene.geom.smooth):
             # Smooth-mesh path: interpolate vertex normals/uv; sample the
             # base-color texture when present (whitted.cu:160-168).
             # Custom-prim hits keep the analytic normal/uv.
@@ -256,11 +257,21 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                                               scene.num_triangles - 1),
                                   hits.uv)
             if not scene.has_instances:
-                # Instanced scenes keep the intersector's (world-space)
-                # normal: corner normals live in object space and each hit
-                # would need its instance transform applied.
                 geom_n = jnp.where(is_tri[..., None],
                                    frame["shading_normal"], geom_n)
+            elif scene.instances.row_ids:
+                # Instanced hits: corner normals live in object space —
+                # apply the hit instance's normal transform (the device
+                # transform-stack role, optix_device.h:728-868). inst_id
+                # == table row for default-constructed tables.
+                from ..core import transforms as xf
+                fwd = scene.instances.transform[
+                    jnp.maximum(hits.inst_id, 0)]
+                n_w = xf.apply_normal(fwd, frame["shading_normal"])
+                n_w = n_w / jnp.maximum(
+                    jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
+                geom_n = jnp.where((is_tri & (hits.inst_id >= 0))[..., None],
+                                   n_w, geom_n)
             surf_uv = jnp.where(is_tri[..., None], frame["uv"], hits.uv)
             if scene.has_textures:
                 from ..shade.texture import sample_trilinear
@@ -622,7 +633,15 @@ def render_aovs(scene: DeviceScene, cam_params, width: int, height: int,
                                jnp.where(is_tri, m["base_tex"], -1),
                                frame["uv"])
         albedo = albedo * rgba[..., :3]
-    normal = jnp.where(hits.valid[:, None], hits.normal,
-                       -rays.direction)
+    normal = hits.normal
+    if scene.geom.smooth and not scene.has_instances:
+        from ..accel.geometry import shading_frame
+        is_tri = hits.prim_id < scene.num_triangles
+        frame = shading_frame(scene.geom,
+                              jnp.minimum(jnp.maximum(hits.prim_id, 0),
+                                          scene.num_triangles - 1),
+                              hits.uv)
+        normal = jnp.where(is_tri[:, None], frame["shading_normal"], normal)
+    normal = jnp.where(hits.valid[:, None], normal, -rays.direction)
     return {"albedo": albedo.reshape(height, width, 3),
             "normal": normal.reshape(height, width, 3)}

@@ -95,3 +95,59 @@ class TestMultiSlice:
                                        chunk_size=None)
         np.testing.assert_allclose(np.asarray(film.accum),
                                    np.asarray(ref.accum), atol=2e-5)
+
+
+class TestDistributedBringup:
+    """multichip/distributed.py: env detection + single-process no-op +
+    pod_mesh construction (the jax.distributed wrapper; real multi-host
+    needs a pod, but the config plumbing and the mesh invariant are
+    testable here)."""
+
+    def test_detect_config_empty_is_single_process(self, monkeypatch):
+        from optix_raytracer_tpu.multichip import distributed as dist
+        for v in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID", "SLURM_NTASKS", "SLURM_PROCID",
+                  "OMPI_COMM_WORLD_SIZE", "OMPI_COMM_WORLD_RANK",
+                  "MEGASCALE_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(v, raising=False)
+        assert dist.detect_config() == (None, 1, 0)
+
+    def test_detect_config_env(self, monkeypatch):
+        from optix_raytracer_tpu.multichip import distributed as dist
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.2:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        assert dist.detect_config() == ("10.0.0.2:1234", 4, 2)
+        # explicit args override env
+        assert dist.detect_config("h:1", 8, 7) == ("h:1", 8, 7)
+
+    def test_detect_config_slurm(self, monkeypatch):
+        from optix_raytracer_tpu.multichip import distributed as dist
+        for v in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID"):
+            monkeypatch.delenv(v, raising=False)
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "head:999")
+        monkeypatch.setenv("SLURM_NTASKS", "16")
+        monkeypatch.setenv("SLURM_PROCID", "5")
+        assert dist.detect_config() == ("head:999", 16, 5)
+
+    def test_single_process_initialize_noop_and_pod_mesh(self, monkeypatch):
+        from optix_raytracer_tpu.multichip import distributed as dist
+        import jax
+        for v in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID", "SLURM_NTASKS", "SLURM_PROCID",
+                  "OMPI_COMM_WORLD_SIZE", "OMPI_COMM_WORLD_RANK",
+                  "MEGASCALE_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(v, raising=False)
+        dist.shutdown()
+        info = dist.initialize()
+        assert not info.initialized          # no-op path
+        assert info.num_processes == 1 and info.process_id == 0
+        assert not info.is_multi_host
+        assert len(info.global_devices) == len(jax.devices())
+        # 8 virtual CPU chips -> 1 slice x 4 rows x 2 samples
+        mesh = dist.pod_mesh(rows_per_slice=4, samples_per_slice=2)
+        assert mesh.shape == {"slice": 1, "rows": 4, "samples": 2}
+        mesh2 = dist.pod_mesh()              # default: all chips as rows
+        assert mesh2.shape == {"slice": 1, "rows": 8, "samples": 1}
+        dist.shutdown()
