@@ -34,11 +34,15 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not os.path.exists(_SO_PATH):
-                src = os.path.join(_NATIVE_DIR, "bvh_builder.cpp")
+            srcs = [os.path.join(_NATIVE_DIR, f)
+                    for f in ("bvh_builder.cpp", "mesh_loader.cpp")]
+            stale = (not os.path.exists(_SO_PATH)
+                     or any(os.path.getmtime(s) > os.path.getmtime(_SO_PATH)
+                            for s in srcs))
+            if stale:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17",
-                     "-shared", "-o", _SO_PATH, src],
+                     "-shared", "-o", _SO_PATH] + srcs,
                     check=True, capture_output=True, timeout=300)
             lib = ctypes.CDLL(_SO_PATH)
             lib.ort_build_bvh_sah.restype = ctypes.c_int32
@@ -60,6 +64,12 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def get_lib():
+    """The loaded native library (None when unavailable) — for sibling
+    modules binding additional entry points (io/meshio.py)."""
+    return _load()
 
 
 def _fptr(a):

@@ -92,6 +92,17 @@ class Scene:
     # --- GLTF load (Scene.cpp:267-560) ---
     @classmethod
     def load(cls, path: str) -> "Scene":
+        import os
+        if os.path.splitext(path)[1].lower() in (".obj", ".ply"):
+            # assimp-format role (imgui_test/triangle_gas.cpp:77): native
+            # C++ parser with numpy fallback (io/meshio.py)
+            from ..io.meshio import load_mesh
+            v, f, n, uv = load_mesh(path)
+            scene = cls()
+            scene.add_material({"kind": mats.DIFFUSE,
+                                "base_color": (0.75, 0.75, 0.75)})
+            scene.add_mesh(v, f, normals=n, uvs=uv, material=0)
+            return scene
         g = load_gltf(path)
         scene = cls()
         for m in g.materials:

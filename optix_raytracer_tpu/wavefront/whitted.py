@@ -70,6 +70,17 @@ def trace_whitted(scene: DeviceScene, rays: Rays, rng, max_depth: int = 8,
         d = rays.direction
         geom_n = hits.normal
         albedo_tex = None
+        if scene.geom.smooth and not scene.has_textures:
+            # Smooth vertex normals without textures (whitted.cu:160-168
+            # interpolates shading normals unconditionally).
+            from ..accel.geometry import shading_frame
+            is_tri = hits.prim_id < scene.num_triangles
+            frame = shading_frame(scene.geom,
+                                  jnp.minimum(jnp.maximum(hits.prim_id, 0),
+                                              scene.num_triangles - 1),
+                                  hits.uv)
+            geom_n = jnp.where(is_tri[..., None], frame["shading_normal"],
+                               geom_n)
         if scene.has_textures:
             from ..accel.geometry import shading_frame
             from ..shade.texture import sample_bilinear
