@@ -128,6 +128,58 @@ def bench_stream_mesh():
             "knot500k_tris": int(geom.num_triangles)}
 
 
+def bench_whitted_prims():
+    """Whitted-class scene — floor mesh + sphere/shell/parallelogram/
+    capsule custom prims with a glass shell — path-traced through the
+    fused megakernel's inline prim intersectors (round-2: prims no longer
+    force the XLA wavefront)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.accel import primitives as prim
+    from optix_raytracer_tpu.core.camera import Camera
+    from optix_raytracer_tpu.scene.device_scene import make_device_scene
+    from optix_raytracer_tpu.shade import materials as mat
+    from optix_raytracer_tpu.shade.lights import ParallelogramLight
+    from optix_raytracer_tpu.wavefront.pallas_pt import render_sum_fused
+
+    S = 4.0
+    verts = np.array([[-S, 0, -S], [S, 0, -S], [S, 0, S], [-S, 0, S]],
+                     np.float32)
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    prims = prim.make_prims([
+        {"kind": prim.SPHERE, "center": (-1.2, 0.7, 0.0), "radius": 0.7,
+         "mat_id": 1},
+        {"kind": prim.SPHERE_SHELL, "center": (0.6, 0.8, 0.5),
+         "radius_inner": 0.4, "radius_outer": 0.6, "mat_id": 3},
+        {"kind": prim.PARALLELOGRAM, "anchor": (-0.5, 1.8, -1.0),
+         "v1": (1.5, 0.0, 0.0), "v2": (0.0, 0.0, 1.2), "mat_id": 2},
+        {"kind": prim.CAPSULE, "p0": (1.2, 0.3, -1.2),
+         "p1": (2.0, 1.2, -0.8), "radius": 0.25, "mat_id": 2},
+    ])
+    mats = [
+        {"kind": mat.DIFFUSE, "base_color": (0.75, 0.75, 0.75)},
+        {"kind": mat.DIFFUSE, "base_color": (0.8, 0.3, 0.2)},
+        {"kind": mat.DIFFUSE, "base_color": (0.2, 0.4, 0.8)},
+        {"kind": mat.GLASS, "base_color": (0.95, 0.95, 0.95), "ior": 1.5},
+    ]
+    light = ParallelogramLight.make((-1.0, 3.5, -1.0), (2.0, 0, 0),
+                                    (0, 0, 2.0), (10.0, 10.0, 10.0))
+    scene = make_device_scene(verts, idx, np.zeros(2, np.int32), mats,
+                              prims=prims, area_light=light)
+    cam = Camera(eye=(0, 1.6, -5.5), lookat=(0, 0.8, 0), up=(0, 1, 0),
+                 fov_y=40.0, aspect=WIDTH / HEIGHT).params()
+    rf, rays = render_sum_fused(scene, cam, WIDTH, HEIGHT, 0,
+                                samples_per_launch=SAMPLES,
+                                max_depth=MAX_DEPTH)
+    float(jnp.sum(rf))
+    t0 = time.time()
+    rf, rays = render_sum_fused(scene, cam, WIDTH, HEIGHT, SAMPLES,
+                                samples_per_launch=SAMPLES,
+                                max_depth=MAX_DEPTH)
+    float(jnp.sum(rf))
+    return round(float(rays) / (time.time() - t0) / 1e6, 1)
+
+
 def bench_knot_pathtrace():
     """Full path trace of the 25k-tri knot through the engine (depth 3):
     exercises the bounce-coherence sort + dead-lane block culling — the
@@ -234,6 +286,7 @@ def main():
 
     large = bench_large_mesh()
     large["cornell_pbr_ggx_mrays"] = bench_pbr_cornell()
+    large["whitted_prims_mrays"] = bench_whitted_prims()
     large["knot25k_pathtrace_mrays"] = bench_knot_pathtrace()
     large.update(bench_stream_mesh())
 

@@ -56,6 +56,11 @@ class CustomPrims:
     kind: jnp.ndarray     # [P] int32
     params: jnp.ndarray   # [P, 18] f32
     mat_id: jnp.ndarray   # [P] int32
+    # Static mirror of `kind` (python ints): lets the fused megakernel emit
+    # per-prim code for exactly the kinds present (scene structure, like
+    # triangle count) — part of the pytree treedef, so scenes with
+    # different prim kinds compile separately.
+    kinds_static: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num(self):
@@ -108,7 +113,8 @@ def make_prims(prims) -> CustomPrims:
             params[i, 16:18] = pr.get("u_range", (0.0, 1.0))
         else:
             raise ValueError(f"unknown prim kind {pr['kind']}")
-    return CustomPrims(kind=jnp.asarray(kind), params=jnp.asarray(params),
+    return CustomPrims(kinds_static=tuple(int(k) for k in kind),
+                       kind=jnp.asarray(kind), params=jnp.asarray(params),
                        mat_id=jnp.asarray(mat))
 
 

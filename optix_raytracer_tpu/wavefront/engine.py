@@ -546,12 +546,16 @@ def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
 def _use_fused(scene: DeviceScene, impl: str) -> bool:
     from ..accel import bruteforce as bf
     from ..accel.pallas_bf import MAX_SMEM_TRIS
+    from .pallas_pt import FUSED_PRIM_KINDS, MAX_FUSED_PRIMS
     if impl == "xla":
         return False
     if impl in ("fused", "fused_interpret"):
         return True
+    prims_ok = (scene.prims.num <= MAX_FUSED_PRIMS
+                and all(k in FUSED_PRIM_KINDS
+                        for k in scene.prims.kinds_static))
     return (jax.default_backend() in bf._TPU_PLATFORMS
-            and scene.prims.num == 0
+            and prims_ok
             and not scene.has_textures
             and not scene.has_cutouts
             and not scene.has_volume

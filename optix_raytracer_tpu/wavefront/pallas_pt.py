@@ -219,6 +219,24 @@ def pack_materials(mt) -> jnp.ndarray:
     return out
 
 
+def pack_prims(prims) -> jnp.ndarray:
+    """CustomPrims → [max(P,1), 16] f32 SMEM plane: params[0:12] + mat_id.
+
+    Column meaning is per-kind (make_prims layout): sphere c3 r; shell
+    c3 r_in r_out; parallelogram anchor3 v1_3 v2_3; capsule pa3 pb3 r.
+    """
+    p = max(prims.num, 1)
+    out = jnp.zeros((p, 16), jnp.float32)
+    if prims.num:
+        out = out.at[:prims.num, 0:12].set(prims.params[:, 0:12])
+        out = out.at[:prims.num, 12].set(prims.mat_id.astype(jnp.float32))
+    return out
+
+
+FUSED_PRIM_KINDS = (0, 1, 2, 3)     # sphere, shell, parallelogram, capsule
+MAX_FUSED_PRIMS = 16
+
+
 def pack_light(light) -> jnp.ndarray:
     """ParallelogramLight → [1, 16] f32: corner3 v1_3 v2_3 normal3 emission3 area."""
     return jnp.concatenate([
@@ -246,16 +264,21 @@ def pack_camera(cam_params, miss_color) -> jnp.ndarray:
 
 def _make_kernel(width, height, full_w, full_h,
                  num_tris, num_mats, max_depth, spl, has_specular=True,
-                 has_pbr=False):
+                 has_pbr=False, prim_kinds=()):
     """has_specular=False (no glass/mirror materials in the scene — a static
     scene feature) drops the reflect/refract/fresnel block from the bounce,
     ~10% fewer VPU ops on diffuse-only scenes like the Cornell benchmark.
     has_pbr adds the rough metallic-roughness lanes: full GGX BRDF toward
     the light in NEE plus the one-sample cosine+GGX MIS bounce — the same
-    estimator (and the same RNG draw order) as the XLA engine."""
+    estimator (and the same RNG draw order) as the XLA engine.
+    prim_kinds: static tuple of custom-prim kinds (sphere/shell/
+    parallelogram/capsule); per-prim analytic intersectors are emitted
+    inline in both the closest-hit and shadow loops — the whitted-class
+    custom-geometry IS programs (`cuda/geometry.cu:38-143`, `sphere.cu:37`)
+    folded into the megakernel."""
     glass_kind, pbr_kind = 2.0, 1.0  # shade.materials GLASS / PBR tags
 
-    def kernel(tri_ref, mat_tbl_ref, light_ref, cam_ref, misc_ref,
+    def kernel(tri_ref, prim_ref, mat_tbl_ref, light_ref, cam_ref, misc_ref,
                rad_r_out, rad_g_out, rad_b_out, count_out):
         pid = pl.program_id(0)
         subframe0 = misc_ref[0, 0]
@@ -296,6 +319,121 @@ def _make_kernel(width, height, full_w, full_h,
         wnx, wny, wnz = Wx / wlen, Wy / wlen, Wz / wlen
 
         fzero = jnp.zeros(lane.shape, jnp.float32)
+
+        def prim_candidates(p, k, rox, roy, roz, rdx, rdy, rdz):
+            """Candidate hits of prim p (STATIC kind k): list of
+            (tt, ok, (nx, ny, nz)). Mirrors accel/primitives.py
+            _prim_candidates so the fused path bit-matches the XLA merge."""
+            def sphere_cands(cx, cy, cz, r, nrm_scale):
+                ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+                b = _dot3(ocx, ocy, ocz, rdx, rdy, rdz)
+                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+                disc = b * b - c
+                ok = disc > 0.0
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                out = []
+                for tt in (-b - sq, -b + sq):
+                    nx_ = (ocx + tt * rdx) * nrm_scale
+                    ny_ = (ocy + tt * rdy) * nrm_scale
+                    nz_ = (ocz + tt * rdz) * nrm_scale
+                    out.append((tt, ok, (nx_, ny_, nz_)))
+                return out
+
+            if k == 0:          # SPHERE
+                cx, cy, cz = prim_ref[p, 0], prim_ref[p, 1], prim_ref[p, 2]
+                r = prim_ref[p, 3]
+                return sphere_cands(cx, cy, cz, r, 1.0 / r)
+            if k == 1:          # SPHERE_SHELL: outer outward, inner inward
+                cx, cy, cz = prim_ref[p, 0], prim_ref[p, 1], prim_ref[p, 2]
+                r_in, r_out = prim_ref[p, 3], prim_ref[p, 4]
+                return (sphere_cands(cx, cy, cz, r_out, 1.0 / r_out)
+                        + sphere_cands(cx, cy, cz, r_in, -1.0 / r_in))
+            if k == 2:          # PARALLELOGRAM
+                ax_, ay_, az_ = (prim_ref[p, 0], prim_ref[p, 1],
+                                 prim_ref[p, 2])
+                v1x, v1y, v1z = (prim_ref[p, 3], prim_ref[p, 4],
+                                 prim_ref[p, 5])
+                v2x, v2y, v2z = (prim_ref[p, 6], prim_ref[p, 7],
+                                 prim_ref[p, 8])
+                nx_ = v1y * v2z - v1z * v2y            # scalar cross
+                ny_ = v1z * v2x - v1x * v2z
+                nz_ = v1x * v2y - v1y * v2x
+                nl = jnp.sqrt(jnp.maximum(
+                    nx_ * nx_ + ny_ * ny_ + nz_ * nz_, 1e-20))
+                nx_, ny_, nz_ = nx_ / nl, ny_ / nl, nz_ / nl
+                denom = nx_ * rdx + ny_ * rdy + nz_ * rdz
+                safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+                tt = ((ax_ - rox) * nx_ + (ay_ - roy) * ny_
+                      + (az_ - roz) * nz_) / safe
+                relx = rox + tt * rdx - ax_
+                rely = roy + tt * rdy - ay_
+                relz = roz + tt * rdz - az_
+                v1l2 = jnp.maximum(v1x * v1x + v1y * v1y + v1z * v1z, 1e-20)
+                v2l2 = jnp.maximum(v2x * v2x + v2y * v2y + v2z * v2z, 1e-20)
+                a1 = _dot3(relx, rely, relz, v1x, v1y, v1z) / v1l2
+                a2 = _dot3(relx, rely, relz, v2x, v2y, v2z) / v2l2
+                ok = ((jnp.abs(denom) >= 1e-12)
+                      & (a1 >= 0.0) & (a1 <= 1.0)
+                      & (a2 >= 0.0) & (a2 <= 1.0))
+                n_b = (jnp.full(lane.shape, 1.0, jnp.float32) * nx_,
+                       jnp.full(lane.shape, 1.0, jnp.float32) * ny_,
+                       jnp.full(lane.shape, 1.0, jnp.float32) * nz_)
+                return [(tt, ok, n_b)]
+            if k == 3:          # CAPSULE
+                pax, pay, paz = (prim_ref[p, 0], prim_ref[p, 1],
+                                 prim_ref[p, 2])
+                pbx, pby, pbz = (prim_ref[p, 3], prim_ref[p, 4],
+                                 prim_ref[p, 5])
+                r = prim_ref[p, 6]
+                bax, bay, baz = pbx - pax, pby - pay, pbz - paz
+                baba = jnp.maximum(
+                    bax * bax + bay * bay + baz * baz, 1e-12)
+                oax, oay, oaz = rox - pax, roy - pay, roz - paz
+                bard = bax * rdx + bay * rdy + baz * rdz
+                baoa = _dot3(bax, bay, baz, oax, oay, oaz)
+                rdoa = _dot3(rdx, rdy, rdz, oax, oay, oaz)
+                oaoa = _dot3(oax, oay, oaz, oax, oay, oaz)
+                a_c = baba - bard * bard
+                b_c = baba * rdoa - baoa * bard
+                c_c = baba * oaoa - baoa * baoa - r * r * baba
+                h_c = b_c * b_c - a_c * c_c
+                safe_a = jnp.where(jnp.abs(a_c) < 1e-12, 1e-12, a_c)
+                t_body = (-b_c - jnp.sqrt(jnp.maximum(h_c, 0.0))) / safe_a
+                y_c = baoa + t_body * bard
+                body_ok = (h_c > 0.0) & (y_c > 0.0) & (y_c < baba)
+
+                def cap_norm(tt):
+                    hx = rox + tt * rdx
+                    hy = roy + tt * rdy
+                    hz = roz + tt * rdz
+                    yh = jnp.clip(
+                        ((hx - pax) * bax + (hy - pay) * bay
+                         + (hz - paz) * baz) / baba, 0.0, 1.0)
+                    axx = pax + yh * bax
+                    axy = pay + yh * bay
+                    axz = paz + yh * baz
+                    inv_r = 1.0 / jnp.maximum(r, 1e-12)
+                    return ((hx - axx) * inv_r, (hy - axy) * inv_r,
+                            (hz - axz) * inv_r)
+
+                out = [(t_body, body_ok, cap_norm(t_body))]
+                for qx, qy, qz in ((pax, pay, paz), (pbx, pby, pbz)):
+                    ocx, ocy, ocz = rox - qx, roy - qy, roz - qz
+                    b = _dot3(ocx, ocy, ocz, rdx, rdy, rdz)
+                    c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+                    disc = b * b - c
+                    okc = disc > 0.0
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    for tt in (-b - sq, -b + sq):
+                        hx = rox + tt * rdx
+                        hy = roy + tt * rdy
+                        hz = roz + tt * rdz
+                        yy = ((hx - pax) * bax + (hy - pay) * bay
+                              + (hz - paz) * baz)
+                        ok = okc & ((yy <= 0.0) | (yy >= baba))
+                        out.append((tt, ok, cap_norm(tt)))
+                return out
+            raise ValueError(f"fused kernel: unsupported prim kind {k}")
 
         def sample_body(s, accum):
             acc_r, acc_g, acc_b, count = accum
@@ -392,6 +530,21 @@ def _make_kernel(width, height, full_w, full_h,
                 else:
                     bt, bid, bmid, gnx, gny, gnz = jax.lax.fori_loop(
                         0, num_tris, tri_body, init)
+
+                # --- custom prims (static per-kind intersectors) ---
+                for p_i, k_i in enumerate(prim_kinds):
+                    cands = prim_candidates(p_i, k_i, ox, oy, oz,
+                                            dx, dy, dz)
+                    pmid = prim_ref[p_i, 12].astype(jnp.int32)
+                    for tt, okg, (cnx, cny, cnz) in cands:
+                        ok = okg & (tt > tmin) & (tt < bt)
+                        bt = jnp.where(ok, tt, bt)
+                        bid = jnp.where(ok, num_tris + p_i, bid)
+                        bmid = jnp.where(ok, pmid, bmid)
+                        gnx = jnp.where(ok, cnx, gnx)
+                        gny = jnp.where(ok, cny, gny)
+                        gnz = jnp.where(ok, cnz, gnz)
+
                 hit = bid >= 0
                 hit_valid = hit & (active > 0)
 
@@ -500,6 +653,11 @@ def _make_kernel(width, height, full_w, full_h,
                 else:
                     occ = jax.lax.fori_loop(0, num_tris, sh_body,
                                             jnp.zeros(lane.shape, jnp.int32))
+                for p_i, k_i in enumerate(prim_kinds):
+                    for tt, okg, _n in prim_candidates(p_i, k_i, px, py, pz,
+                                                       wix, wiy, wiz):
+                        ok = okg & (tt > sh_tmin) & (tt < sh_tmax)
+                        occ = jnp.maximum(occ, ok.astype(jnp.int32))
                 w_l = jnp.where((n_dl > 0.0) & (occ == 0),
                                 n_dl * ln_dl * larea
                                 / (jnp.float32(np.pi) * dist2), 0.0)
@@ -684,11 +842,14 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
                       jnp.zeros((), jnp.int32)]).reshape(1, 4)
 
     has_specular = ("glass" in scene.features) or ("mirror" in scene.features)
+    prim_kinds = scene.prims.kinds_static
+    prim_plane = pack_prims(scene.prims)
     kernel = _make_kernel(width, height, full_w, full_h,
                           scene.geom.num_triangles, scene.materials.num,
                           max_depth, samples_per_launch,
                           has_specular=has_specular,
-                          has_pbr=scene.has_pbr)
+                          has_pbr=scene.has_pbr,
+                          prim_kinds=prim_kinds)
 
     out_shapes = tuple(jax.ShapeDtypeStruct(blk_shape, jnp.float32)
                        for _ in range(4))
@@ -697,11 +858,11 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
     rad_r, rad_g, rad_b, count = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
         out_specs=(blockspec,) * 4,
         out_shape=out_shapes,
         interpret=interpret,
-    )(tri_consts, mat_tbl, light, cam, misc)
+    )(tri_consts, prim_plane, mat_tbl, light, cam, misc)
 
     rad = jnp.stack([rad_r.reshape(n_padded)[:n],
                      rad_g.reshape(n_padded)[:n],
