@@ -45,11 +45,12 @@ class Denoiser:
         self.backend = backend
         self._setup = None
 
-    def _spatial(self, work, albedo, normal, iterations):
+    def _spatial(self, work, albedo, normal, iterations, emission=None):
         """One spatial denoise pass through the selected backend."""
         if self.backend == "kpcnn":
             return kpcnn.denoise_kp(kpcnn.load_params(), work,
-                                    albedo=albedo, normal=normal)
+                                    albedo=albedo, normal=normal,
+                                    emission=emission)
         return atrous.denoise(work, albedo=albedo, normal=normal,
                               iterations=iterations)
 
@@ -74,7 +75,8 @@ class Denoiser:
 
     def invoke(self, beauty, albedo=None, normal=None, flow=None,
                previous_output=None, intensity=None,
-               blend_factor: float = 0.0, aovs: Optional[dict] = None):
+               blend_factor: float = 0.0, aovs: Optional[dict] = None,
+               emission=None):
         """optixDenoiserInvoke. Returns the denoised image (and a dict of
         denoised AOVs in AOV mode).
 
@@ -104,8 +106,13 @@ class Denoiser:
 
         core = None
         if self.backend == "kpcnn":
+            # emission guide (render_aovs "emission"): noise-free emitter
+            # radiance bypasses the kernel filter entirely.
+            em = None if emission is None else jnp.asarray(emission,
+                                                           jnp.float32)
             core = (lambda b, a, n:
-                    kpcnn.denoise_kp(kpcnn.load_params(), b, a, n))
+                    kpcnn.denoise_kp(kpcnn.load_params(), b, a, n,
+                                     emission=em))
 
         if self.model_kind == ModelKind.TEMPORAL and previous_output is not None:
             if flow is None:
@@ -120,7 +127,9 @@ class Denoiser:
                 tile=self._setup["tile"], overlap=self._setup["overlap"],
                 iterations=it, core=core))
         else:
-            out = self._spatial(work, albedo, normal, it)
+            em = None if emission is None else jnp.asarray(emission,
+                                                           jnp.float32)
+            out = self._spatial(work, albedo, normal, it, emission=em)
 
         out = out / scale
         if blend_factor > 0.0:

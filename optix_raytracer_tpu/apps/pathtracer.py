@@ -62,7 +62,8 @@ def main(argv=None):
         aovs = render_aovs(cornell_box(), cornell_camera(w, h).params(), w, h)
         den = Denoiser().setup(w, h)
         accum = den.invoke(accum, albedo=aovs["albedo"],
-                           normal=aovs["normal"])
+                           normal=aovs["normal"],
+                           emission=aovs["emission"])
     img = np.asarray(film_mod.make_color(accum))
     save_image(args.file, img)
     if args.ascii:

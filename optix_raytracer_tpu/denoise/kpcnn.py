@@ -139,21 +139,29 @@ def _features(beauty, albedo, normal):
 
 
 @jax.jit
-def denoise_kp(params, beauty, albedo=None, normal=None):
+def denoise_kp(params, beauty, albedo=None, normal=None, emission=None):
     """Denoise [H, W, 3] (or [N, H, W, 3]) HDR beauty with guide layers.
 
     Albedo/normal default to neutral guides when a caller has no AOVs
     (quality degrades gracefully; the reference also accepts beauty-only).
+    emission: optional noise-free primary-hit emitter radiance
+    (render_aovs "emission") — subtracted before filtering and added
+    back after, so the predicted kernels never blur an emitter's hard
+    edge (the dominant error source of pure kernel prediction: a softmax
+    kernel cannot exceed its neighbourhood maximum).
     """
     batched = beauty.ndim == 4
     if not batched:
         beauty = beauty[None]
         albedo = None if albedo is None else albedo[None]
         normal = None if normal is None else normal[None]
+        emission = None if emission is None else emission[None]
     if albedo is None:
         albedo = jnp.ones_like(beauty)
     if normal is None:
         normal = jnp.zeros_like(beauty)
+    if emission is not None:
+        beauty = jnp.maximum(beauty - emission, 0.0)
     h, w = beauty.shape[1], beauty.shape[2]
     # pad to a multiple of 4 (two downsamples)
     ph = (-h) % 4
@@ -167,6 +175,8 @@ def denoise_kp(params, beauty, albedo=None, normal=None):
     filtered = apply_kernel(logits, irr)
     out = filtered * (albedo_p + _EPS)                   # remodulate
     out = out[:, :h, :w]
+    if emission is not None:
+        out = out + emission
     return out if batched else out[0]
 
 

@@ -647,5 +647,11 @@ def render_aovs(scene: DeviceScene, cam_params, width: int, height: int,
                               hits.uv)
         normal = jnp.where(is_tri[:, None], frame["shading_normal"], normal)
     normal = jnp.where(hits.valid[:, None], normal, -rays.direction)
+    # Primary-hit emission: noise-free direct-emitter radiance (matches the
+    # engine's depth-0 emission term exactly — throughput 1, prev_specular
+    # 1). The denoiser subtracts it before filtering and adds it back, so
+    # the predicted kernels never have to preserve an emitter's hard edge.
+    emission = jnp.where(hits.valid[:, None], m["emission"], 0.0)
     return {"albedo": albedo.reshape(height, width, 3),
-            "normal": normal.reshape(height, width, 3)}
+            "normal": normal.reshape(height, width, 3),
+            "emission": emission.reshape(height, width, 3)}

@@ -136,12 +136,16 @@ def render_dataset(n_scenes: int, seed: int = 0,
     rng = np.random.default_rng(seed)
     for i in range(n_scenes):
         path = os.path.join(DATA, f"scene_{i:04d}.npz")
-        if os.path.exists(path):
-            continue
+        # Draw BEFORE the exists-check: skipping must still consume the
+        # stream, or later scenes silently replay earlier geometry (a
+        # fresh run extending an existing dataset would otherwise
+        # duplicate scene 0.. as scene N..).
         t0 = time.time()
         scene = random_scene(rng)
         cam = random_camera(rng, RES, RES)
         spp = int(rng.choice(noisy_spp))
+        if os.path.exists(path):
+            continue
 
         film = Film.create(RES, RES)
         film, _ = render_accumulate(scene, cam, film, RES, RES,
@@ -158,9 +162,48 @@ def render_dataset(n_scenes: int, seed: int = 0,
             path, noisy=noisy.astype(np.float16),
             clean=clean.astype(np.float16), spp=spp,
             albedo=np.asarray(aovs["albedo"], np.float16),
-            normal=np.asarray(aovs["normal"], np.float16))
+            normal=np.asarray(aovs["normal"], np.float16),
+            emission=np.asarray(aovs["emission"], np.float16))
         print(f"[{i+1}/{n_scenes}] spp={spp} {time.time()-t0:.1f}s",
               flush=True)
+
+
+def upgrade_emission_aovs(n_scenes: int, seed: int = 0,
+                          old_spp_until: int = 120):
+    """Add the emission AOV to dataset files that predate it, by replaying
+    the scene/camera RNG stream (same seed, same draw order) and running
+    one AOV pass per scene — no re-render of noisy/clean needed.
+
+    The spp draw must replay with each scene's ORIGINAL population:
+    rng.choice over a non-power-of-two population can consume extra
+    words (bounded-integer rejection), so eras matter. Scenes before
+    `old_spp_until` were rendered with the 4-way tuple."""
+    from optix_raytracer_tpu.wavefront.engine import render_aovs
+
+    rng = np.random.default_rng(seed)
+    for i in range(n_scenes):
+        scene = random_scene(rng)
+        cam = random_camera(rng, RES, RES)
+        spp_pop = ((1, 2, 4, 8) if i < old_spp_until
+                   else (1, 2, 4, 8, 16, 32, 64))
+        spp = int(rng.choice(spp_pop))  # consume the spp draw
+        path = os.path.join(DATA, f"scene_{i:04d}.npz")
+        if not os.path.exists(path):
+            continue
+        d = dict(np.load(path))
+        assert int(d["spp"]) == spp, (i, int(d["spp"]), spp)
+        if "emission" in d:
+            continue
+        aovs = render_aovs(scene, cam, RES, RES)
+        d["emission"] = np.asarray(aovs["emission"], np.float16)
+        # sanity: the replayed scene must be the recorded one
+        alb_err = float(np.mean(np.abs(
+            np.asarray(aovs["albedo"], np.float32)
+            - np.asarray(d["albedo"], np.float32))))
+        assert alb_err < 2e-3, (i, alb_err)
+        np.savez_compressed(path, **d)
+        if (i + 1) % 24 == 0:
+            print(f"upgraded {i+1}/{n_scenes}", flush=True)
 
 
 def load_dataset():
@@ -169,8 +212,9 @@ def load_dataset():
     out = []
     for f in files:
         d = np.load(f)
+        keys = ("noisy", "clean", "albedo", "normal", "emission")
         out.append({k: np.asarray(d[k], np.float32)
-                    for k in ("noisy", "clean", "albedo", "normal")})
+                    for k in keys if k in d})
     return out
 
 
@@ -196,8 +240,9 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
     def tonemap(x):
         return jnp.log1p(jnp.maximum(x, 0.0))
 
-    def loss_fn(params, noisy, albedo, normal, clean):
-        out = kpcnn.denoise_kp(params, noisy, albedo, normal)
+    def loss_fn(params, noisy, albedo, normal, emission, clean):
+        out = kpcnn.denoise_kp(params, noisy, albedo, normal,
+                               emission=emission)
         lt = jnp.abs(tonemap(out) - tonemap(clean))
         gy = jnp.abs(jnp.diff(tonemap(out), axis=1)
                      - jnp.diff(tonemap(clean), axis=1))
@@ -206,14 +251,14 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
         return jnp.mean(lt) + 0.5 * (jnp.mean(gx) + jnp.mean(gy))
 
     @jax.jit
-    def step(params, opt_state, noisy, albedo, normal, clean):
+    def step(params, opt_state, noisy, albedo, normal, emission, clean):
         loss, grads = jax.value_and_grad(loss_fn)(params, noisy, albedo,
-                                                  normal, clean)
+                                                  normal, emission, clean)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     def sample_batch(ds):
-        ns, als, nms, cls_ = [], [], [], []
+        ns, als, nms, ems, cls_ = [], [], [], [], []
         for _ in range(batch):
             s = ds[rng.integers(len(ds))]
             y = rng.integers(0, RES - PATCH + 1)
@@ -222,13 +267,16 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
             ns.append(s["noisy"][sl])
             als.append(s["albedo"][sl])
             nms.append(s["normal"][sl])
+            ems.append(s.get("emission", np.zeros_like(s["noisy"]))[sl])
             cls_.append(s["clean"][sl])
         return (jnp.asarray(np.stack(ns)), jnp.asarray(np.stack(als)),
-                jnp.asarray(np.stack(nms)), jnp.asarray(np.stack(cls_)))
+                jnp.asarray(np.stack(nms)), jnp.asarray(np.stack(ems)),
+                jnp.asarray(np.stack(cls_)))
 
     @jax.jit
-    def val_mse(params, noisy, albedo, normal, clean):
-        out = kpcnn.denoise_kp(params, noisy, albedo, normal)
+    def val_mse(params, noisy, albedo, normal, emission, clean):
+        out = kpcnn.denoise_kp(params, noisy, albedo, normal,
+                               emission=emission)
         return (jnp.mean((tonemap(out) - tonemap(clean)) ** 2),
                 jnp.mean((tonemap(noisy) - tonemap(clean)) ** 2))
 
@@ -239,9 +287,11 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
         if (i + 1) % 200 == 0:
             vm, nm = 0.0, 0.0
             for s in val:
+                em = s.get("emission", np.zeros_like(s["noisy"]))
                 a, b_ = val_mse(params, jnp.asarray(s["noisy"][None]),
                                 jnp.asarray(s["albedo"][None]),
                                 jnp.asarray(s["normal"][None]),
+                                jnp.asarray(em[None]),
                                 jnp.asarray(s["clean"][None]))
                 vm += float(a); nm += float(b_)
             print(f"step {i+1}: loss={float(loss):.4f} "
@@ -259,9 +309,14 @@ def main(argv=None):
     ap.add_argument("--clean-spp", type=int, default=1024)
     ap.add_argument("--render-only", action="store_true")
     ap.add_argument("--train-only", action="store_true")
+    ap.add_argument("--upgrade-emission", action="store_true",
+                    help="replay the RNG stream to add emission AOVs to "
+                         "dataset files that predate them")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
-    if not args.train_only:
+    if args.upgrade_emission:
+        upgrade_emission_aovs(args.scenes, seed=args.seed)
+    if not args.train_only and not args.upgrade_emission:
         render_dataset(args.scenes, seed=args.seed,
                        clean_spp=args.clean_spp)
     if not args.render_only:
