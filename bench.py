@@ -180,6 +180,61 @@ def bench_whitted_prims():
     return round(float(rays) / (time.time() - t0) / 1e6, 1)
 
 
+def bench_textured():
+    """Texture-heavy scene at 1080p: base-color + normal + metallic-
+    roughness + emissive maps with trilinear ray-cone mip selection
+    through the XLA wavefront (gathers are the TPU texture risk —
+    SURVEY hard part #4; this pins the number)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.core import film as film_mod
+    from optix_raytracer_tpu.core.camera import Camera
+    from optix_raytracer_tpu.scene.device_scene import make_device_scene
+    from optix_raytracer_tpu.shade import materials as mat
+    from optix_raytracer_tpu.shade.lights import ParallelogramLight
+    from optix_raytracer_tpu.wavefront.engine import render_accumulate
+
+    rng = np.random.default_rng(7)
+    tex_base = rng.uniform(0.1, 0.9, (256, 256, 3)).astype(np.float32)
+    nm = rng.normal(0, 0.2, (128, 128, 3)).astype(np.float32)
+    nm[..., 2] = 1.0
+    nm /= np.linalg.norm(nm, axis=-1, keepdims=True)
+    tex_norm = (nm * 0.5 + 0.5).astype(np.float32)
+    tex_mr = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)
+    tex_em = rng.uniform(0, 0.2, (64, 64, 3)).astype(np.float32)
+
+    S = 3.0
+    verts = np.array([[-S, 0, -S], [S, 0, -S], [S, 0, S], [-S, 0, S],
+                      [-1.0, 0.0, -0.5], [1.0, 0.0, -0.5],
+                      [1.0, 1.6, -0.5], [-1.0, 1.6, -0.5]], np.float32)
+    idx = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7]], np.int32)
+    uvs = np.array([[0, 0], [4, 0], [4, 4], [0, 4],
+                    [0, 0], [2, 0], [2, 2], [0, 2]], np.float32)
+    mats = [{"kind": mat.PBR, "base_color": (1, 1, 1), "base_tex": 0,
+             "normal_tex": 1, "mr_tex": 2, "emissive_tex": 3,
+             "emission": (1.0, 1.0, 1.0), "metallic": 1.0,
+             "roughness": 1.0}]
+    light = ParallelogramLight.make((-1.0, 3.0, -1.0), (2, 0, 0),
+                                    (0, 0, 2), (8.0, 8.0, 8.0))
+    scene = make_device_scene(verts, idx, np.zeros(4, np.int32), mats,
+                              uvs=uvs,
+                              textures=[tex_base, tex_norm, tex_mr, tex_em],
+                              area_light=light)
+    cam = Camera(eye=(0, 1.5, -4.5), lookat=(0, 0.6, 0), up=(0, 1, 0),
+                 fov_y=40.0, aspect=WIDTH / HEIGHT).params()
+    film = film_mod.Film.create(HEIGHT, WIDTH)
+    film, rays = render_accumulate(scene, cam, film, WIDTH, HEIGHT,
+                                   samples_per_launch=4, max_depth=3,
+                                   chunk_size=None)
+    float(jnp.sum(film.accum))
+    t0 = time.time()
+    film, rays = render_accumulate(scene, cam, film, WIDTH, HEIGHT,
+                                   samples_per_launch=4, max_depth=3,
+                                   chunk_size=None)
+    float(jnp.sum(film.accum))
+    return round(float(rays) / (time.time() - t0) / 1e6, 1)
+
+
 def bench_knot_pathtrace():
     """Full path trace of the 25k-tri knot through the engine (depth 3):
     exercises the bounce-coherence sort + dead-lane block culling — the
@@ -287,6 +342,7 @@ def main():
     large = bench_large_mesh()
     large["cornell_pbr_ggx_mrays"] = bench_pbr_cornell()
     large["whitted_prims_mrays"] = bench_whitted_prims()
+    large["textured_mrays"] = bench_textured()
     large["knot25k_pathtrace_mrays"] = bench_knot_pathtrace()
     large.update(bench_stream_mesh())
 

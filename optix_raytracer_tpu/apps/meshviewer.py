@@ -43,14 +43,40 @@ def render(path, width=768, height=768, samples=4, max_depth=3, scene=None):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description="GLTF mesh viewer (optixMeshViewer)")
-    p.add_argument("--model", "-m", required=True, help=".gltf/.glb path")
+    p.add_argument("--model", "-m", required=True,
+                   help=".gltf/.glb/.obj/.ply path")
     p.add_argument("--file", default="meshviewer.png")
     p.add_argument("--dim", default="768x768")
     p.add_argument("--samples", type=int, default=8)
     p.add_argument("--ascii", action="store_true")
+    p.add_argument("--time", type=float, default=None,
+                   help="pose GLTF animations/skins at this second")
+    p.add_argument("--animate", type=int, default=0, metavar="N",
+                   help="render N frames over the animation's duration "
+                        "(writes file stem_000.png ...)")
+    p.add_argument("--fps", type=float, default=24.0)
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.dim.split("x"))
-    accum, film = render(args.model, w, h, samples=args.samples)
+    if args.animate > 0:
+        import os
+        from ..scene.gltf import load_gltf
+        g = load_gltf(args.model)
+        dur = max((a.duration for a in g.animations), default=0.0)
+        stem, ext = os.path.splitext(args.file)
+        for f in range(args.animate):
+            t = (f / args.fps if dur == 0.0
+                 else dur * f / max(args.animate - 1, 1))
+            scene_h = Scene.load(args.model, time=t)
+            accum, film = render(args.model, w, h, samples=args.samples,
+                                 scene=scene_h)
+            save_image(f"{stem}_{f:03d}{ext}",
+                       np.asarray(film_mod.make_color(accum)))
+        print(f"wrote {args.animate} frames to {stem}_***{ext} "
+              f"(duration {dur:.2f}s)")
+        return
+    scene_h = Scene.load(args.model, time=args.time)
+    accum, film = render(args.model, w, h, samples=args.samples,
+                         scene=scene_h)
     img = np.asarray(film_mod.make_color(accum))
     save_image(args.file, img)
     if args.ascii:

@@ -91,7 +91,14 @@ class Scene:
 
     # --- GLTF load (Scene.cpp:267-560) ---
     @classmethod
-    def load(cls, path: str) -> "Scene":
+    def load(cls, path: str, time: Optional[float] = None,
+             animation: int = 0) -> "Scene":
+        """Load a .gltf/.glb/.obj/.ply model.
+
+        time: pose GLTF node animations + skins at this second (None =
+        bind/static pose). Re-calling with a new time re-poses; the device
+        scene's triangle count is unchanged, so per-frame geometry flows
+        through the jittable refit path (optixDynamicGeometry role)."""
         import os
         if os.path.splitext(path)[1].lower() in (".obj", ".ply"):
             # assimp-format role (imgui_test/triangle_gas.cpp:77): native
@@ -134,11 +141,37 @@ class Scene:
                                 "base_color": (0.7, 0.7, 0.7)})
         for t in g.textures:
             scene.add_texture(t)
-        for mesh in g.meshes:
-            scene.add_mesh(mesh.positions, mesh.indices, mesh.normals,
-                           mesh.uvs,
-                           material=max(mesh.material, 0),
-                           transform=mesh.transform, name=mesh.name)
+        posed = None
+        if time is not None and (g.animations or g.skins):
+            from .gltf import pose_meshes
+            posed = {mi: (p, n) for mi, p, n in
+                     pose_meshes(g, time, animation=animation)}
+        for i, mesh in enumerate(g.meshes):
+            if posed is not None and i in posed:
+                p, n = posed[i]
+                scene.add_mesh(p, mesh.indices, n, mesh.uvs,
+                               material=max(mesh.material, 0),
+                               name=mesh.name)   # already world-space
+            else:
+                scene.add_mesh(mesh.positions, mesh.indices, mesh.normals,
+                               mesh.uvs,
+                               material=max(mesh.material, 0),
+                               transform=mesh.transform, name=mesh.name)
+        from ..shade.lights import DIRECTIONAL, POINT
+        for li in g.lights:
+            # KHR_lights_punctual: point lights sit at the node origin,
+            # directional lights shine down the node's -Z.
+            if li.kind == "point":
+                scene.lights.append({
+                    "kind": POINT,
+                    "position": tuple(float(x) for x in li.transform[:3, 3]),
+                    "color": tuple(c * li.intensity for c in li.color)})
+            elif li.kind == "directional":
+                d = -li.transform[:3, 2]
+                scene.lights.append({
+                    "kind": DIRECTIONAL,
+                    "direction": tuple(float(x) for x in d),
+                    "color": tuple(c * li.intensity for c in li.color)})
         for cam in g.cameras:
             # GLTF camera looks down -Z of its node transform.
             eye = cam.transform[:3, 3]
