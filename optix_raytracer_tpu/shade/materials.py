@@ -56,6 +56,10 @@ class MaterialTable:
     emissive_tex: jnp.ndarray    # [K] int32 emissive map id
     kr: jnp.ndarray              # [K, 3] reflectivity (whitted glass/metal)
     cutout: jnp.ndarray          # [K] int32 CUT_* mask style
+    # 16-channel material texture bundle id (scene/device_scene.py
+    # pack_bundles); -1 = untextured. Defaults to -1s for tables built
+    # before the scene wires bundles in.
+    bundle: jnp.ndarray = None   # [K] int32
 
     @property
     def num(self):
@@ -111,6 +115,7 @@ def make_material_table(materials) -> MaterialTable:
         emissive_tex=jnp.asarray(emissive_tex),
         kr=plane("kr", (0.0, 0.0, 0.0), 3),
         cutout=jnp.asarray(cutout),
+        bundle=jnp.full((K,), -1, jnp.int32),
     )
 
 
@@ -136,4 +141,6 @@ def gather(table: MaterialTable, mat_id):
         "alpha_mode": table.alpha_mode[mid],
         "alpha_cutoff": table.alpha_cutoff[mid],
         "cutout": table.cutout[mid],
+        "bundle": (table.bundle[mid] if table.bundle is not None
+                   else jnp.full(jnp.shape(mid), -1, jnp.int32)),
     }

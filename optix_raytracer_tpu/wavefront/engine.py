@@ -274,7 +274,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                                    n_w, geom_n)
             surf_uv = jnp.where(is_tri[..., None], frame["uv"], hits.uv)
             if scene.has_textures:
-                from ..shade.texture import sample_trilinear
+                from ..shade.texture import sample_bundle
                 pid = jnp.minimum(jnp.maximum(hits.prim_id, 0),
                                   scene.num_triangles - 1)
                 # Ray-cone mip LOD: footprint = spread * total path length,
@@ -282,39 +282,41 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                 cone = pixel_spread * (state["path_len"]
                                        + jnp.where(hit_valid, hits.t, 0.0))
                 texel_scale = jnp.where(
-                    is_tri, cone * scene.geom.uv_density[pid], 0.0)
+                    is_tri, cone * frame["uv_density"], 0.0)
 
-                def tex(ids):
-                    return sample_trilinear(scene.textures, scene.tex_mip,
-                                            jnp.where(is_tri, ids, -1),
-                                            surf_uv,
-                                            texel_scale=texel_scale)
-
-                rgba = tex(m["base_tex"])
-                albedo_tex = rgba[..., :3]
-                tex_alpha = rgba[..., 3]
+                # One (2,2,16)-slice gather per mip level fetches the whole
+                # material texture set (base/normal/emissive/mr bundled in
+                # channels) — XLA's TPU gather costs per DESCRIPTOR, so
+                # this is ~8x cheaper than per-map trilinear fetches.
+                b16 = sample_bundle(scene.bundles, scene.bundle_mip,
+                                    jnp.where(is_tri, m["bundle"], -1),
+                                    surf_uv, texel_scale=texel_scale)
+                rgba = b16[..., 0:4]
+                albedo_tex = jnp.where(
+                    (is_tri & (m["base_tex"] >= 0))[..., None],
+                    rgba[..., :3], 1.0)
+                tex_alpha = jnp.where(is_tri & (m["base_tex"] >= 0),
+                                      rgba[..., 3], 1.0)
                 # metallic-roughness map (glTF packing: G=rough, B=metal,
                 # MaterialData.h:84-90 use in whitted.cu:213-224)
                 has_mr = is_tri & (m["mr_tex"] >= 0)
-                mr = tex(m["mr_tex"])
                 m["roughness"] = jnp.where(has_mr,
-                                           m["roughness"] * mr[..., 1],
+                                           m["roughness"] * b16[..., 10],
                                            m["roughness"])
                 m["metallic"] = jnp.where(has_mr,
-                                          m["metallic"] * mr[..., 2],
+                                          m["metallic"] * b16[..., 11],
                                           m["metallic"])
                 # emissive map (MaterialData.h:99-103)
                 has_em = is_tri & (m["emissive_tex"] >= 0)
-                em = tex(m["emissive_tex"])
                 m["emission"] = jnp.where(has_em[..., None],
-                                          m["emission"] * em[..., :3],
+                                          m["emission"] * b16[..., 7:10],
                                           m["emission"])
                 # tangent-space normal map (MaterialData.h:62-73): TBN from
                 # the uv-aligned per-triangle tangent, Gram-Schmidt against
                 # the interpolated shading normal.
                 has_nm = is_tri & (m["normal_tex"] >= 0)
-                nm = tex(m["normal_tex"])[..., :3] * 2.0 - 1.0
-                tan = scene.geom.tangent[pid]
+                nm = b16[..., 4:7] * 2.0 - 1.0
+                tan = frame["tangent"]
                 t_ = tan - geom_n * dot(tan, geom_n)[..., None]
                 t_ = t_ / jnp.maximum(
                     jnp.linalg.norm(t_, axis=-1, keepdims=True), 1e-8)

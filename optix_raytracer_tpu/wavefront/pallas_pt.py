@@ -321,33 +321,28 @@ def _make_kernel(width, height, full_w, full_h,
         fzero = jnp.zeros(lane.shape, jnp.float32)
 
         def prim_candidates(p, k, rox, roy, roz, rdx, rdy, rdz):
-            """Candidate hits of prim p (STATIC kind k): list of
-            (tt, ok, (nx, ny, nz)). Mirrors accel/primitives.py
-            _prim_candidates so the fused path bit-matches the XLA merge."""
-            def sphere_cands(cx, cy, cz, r, nrm_scale):
+            """Candidate hit distances of prim p (STATIC kind k): list of
+            (tt, ok). Mirrors accel/primitives.py _prim_candidates so the
+            fused path bit-matches the XLA merge. Normals are NOT carried
+            per candidate — the winner's normal is recomputed once after
+            the closest-hit loop (prim_normal), which keeps the emitted
+            vector code ~3x smaller."""
+            def sphere_cands(cx, cy, cz, r):
                 ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
                 b = _dot3(ocx, ocy, ocz, rdx, rdy, rdz)
                 c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
                 disc = b * b - c
                 ok = disc > 0.0
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                out = []
-                for tt in (-b - sq, -b + sq):
-                    nx_ = (ocx + tt * rdx) * nrm_scale
-                    ny_ = (ocy + tt * rdy) * nrm_scale
-                    nz_ = (ocz + tt * rdz) * nrm_scale
-                    out.append((tt, ok, (nx_, ny_, nz_)))
-                return out
+                return [(-b - sq, ok), (-b + sq, ok)]
 
             if k == 0:          # SPHERE
                 cx, cy, cz = prim_ref[p, 0], prim_ref[p, 1], prim_ref[p, 2]
-                r = prim_ref[p, 3]
-                return sphere_cands(cx, cy, cz, r, 1.0 / r)
-            if k == 1:          # SPHERE_SHELL: outer outward, inner inward
+                return sphere_cands(cx, cy, cz, prim_ref[p, 3])
+            if k == 1:          # SPHERE_SHELL (outer + inner surfaces)
                 cx, cy, cz = prim_ref[p, 0], prim_ref[p, 1], prim_ref[p, 2]
-                r_in, r_out = prim_ref[p, 3], prim_ref[p, 4]
-                return (sphere_cands(cx, cy, cz, r_out, 1.0 / r_out)
-                        + sphere_cands(cx, cy, cz, r_in, -1.0 / r_in))
+                return (sphere_cands(cx, cy, cz, prim_ref[p, 4])
+                        + sphere_cands(cx, cy, cz, prim_ref[p, 3]))
             if k == 2:          # PARALLELOGRAM
                 ax_, ay_, az_ = (prim_ref[p, 0], prim_ref[p, 1],
                                  prim_ref[p, 2])
@@ -375,10 +370,7 @@ def _make_kernel(width, height, full_w, full_h,
                 ok = ((jnp.abs(denom) >= 1e-12)
                       & (a1 >= 0.0) & (a1 <= 1.0)
                       & (a2 >= 0.0) & (a2 <= 1.0))
-                n_b = (jnp.full(lane.shape, 1.0, jnp.float32) * nx_,
-                       jnp.full(lane.shape, 1.0, jnp.float32) * ny_,
-                       jnp.full(lane.shape, 1.0, jnp.float32) * nz_)
-                return [(tt, ok, n_b)]
+                return [(tt, ok)]
             if k == 3:          # CAPSULE
                 pax, pay, paz = (prim_ref[p, 0], prim_ref[p, 1],
                                  prim_ref[p, 2])
@@ -401,22 +393,7 @@ def _make_kernel(width, height, full_w, full_h,
                 t_body = (-b_c - jnp.sqrt(jnp.maximum(h_c, 0.0))) / safe_a
                 y_c = baoa + t_body * bard
                 body_ok = (h_c > 0.0) & (y_c > 0.0) & (y_c < baba)
-
-                def cap_norm(tt):
-                    hx = rox + tt * rdx
-                    hy = roy + tt * rdy
-                    hz = roz + tt * rdz
-                    yh = jnp.clip(
-                        ((hx - pax) * bax + (hy - pay) * bay
-                         + (hz - paz) * baz) / baba, 0.0, 1.0)
-                    axx = pax + yh * bax
-                    axy = pay + yh * bay
-                    axz = paz + yh * baz
-                    inv_r = 1.0 / jnp.maximum(r, 1e-12)
-                    return ((hx - axx) * inv_r, (hy - axy) * inv_r,
-                            (hz - axz) * inv_r)
-
-                out = [(t_body, body_ok, cap_norm(t_body))]
+                out = [(t_body, body_ok)]
                 for qx, qy, qz in ((pax, pay, paz), (pbx, pby, pbz)):
                     ocx, ocy, ocz = rox - qx, roy - qy, roz - qz
                     b = _dot3(ocx, ocy, ocz, rdx, rdy, rdz)
@@ -431,9 +408,50 @@ def _make_kernel(width, height, full_w, full_h,
                         yy = ((hx - pax) * bax + (hy - pay) * bay
                               + (hz - paz) * baz)
                         ok = okc & ((yy <= 0.0) | (yy >= baba))
-                        out.append((tt, ok, cap_norm(tt)))
+                        out.append((tt, ok))
                 return out
             raise ValueError(f"fused kernel: unsupported prim kind {k}")
+
+        def prim_normal(p, k, hx, hy, hz):
+            """Outward normal of prim p (static kind k) at hit point h —
+            the same per-kind formulas as accel/primitives.py evaluates at
+            its chosen t (shell picks the nearer surface by radius)."""
+            if k in (0, 1):     # SPHERE / SPHERE_SHELL
+                cx, cy, cz = prim_ref[p, 0], prim_ref[p, 1], prim_ref[p, 2]
+                rx, ry, rz = hx - cx, hy - cy, hz - cz
+                rad = jnp.sqrt(jnp.maximum(
+                    _dot3(rx, ry, rz, rx, ry, rz), 1e-20))
+                inv = 1.0 / rad
+                if k == 1:
+                    r_in, r_out = prim_ref[p, 3], prim_ref[p, 4]
+                    is_inner = (jnp.abs(rad - r_in)
+                                < jnp.abs(rad - r_out))
+                    inv = jnp.where(is_inner, -inv, inv)
+                return rx * inv, ry * inv, rz * inv
+            if k == 2:          # PARALLELOGRAM
+                v1x, v1y, v1z = (prim_ref[p, 3], prim_ref[p, 4],
+                                 prim_ref[p, 5])
+                v2x, v2y, v2z = (prim_ref[p, 6], prim_ref[p, 7],
+                                 prim_ref[p, 8])
+                nx_ = v1y * v2z - v1z * v2y
+                ny_ = v1z * v2x - v1x * v2z
+                nz_ = v1x * v2y - v1y * v2x
+                nl = jnp.sqrt(jnp.maximum(
+                    nx_ * nx_ + ny_ * ny_ + nz_ * nz_, 1e-20))
+                one = jnp.full(lane.shape, 1.0, jnp.float32)
+                return one * (nx_ / nl), one * (ny_ / nl), one * (nz_ / nl)
+            # CAPSULE: normal from the clamped nearest axis point
+            pax, pay, paz = prim_ref[p, 0], prim_ref[p, 1], prim_ref[p, 2]
+            pbx, pby, pbz = prim_ref[p, 3], prim_ref[p, 4], prim_ref[p, 5]
+            r = prim_ref[p, 6]
+            bax, bay, baz = pbx - pax, pby - pay, pbz - paz
+            baba = jnp.maximum(bax * bax + bay * bay + baz * baz, 1e-12)
+            yh = jnp.clip(((hx - pax) * bax + (hy - pay) * bay
+                           + (hz - paz) * baz) / baba, 0.0, 1.0)
+            inv_r = 1.0 / jnp.maximum(r, 1e-12)
+            return ((hx - (pax + yh * bax)) * inv_r,
+                    (hy - (pay + yh * bay)) * inv_r,
+                    (hz - (paz + yh * baz)) * inv_r)
 
         def sample_body(s, accum):
             acc_r, acc_g, acc_b, count = accum
@@ -536,14 +554,22 @@ def _make_kernel(width, height, full_w, full_h,
                     cands = prim_candidates(p_i, k_i, ox, oy, oz,
                                             dx, dy, dz)
                     pmid = prim_ref[p_i, 12].astype(jnp.int32)
-                    for tt, okg, (cnx, cny, cnz) in cands:
+                    for tt, okg in cands:
                         ok = okg & (tt > tmin) & (tt < bt)
                         bt = jnp.where(ok, tt, bt)
                         bid = jnp.where(ok, num_tris + p_i, bid)
                         bmid = jnp.where(ok, pmid, bmid)
-                        gnx = jnp.where(ok, cnx, gnx)
-                        gny = jnp.where(ok, cny, gny)
-                        gnz = jnp.where(ok, cnz, gnz)
+                if prim_kinds:
+                    # winner-only normal recomputation at the hit point
+                    phx = ox + bt * dx
+                    phy = oy + bt * dy
+                    phz = oz + bt * dz
+                    for p_i, k_i in enumerate(prim_kinds):
+                        pnx, pny, pnz = prim_normal(p_i, k_i, phx, phy, phz)
+                        sel = bid == num_tris + p_i
+                        gnx = jnp.where(sel, pnx, gnx)
+                        gny = jnp.where(sel, pny, gny)
+                        gnz = jnp.where(sel, pnz, gnz)
 
                 hit = bid >= 0
                 hit_valid = hit & (active > 0)
@@ -654,7 +680,7 @@ def _make_kernel(width, height, full_w, full_h,
                     occ = jax.lax.fori_loop(0, num_tris, sh_body,
                                             jnp.zeros(lane.shape, jnp.int32))
                 for p_i, k_i in enumerate(prim_kinds):
-                    for tt, okg, _n in prim_candidates(p_i, k_i, px, py, pz,
+                    for tt, okg in prim_candidates(p_i, k_i, px, py, pz,
                                                        wix, wiy, wiz):
                         ok = okg & (tt > sh_tmin) & (tt < sh_tmax)
                         occ = jnp.maximum(occ, ok.astype(jnp.int32))

@@ -173,3 +173,82 @@ class TestEngineMaps:
         assert int(scene.materials.normal_tex[i]) == 2
         assert int(scene.materials.mr_tex[i]) == 1
         assert int(scene.materials.emissive_tex[i]) == 3
+
+
+class TestBundles:
+    """16-channel material bundles: one sliced gather per level must
+    reproduce the per-map trilinear fetches (pack_bundles +
+    sample_bundle vs sample_trilinear on the same images)."""
+
+    def test_bundle_matches_per_map(self):
+        from optix_raytracer_tpu.scene.device_scene import (pack_bundles,
+                                                            pack_textures)
+        from optix_raytracer_tpu.shade.texture import sample_bundle
+        rng = np.random.default_rng(3)
+        base = rng.uniform(0, 1, (32, 32, 4)).astype(np.float32)
+        nmap = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        mr = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        em = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        mats_l = [{"kind": mat.DIFFUSE, "base_tex": 0, "normal_tex": 1,
+                   "mr_tex": 2, "emissive_tex": 3}]
+        tex, size, mips = pack_textures([base, nmap, mr, em])
+        bundles, bmip, mat_bundle = pack_bundles([base, nmap, mr, em],
+                                                 mats_l)
+        assert mat_bundle[0] == 0 and bundles.shape[-1] == 16
+        n = 4096
+        uv = jnp.asarray(rng.uniform(-1, 2, (n, 2)).astype(np.float32))
+        scale = jnp.asarray(rng.uniform(0, 0.3, n).astype(np.float32))
+        bid = jnp.zeros((n,), jnp.int32)
+        b16 = sample_bundle(bundles, bmip, bid, uv, texel_scale=scale)
+        for ch, img_i, cols in ((slice(0, 4), 0, slice(0, 4)),
+                                (slice(4, 7), 1, slice(0, 3)),
+                                (slice(7, 10), 3, slice(0, 3))):
+            ref = sample_trilinear(tex, mips, jnp.full((n,), img_i,
+                                                       jnp.int32),
+                                   uv, texel_scale=scale)
+            np.testing.assert_allclose(np.asarray(b16[:, ch]),
+                                       np.asarray(ref[:, cols]), atol=1e-5)
+        ref_mr = sample_trilinear(tex, mips, jnp.full((n,), 2, jnp.int32),
+                                  uv, texel_scale=scale)
+        np.testing.assert_allclose(np.asarray(b16[:, 10]),
+                                   np.asarray(ref_mr[:, 1]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b16[:, 11]),
+                                   np.asarray(ref_mr[:, 2]), atol=1e-5)
+
+    def test_mixed_resolution_and_missing_maps(self):
+        from optix_raytracer_tpu.scene.device_scene import pack_bundles
+        from optix_raytracer_tpu.shade.texture import sample_bundle
+        rng = np.random.default_rng(4)
+        base = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        nmap = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+        mats_l = [{"kind": mat.DIFFUSE, "base_tex": 0, "normal_tex": 1},
+                  {"kind": mat.DIFFUSE},                 # untextured
+                  {"kind": mat.DIFFUSE, "base_tex": 0, "normal_tex": 1}]
+        bundles, bmip, mat_bundle = pack_bundles([base, nmap], mats_l)
+        assert mat_bundle[1] == -1
+        assert mat_bundle[0] == mat_bundle[2] == 0     # dedup by tex tuple
+        n = 256
+        uv = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+        b16 = sample_bundle(bundles, bmip, jnp.zeros((n,), jnp.int32), uv)
+        # missing emissive/mr come back neutral 1.0
+        np.testing.assert_allclose(np.asarray(b16[:, 7:12]), 1.0)
+        # untextured id -1 -> all-neutral
+        b_neutral = sample_bundle(bundles, bmip,
+                                  jnp.full((n,), -1, jnp.int32), uv)
+        np.testing.assert_allclose(np.asarray(b_neutral[:, 0:4]), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(b_neutral[:, 4:7]),
+            np.broadcast_to([0.5, 0.5, 1.0], (n, 3)))
+
+    def test_wrap_border_continuity(self):
+        # fetch exactly at the wrap seam: u just below 1 vs just above 0
+        from optix_raytracer_tpu.scene.device_scene import pack_bundles
+        from optix_raytracer_tpu.shade.texture import sample_bundle
+        rng = np.random.default_rng(5)
+        img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        bundles, bmip, mb = pack_bundles([img], [{"base_tex": 0}])
+        uv_a = jnp.asarray([[0.9999999, 0.5]], jnp.float32)
+        uv_b = jnp.asarray([[1.0000001 - 1.0, 0.5]], jnp.float32)
+        a = sample_bundle(bundles, bmip, jnp.zeros((1,), jnp.int32), uv_a)
+        b = sample_bundle(bundles, bmip, jnp.zeros((1,), jnp.int32), uv_b)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
