@@ -108,13 +108,19 @@ def slice_geometry(geom: TriangleGeometry, lo: int, hi: int):
 
 def intersect_instances(geom: TriangleGeometry, instances: InstanceTable,
                         rays: Rays, tri_mat=None,
-                        chunk_size: Optional[int] = None) -> Hits:
+                        chunk_size: Optional[int] = None,
+                        mesh_clusters=None) -> Hits:
     """Closest hit through the two-level structure (flat rays [N]).
 
     The instance loop is a static python loop — instance counts in the
     reference scenes are small (each iteration is one fused GAS query over
     the whole wavefront). Reported t stays in world units because object-
     space direction keeps its (possibly non-unit) scaled length.
+
+    mesh_clusters: optional {(lo, hi): ClusterSet} — per-mesh cluster
+    tables (object space); instances whose range has one traverse through
+    the cluster-culled Pallas kernels instead of brute force, so LARGE
+    shared meshes stay fast under instancing.
     """
     n = rays.tmin.shape[0]
     best = Hits.none((n,), tmax=1e16)
@@ -123,15 +129,19 @@ def intersect_instances(geom: TriangleGeometry, instances: InstanceTable,
     ranges = instances.prim_ranges or ((0, geom.num_triangles),) * instances.num
     for i in range(instances.num):
         lo, hi = ranges[i]
-        sub = slice_geometry(geom, lo, hi)
-        sub_mat = None if tri_mat is None else tri_mat[lo:hi]
         inv = instances.inv_transform[i]
         o = xf.apply_point(jnp.broadcast_to(inv, (n, 3, 4)), rays.origin)
         d = xf.apply_vector(jnp.broadcast_to(inv, (n, 3, 4)), rays.direction)
         obj_rays = Rays(origin=o, direction=d, tmin=rays.tmin,
                         tmax=best.t)          # current-best culls later work
-        h = bf.intersect_closest(sub, obj_rays, tri_mat=sub_mat,
-                                 chunk_size=chunk_size)
+        if mesh_clusters is not None and (lo, hi) in mesh_clusters:
+            from . import clusters as cluster_mod
+            h = cluster_mod.closest_hit(mesh_clusters[(lo, hi)], obj_rays)
+        else:
+            sub = slice_geometry(geom, lo, hi)
+            sub_mat = None if tri_mat is None else tri_mat[lo:hi]
+            h = bf.intersect_closest(sub, obj_rays, tri_mat=sub_mat,
+                                     chunk_size=chunk_size)
         h = h.replace(prim_id=jnp.where(h.valid, h.prim_id + lo, -1))
         closer = h.valid & (h.t < best.t)
         # transform the normal back to world (inverse-transpose of object→world
@@ -158,7 +168,8 @@ def intersect_instances(geom: TriangleGeometry, instances: InstanceTable,
 
 def intersect_instances_any(geom: TriangleGeometry,
                             instances: InstanceTable, rays: Rays,
-                            chunk_size: Optional[int] = None):
+                            chunk_size: Optional[int] = None,
+                            mesh_clusters=None):
     """Occlusion query through the two-level structure → bool [N]
     (terminate-on-first-hit semantics per instance)."""
     n = rays.tmin.shape[0]
@@ -166,11 +177,19 @@ def intersect_instances_any(geom: TriangleGeometry,
     ranges = instances.prim_ranges or ((0, geom.num_triangles),) * instances.num
     for i in range(instances.num):
         lo, hi = ranges[i]
-        sub = slice_geometry(geom, lo, hi)
         inv = instances.inv_transform[i]
         o = xf.apply_point(jnp.broadcast_to(inv, (n, 3, 4)), rays.origin)
         d = xf.apply_vector(jnp.broadcast_to(inv, (n, 3, 4)), rays.direction)
+        # already-occluded lanes get an empty window: the cluster path's
+        # dead-lane culling then skips their blocks entirely
         obj_rays = Rays(origin=o, direction=d, tmin=rays.tmin,
-                        tmax=rays.tmax)
-        occ = occ | bf.intersect_any(sub, obj_rays, chunk_size=chunk_size)
+                        tmax=jnp.where(occ, 0.0, rays.tmax))
+        if mesh_clusters is not None and (lo, hi) in mesh_clusters:
+            from . import clusters as cluster_mod
+            occ = occ | cluster_mod.any_hit(mesh_clusters[(lo, hi)],
+                                            obj_rays)
+        else:
+            sub = slice_geometry(geom, lo, hi)
+            occ = occ | bf.intersect_any(sub, obj_rays,
+                                         chunk_size=chunk_size)
     return occ

@@ -61,6 +61,11 @@ class DeviceScene:
         default_factory=MotionTriangles.empty)
     motion_tri_mat: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((0,), jnp.int32))
+    # Per-mesh cluster tables for instanced scenes ({(lo, hi) prim range:
+    # ClusterSet} in OBJECT space): the IAS path traverses large shared
+    # meshes through the cluster kernels instead of per-instance brute
+    # force (accel/tlas.py intersect_instances).
+    instance_clusters: dict = struct.field(default_factory=dict)
     # Per-material 16-channel texture bundles (base/normal/emissive/mr in
     # channels): ONE sliced gather fetches a material's whole texture set
     # (pack_bundles; shade/texture.py sample_bundle).
@@ -352,6 +357,7 @@ def make_device_scene(vertices, indices, tri_mat, materials,
     # (VMEM-resident kernels below MAX_CLUSTERS, DMA-streaming beyond).
     # (Instanced scenes traverse through the IAS path instead.)
     clusters = None
+    instance_clusters = {}
     n_tris = geom.num_triangles
     if (instances is None and n_tris > MAX_SMEM_TRIS
             and -(-n_tris // _CLUSTER_LANES) <= MAX_STREAM_CLUSTERS):
@@ -361,6 +367,20 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         from ..accel import native
         order = native.sah_leaf_order(geom)
         clusters = build_clusters(geom, tri_mat_arr, order=order)
+    elif instances is not None and instances.prim_ranges:
+        # Per-mesh (object-space) cluster tables for the IAS path: one per
+        # unique shared-GAS range past the brute-force sweet spot.
+        from ..accel import native
+        from ..accel.tlas import slice_geometry
+        for rng_ in set(instances.prim_ranges):
+            lo, hi = rng_
+            m = hi - lo
+            if (m > MAX_SMEM_TRIS
+                    and -(-m // _CLUSTER_LANES) <= MAX_STREAM_CLUSTERS):
+                sub = slice_geometry(geom, lo, hi)
+                order = native.sah_leaf_order(sub)
+                instance_clusters[rng_] = build_clusters(
+                    sub, tri_mat_arr[lo:hi], order=order)
     features = []
     if isinstance(materials, (list, tuple)):
         if any(m.get("cutout", 0) or m.get("alpha_mode", 0) == 1
@@ -400,6 +420,7 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         geom=geom,
         bvh=bvh if bvh is not None else LBVH.empty(),
         clusters=clusters if clusters is not None else ClusterSet.empty(),
+        instance_clusters=instance_clusters,
         instances=(instances if instances is not None
                    else InstanceTable.empty()),
         tri_mat=tri_mat_arr,

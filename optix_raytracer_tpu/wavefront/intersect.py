@@ -75,10 +75,12 @@ def scene_closest(scene: DeviceScene, rays: Rays,
     Tile-ordered primaries keep coherent=True and skip the sort cost."""
     if scene.has_instances:
         from ..accel import tlas
+        mc = (scene.instance_clusters or None) if (
+            jax.default_backend() in _TPU_PLATFORMS) else None
         hits = _flat_call(
             lambda r: tlas.intersect_instances(
                 scene.geom, scene.instances, r, tri_mat=scene.tri_mat,
-                chunk_size=chunk_size), rays)
+                chunk_size=chunk_size, mesh_clusters=mc), rays)
     elif _use_clusters(scene):
         fn = (cluster_mod.closest_hit if coherent
               else cluster_mod.closest_hit_sorted)
@@ -112,9 +114,12 @@ def scene_any(scene: DeviceScene, rays: Rays,
         return _scene_any_alpha(scene, rays, chunk_size)
     if scene.has_instances:
         from ..accel import tlas
+        mc = (scene.instance_clusters or None) if (
+            jax.default_backend() in _TPU_PLATFORMS) else None
         occ = _flat_call(
             lambda r: tlas.intersect_instances_any(
-                scene.geom, scene.instances, r, chunk_size=chunk_size),
+                scene.geom, scene.instances, r, chunk_size=chunk_size,
+                mesh_clusters=mc),
             rays)
     elif _use_clusters(scene):
         fn = cluster_mod.any_hit if coherent else cluster_mod.any_hit_sorted
