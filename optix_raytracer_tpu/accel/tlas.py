@@ -144,10 +144,11 @@ def intersect_instances(geom: TriangleGeometry, instances: InstanceTable,
                                      chunk_size=chunk_size)
         h = h.replace(prim_id=jnp.where(h.valid, h.prim_id + lo, -1))
         closer = h.valid & (h.t < best.t)
-        # transform the normal back to world (inverse-transpose of object→world
-        # linear part = transpose of inv's linear part applied as apply_normal)
-        fwd = instances.transform[i]
-        n_world = xf.apply_normal(jnp.broadcast_to(fwd, (n, 3, 4)), h.normal)
+        # Normal back to world: w_row = n_row @ L^-1 (the inverse-transpose
+        # rule in row form) — inv_transform already holds L^-1, so this is
+        # one matmul with NO per-ray matrix inverses (jnp.linalg.inv on a
+        # broadcast [N,3,3] LU-decomposes per ray and OOMs at 2M rays).
+        n_world = h.normal @ inv[:, :3]
         n_world = n_world / jnp.maximum(
             jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-12)
         best = Hits(

@@ -263,11 +263,13 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                 # Instanced hits: corner normals live in object space —
                 # apply the hit instance's normal transform (the device
                 # transform-stack role, optix_device.h:728-868). inst_id
-                # == table row for default-constructed tables.
-                from ..core import transforms as xf
-                fwd = scene.instances.transform[
-                    jnp.maximum(hits.inst_id, 0)]
-                n_w = xf.apply_normal(fwd, frame["shading_normal"])
+                # == table row for default-constructed tables. Row form
+                # w = n @ L^-1 over the gathered inverse linear parts —
+                # never invert per hit (a [N,3,3] LU OOMs at 2M rays).
+                rinv = scene.instances.inv_transform[
+                    jnp.maximum(hits.inst_id, 0)][..., :, :3]
+                n_w = jnp.einsum("...j,...jk->...k",
+                                 frame["shading_normal"], rinv)
                 n_w = n_w / jnp.maximum(
                     jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-12)
                 geom_n = jnp.where((is_tri & (hits.inst_id >= 0))[..., None],
