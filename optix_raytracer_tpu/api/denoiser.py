@@ -104,6 +104,20 @@ class Denoiser:
                 else self.compute_intensity(beauty)
         work = beauty * scale
 
+        if self.model_kind == ModelKind.UPSCALE2X and self.backend == "kpcnn":
+            up_params = kpcnn.load_params(kpcnn.UPSCALE_WEIGHTS_PATH)
+            if up_params is not None:
+                # Trained upscaler path: denoise + 2x-lift in ONE net —
+                # guide layers are FULL-RES (2H, 2W) steering the lifted
+                # low-res radiance; the plain spatial pass is skipped
+                # (its guides would shape-mismatch anyway).
+                return kpcnn.upscale2x_kp(
+                    up_params, jnp.asarray(beauty, jnp.float32),
+                    albedo=None if albedo is None else jnp.asarray(albedo),
+                    normal=None if normal is None else jnp.asarray(normal),
+                    emission=(None if emission is None
+                              else jnp.asarray(emission, jnp.float32)))
+
         core = None
         if self.backend == "kpcnn":
             # emission guide (render_aovs "emission"): noise-free emitter

@@ -30,6 +30,28 @@ _EPS = 1e-3
 
 WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights",
                             "kpcnn.npz")
+# 2x-upscale weights: the SAME architecture trained on bilinear-upsampled
+# low-res noisy input + full-res guide layers → full-res clean (the
+# OPTIX_DENOISER_MODEL_KIND_UPSCALE2X role, optix_types.h:1609-1635).
+UPSCALE_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights",
+                                    "kpcnn_up2x.npz")
+
+
+def upsample2x_bilinear(img):
+    """[..., H, W, C] → [..., 2H, 2W, C] bilinear (align-corners=False)."""
+    h, w = img.shape[-3], img.shape[-2]
+    y = (jnp.arange(2 * h) + 0.5) / 2.0 - 0.5
+    x = (jnp.arange(2 * w) + 0.5) / 2.0 - 0.5
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = jnp.clip(y - y0, 0.0, 1.0)[:, None, None]
+    fx = jnp.clip(x - x0, 0.0, 1.0)[None, :, None]
+    r0 = (jnp.take(img, y0, axis=-3) * (1 - fy)
+          + jnp.take(img, y1, axis=-3) * fy)
+    return (jnp.take(r0, x0, axis=-2) * (1 - fx)
+            + jnp.take(r0, x1, axis=-2) * fx)
 
 # (name, out_channels, stride) — a compact 3-scale encoder/decoder.
 # Decoder levels upsample (nearest) and concat the matching skip.
@@ -180,9 +202,21 @@ def denoise_kp(params, beauty, albedo=None, normal=None, emission=None):
     return out if batched else out[0]
 
 
-@functools.lru_cache(maxsize=1)
+def upscale2x_kp(params, beauty_lr, albedo=None, normal=None,
+                 emission=None):
+    """2x upscale + denoise: bilinear-lift the low-res beauty, then run
+    the kernel-prediction net (trained for this input distribution) with
+    FULL-RES guide layers — the reference upscaler's recipe of hi-res
+    guides steering low-res radiance (`optix_types.h` UPSCALE2X model).
+    albedo/normal/emission must already be full-res (2H, 2W)."""
+    up = upsample2x_bilinear(beauty_lr)
+    return denoise_kp(params, up, albedo=albedo, normal=normal,
+                      emission=emission)
+
+
+@functools.lru_cache(maxsize=2)
 def load_params(path: str = WEIGHTS_PATH):
-    """Load the shipped checkpoint (None if not trained yet)."""
+    """Load a shipped checkpoint (None if not trained yet)."""
     if not os.path.exists(path):
         return None
     data = np.load(path)
@@ -197,3 +231,7 @@ def save_params(params, path: str = WEIGHTS_PATH):
 
 def has_weights() -> bool:
     return os.path.exists(WEIGHTS_PATH)
+
+
+def has_upscale_weights() -> bool:
+    return os.path.exists(UPSCALE_WEIGHTS_PATH)

@@ -125,3 +125,41 @@ class TestDenoiserApi:
                                         blend_factor=1.0))
         np.testing.assert_allclose(blended, noisy, atol=1e-5)
         assert np.abs(full - noisy).mean() > 1e-3
+
+
+class TestUpscale2x:
+    def test_upscale_kp_shapes_and_energy(self):
+        # random weights: plumbing only (2x shape, finite, guide use)
+        import jax
+        from optix_raytracer_tpu.denoise import kpcnn
+        rng = np.random.default_rng(0)
+        params = kpcnn.init_params(jax.random.PRNGKey(0))
+        lr = jnp.asarray(rng.uniform(0, 2, (32, 40, 3)).astype(np.float32))
+        alb = jnp.asarray(rng.uniform(0.2, 1, (64, 80, 3)).astype(np.float32))
+        nrm = jnp.asarray(rng.normal(size=(64, 80, 3)).astype(np.float32))
+        out = kpcnn.upscale2x_kp(params, lr, albedo=alb, normal=nrm)
+        assert out.shape == (64, 80, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_upsample2x_bilinear_constant(self):
+        from optix_raytracer_tpu.denoise.kpcnn import upsample2x_bilinear
+        img = jnp.full((8, 8, 3), 0.7, jnp.float32)
+        up = upsample2x_bilinear(img)
+        assert up.shape == (16, 16, 3)
+        np.testing.assert_allclose(np.asarray(up), 0.7, atol=1e-6)
+
+    def test_api_upscale_with_trained_weights(self):
+        from optix_raytracer_tpu.denoise import kpcnn
+        if not kpcnn.has_upscale_weights():
+            pytest.skip("upscale weights not trained yet")
+        from optix_raytracer_tpu.api.denoiser import Denoiser, ModelKind
+        rng = np.random.default_rng(1)
+        lr = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+        alb = jnp.asarray(rng.uniform(0.2, 1, (64, 64, 3)).astype(np.float32))
+        nrm = jnp.zeros((64, 64, 3), jnp.float32)
+        d = Denoiser(model_kind=ModelKind.UPSCALE2X, backend="kpcnn",
+                     guide_albedo=True, guide_normal=True)
+        d.setup(32, 32)
+        out = d.invoke(lr, albedo=alb, normal=nrm)
+        assert out.shape == (64, 64, 3)
+        assert np.isfinite(np.asarray(out)).all()

@@ -219,11 +219,20 @@ def load_dataset():
 
 
 def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
-          seed: int = 0, val_frac: float = 0.1):
+          seed: int = 0, val_frac: float = 0.1, upscale: bool = False):
+    """upscale=True trains the UPSCALE2X weights: the input is the noisy
+    image box-downsampled 2x then bilinear-lifted back (simulating a
+    half-res render), guides stay full-res; saved to kpcnn_up2x.npz."""
     import jax
     import jax.numpy as jnp
     import optax
     from optix_raytracer_tpu.denoise import kpcnn
+
+    def degrade(noisy):
+        # [N, H, W, 3] -> box 2x down -> bilinear 2x up
+        n, h, w, c = noisy.shape
+        lr_ = noisy.reshape(n, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        return kpcnn.upsample2x_bilinear(lr_)
 
     data = load_dataset()
     assert data, "no dataset — run with --render-only first"
@@ -241,6 +250,8 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
         return jnp.log1p(jnp.maximum(x, 0.0))
 
     def loss_fn(params, noisy, albedo, normal, emission, clean):
+        if upscale:
+            noisy = degrade(noisy)
         out = kpcnn.denoise_kp(params, noisy, albedo, normal,
                                emission=emission)
         lt = jnp.abs(tonemap(out) - tonemap(clean))
@@ -275,6 +286,8 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
 
     @jax.jit
     def val_mse(params, noisy, albedo, normal, emission, clean):
+        if upscale:
+            noisy = degrade(noisy)
         out = kpcnn.denoise_kp(params, noisy, albedo, normal,
                                emission=emission)
         return (jnp.mean((tonemap(out) - tonemap(clean)) ** 2),
@@ -298,8 +311,9 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
                   f"val_mse={vm/len(val):.5f} noisy_mse={nm/len(val):.5f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
 
-    kpcnn.save_params(params)
-    print("saved", kpcnn.WEIGHTS_PATH)
+    path = kpcnn.UPSCALE_WEIGHTS_PATH if upscale else kpcnn.WEIGHTS_PATH
+    kpcnn.save_params(params, path)
+    print("saved", path)
 
 
 def main(argv=None):
@@ -312,6 +326,8 @@ def main(argv=None):
     ap.add_argument("--upgrade-emission", action="store_true",
                     help="replay the RNG stream to add emission AOVs to "
                          "dataset files that predate them")
+    ap.add_argument("--upscale", action="store_true",
+                    help="train the 2x-upscale weights (kpcnn_up2x.npz)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
     if args.upgrade_emission:
@@ -320,7 +336,7 @@ def main(argv=None):
         render_dataset(args.scenes, seed=args.seed,
                        clean_spp=args.clean_spp)
     if not args.render_only:
-        train(steps=args.steps, seed=args.seed)
+        train(steps=args.steps, seed=args.seed, upscale=args.upscale)
 
 
 if __name__ == "__main__":
