@@ -39,6 +39,9 @@ class GltfMesh:
     joints: Optional[np.ndarray] = None   # [V, 4] i32 (skinned meshes)
     weights: Optional[np.ndarray] = None  # [V, 4] f32
     skin: int = -1                   # index into GltfScene.skins
+    # morph targets: list of [V, 3] POSITION deltas + default weights
+    targets: list = field(default_factory=list)
+    morph_weights: list = field(default_factory=list)
 
 
 @dataclass
@@ -299,8 +302,8 @@ def load_gltf(path: str) -> GltfScene:
         for ch in an.get("channels", []):
             tgt = ch.get("target", {})
             if "node" not in tgt or tgt.get("path") not in (
-                    "translation", "rotation", "scale"):
-                continue  # weights (morph targets) unsupported
+                    "translation", "rotation", "scale", "weights"):
+                continue
             sm = an["samplers"][ch["sampler"]]
             times = _read_accessor(gltf, buffers,
                                    sm["input"]).reshape(-1).astype(np.float32)
@@ -309,6 +312,9 @@ def load_gltf(path: str) -> GltfScene:
             interp = sm.get("interpolation", "LINEAR")
             if interp == "CUBICSPLINE":
                 vals = vals.reshape(len(times), 3, -1)
+            elif tgt["path"] == "weights":
+                # morph weights: K*T scalars → [K, T]
+                vals = vals.reshape(len(times), -1)
             chans.append(GltfChannel(node=tgt["node"], path=tgt["path"],
                                      times=times, values=vals,
                                      interpolation=interp))
@@ -373,6 +379,22 @@ def load_gltf(path: str) -> GltfScene:
                             "extensions", {}).get("KHR_texture_transform")
                         if tt:
                             uvs = _apply_texture_transform(uvs, tt)
+                targets = []
+                for tg in prim.get("targets", []):
+                    if "POSITION" in tg:
+                        targets.append(_read_accessor(
+                            gltf, buffers,
+                            tg["POSITION"]).astype(np.float32)[:, :3])
+                morph_w = [float(x) for x in node.get(
+                    "weights", mesh.get("weights",
+                                        [0.0] * len(targets)))]
+                if targets and any(w != 0.0 for w in morph_w):
+                    # bake the DEFAULT morph state into the base positions
+                    # (spec: default weights always apply); animation then
+                    # applies (w(t) - default) deltas on top.
+                    pos = pos.copy()
+                    for w_t, delta in zip(morph_w, targets):
+                        pos[:, :3] = pos[:, :3] + np.float32(w_t) * delta
                 joints = weights = None
                 if skin_idx >= 0 and "JOINTS_0" in attrs:
                     joints = _read_accessor(
@@ -388,7 +410,8 @@ def load_gltf(path: str) -> GltfScene:
                     positions=pos[:, :3], indices=idx, normals=normals,
                     uvs=uvs, material=prim.get("material", -1),
                     transform=m, name=mesh.get("name", ""),
-                    joints=joints, weights=weights, skin=skin_idx))
+                    joints=joints, weights=weights, skin=skin_idx,
+                    targets=targets, morph_weights=morph_w))
                 out.node_meshes.setdefault(node_idx, []).append(mi)
         for child in node.get("children", []):
             walk(child, m)
@@ -511,6 +534,22 @@ def pose_meshes(scene: GltfScene, t: float, animation: int = 0):
     for ni, mesh_ids in scene.node_meshes.items():
         for mi in mesh_ids:
             mesh = scene.meshes[mi]
+            base_pos = mesh.positions
+            if mesh.targets:
+                # morph targets: the "weights" channel targets the NODE;
+                # base positions already carry the DEFAULT morph state,
+                # so apply (w(t) - default) deltas.
+                w_now = overrides.get(ni, {}).get("weights")
+                if w_now is not None:
+                    w_now = np.asarray(w_now, np.float32).reshape(-1)
+                    base_pos = base_pos.copy()
+                    for t_i, delta in enumerate(mesh.targets):
+                        dw = (float(w_now[t_i])
+                              - float(mesh.morph_weights[t_i]))
+                        if dw != 0.0:
+                            base_pos = base_pos + np.float32(dw) * delta
+                mesh = type(mesh)(**{**mesh.__dict__,
+                                     "positions": base_pos})
             if mesh.skin >= 0 and mesh.joints is not None:
                 skin = scene.skins[mesh.skin]
                 # joint palette [J, 4, 4]

@@ -277,3 +277,71 @@ class TestSceneIntegration:
         v0 = np.asarray(d0.geom.v0[0])
         v1 = np.asarray(d1.geom.v0[0])
         np.testing.assert_allclose(v1 - v0, [2, 0, 0], atol=1e-5)
+
+
+class TestMorphTargets:
+    def make_morph(self, tmp_path, default_weights=None, animate=True):
+        """One triangle with one POSITION morph target lifting vertex 2."""
+        pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        delta = np.array([[0, 0, 0], [0, 0, 0], [0, 2, 0]], np.float32)
+        idx = np.array([0, 1, 2], np.uint16)
+        times = np.array([0.0, 1.0], np.float32)
+        wvals = np.array([0.0, 1.0], np.float32)      # K*T scalars (T=1)
+        mesh = {"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1,
+            "targets": [{"POSITION": 4}]}]}
+        if default_weights is not None:
+            mesh["weights"] = default_weights
+        doc = {
+            "asset": {"version": "2.0"}, "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "meshes": [mesh],
+            "buffers": [
+                {"uri": b64(pos), "byteLength": pos.nbytes},
+                {"uri": b64(idx), "byteLength": idx.nbytes},
+                {"uri": b64(times), "byteLength": times.nbytes},
+                {"uri": b64(wvals), "byteLength": wvals.nbytes},
+                {"uri": b64(delta), "byteLength": delta.nbytes},
+            ],
+            "bufferViews": [{"buffer": i, "byteLength": n} for i, n in
+                            enumerate([pos.nbytes, idx.nbytes, times.nbytes,
+                                       wvals.nbytes, delta.nbytes])],
+            "accessors": [
+                acc(0, 3, "VEC3"),
+                acc(1, 3, "SCALAR", comp=5123),
+                acc(2, 2, "SCALAR"),
+                acc(3, 2, "SCALAR"),
+                acc(4, 3, "VEC3"),
+            ],
+        }
+        if animate:
+            doc["animations"] = [{"channels": [
+                {"sampler": 0, "target": {"node": 0, "path": "weights"}}],
+                "samplers": [{"input": 2, "output": 3,
+                              "interpolation": "LINEAR"}]}]
+        return G.load_gltf(write_gltf(tmp_path, doc, "morph.gltf"))
+
+    def test_animated_weights(self, tmp_path):
+        g = self.make_morph(tmp_path)
+        assert len(g.meshes[0].targets) == 1
+        p0 = G.pose_meshes(g, 0.0)[0][1]
+        np.testing.assert_allclose(p0[2], [0, 1, 0], atol=1e-6)
+        p_half = G.pose_meshes(g, 0.5)[0][1]
+        np.testing.assert_allclose(p_half[2], [0, 2, 0], atol=1e-6)
+        p1 = G.pose_meshes(g, 1.0)[0][1]
+        np.testing.assert_allclose(p1[2], [0, 3, 0], atol=1e-6)
+
+    def test_default_weights_baked(self, tmp_path):
+        g = self.make_morph(tmp_path, default_weights=[0.5], animate=False)
+        # default morph applies to the static mesh positions
+        np.testing.assert_allclose(g.meshes[0].positions[2], [0, 2, 0],
+                                   atol=1e-6)
+
+    def test_animated_relative_to_default(self, tmp_path):
+        g = self.make_morph(tmp_path, default_weights=[0.5])
+        # at t=1 weight 1.0: delta over default 0.5 adds 0.5 * 2
+        p1 = G.pose_meshes(g, 1.0)[0][1]
+        np.testing.assert_allclose(p1[2], [0, 3, 0], atol=1e-6)
+        p0 = G.pose_meshes(g, 0.0)[0][1]
+        np.testing.assert_allclose(p0[2], [0, 1, 0], atol=1e-6)
