@@ -131,6 +131,21 @@ class Denoiser:
         if self.model_kind == ModelKind.TEMPORAL and previous_output is not None:
             if flow is None:
                 flow = jnp.zeros(beauty.shape[:2] + (2,), jnp.float32)
+            tparams = (kpcnn.load_params(kpcnn.TEMPORAL_WEIGHTS_PATH)
+                       if self.backend == "kpcnn" else None)
+            if tparams is not None:
+                # trained temporal model: the flow-reprojected previous
+                # output rides in as 3 extra input channels — the net
+                # learns history reuse instead of a fixed-alpha blend
+                history = atrous.warp_by_flow(
+                    jnp.asarray(previous_output, jnp.float32),
+                    jnp.asarray(flow, jnp.float32))
+                return kpcnn.denoise_kp(
+                    tparams, jnp.asarray(beauty, jnp.float32),
+                    albedo=albedo, normal=normal,
+                    emission=(None if emission is None
+                              else jnp.asarray(emission, jnp.float32)),
+                    history=history)
             out = atrous.denoise_temporal(work,
                                           jnp.asarray(previous_output) * scale,
                                           flow, albedo=albedo, normal=normal,

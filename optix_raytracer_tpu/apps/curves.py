@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import numpy as np
 
 from ..accel import curves as cv, primitives as prim
@@ -82,7 +84,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.swept and args.kind == cv.LINEAR:
         args.kind = cv.QUADRATIC_BSPLINE
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum, film = render(w, h, samples=args.samples, kind=args.kind,
                          swept=args.swept)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))

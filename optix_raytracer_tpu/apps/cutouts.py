@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import numpy as np
 
 from ..core import film as film_mod
@@ -58,7 +60,7 @@ def main(argv=None):
     p.add_argument("--dim", default="768x768")
     p.add_argument("--samples", type=int, default=32)
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum, film = render(w, h, samples=args.samples)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
     print(f"wrote {args.file} ({w}x{h}, {int(film.subframe)} spp)")

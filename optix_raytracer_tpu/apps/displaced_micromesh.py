@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import numpy as np
 
 from ..accel.micromap import displace_mesh
@@ -68,7 +70,7 @@ def main(argv=None):
                    help="subdivision level (4^level micro-tris per base)")
     p.add_argument("--samples", type=int, default=4)
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum, n_tris = render(w, h, level=args.level, samples=args.samples)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
     print(f"wrote {args.file} ({n_tris} micro-triangles, level {args.level})")

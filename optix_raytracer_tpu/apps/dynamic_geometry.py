@@ -11,6 +11,8 @@ program.
 from __future__ import annotations
 
 import argparse
+
+from ._cli import parse_dim
 import functools
 
 import jax
@@ -127,7 +129,7 @@ def main(argv=None):
                    help="animate instance matrices instead of vertices "
                         "(IAS update — geometry built once)")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     if args.ias:
         accum = render_frames_ias(w, h, args.frames)
         save_image(args.file, np.asarray(film_mod.make_color(accum)))

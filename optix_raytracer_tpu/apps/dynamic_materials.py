@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,7 +61,7 @@ def main(argv=None):
     p.add_argument("--phase", type=int, default=2,
                    help="0: original, 1: recolored record, 2: +sbt-offset swap")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum = render(w, h, phase=args.phase)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
     print(f"wrote {args.file} (phase {args.phase})")

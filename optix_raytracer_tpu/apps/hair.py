@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,7 +127,7 @@ def main(argv=None):
                    help="true swept spans instead of capsules (cubic for "
                         "cubic/catmullrom/bezier splines, else quadratic)")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum, film = render(w, h, hair_file=args.hair, shading=args.shading,
                          spline=args.spline, samples=args.samples,
                          swept=args.swept)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -39,7 +41,7 @@ def main(argv=None):
     p.add_argument("--dim", default="512x384", help="WxH")
     p.add_argument("--ascii", action="store_true", help="print ASCII preview")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     img = np.asarray(render(w, h))
     save_image(args.file, img)
     if args.ascii:

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import numpy as np
 
 from ..core import film as film_mod
@@ -56,7 +58,7 @@ def main(argv=None):
                         "(writes file stem_000.png ...)")
     p.add_argument("--fps", type=float, default=24.0)
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     if args.animate > 0:
         import os
         from ..scene.gltf import load_gltf

@@ -10,6 +10,8 @@ and hits come back to world space — the motion-transform traversal stack
 from __future__ import annotations
 
 import argparse
+
+from ._cli import parse_dim
 import functools
 import math
 
@@ -77,7 +79,7 @@ def main(argv=None):
     p.add_argument("--dim", default="512x512")
     p.add_argument("--samples", type=int, default=32)
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum, film = render(w, h, samples=args.samples)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
     print(f"wrote {args.file} ({int(film.subframe)} time samples)")

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import jax
 import numpy as np
 
@@ -78,7 +80,7 @@ def main(argv=None):
                         "JAX_COORDINATOR_ADDRESS/_NUM_PROCESSES/_PROCESS_ID"
                         "; single-process it degenerates to one slice)")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     if args.multihost:
         accum, film, info = render_multihost(
             w, h, samples=args.samples, sample_shards=args.sample_shards)

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import numpy as np
 
 from ..accel.micromap import (OPAQUE, TRANSPARENT, UNKNOWN_OPAQUE,
@@ -83,7 +85,7 @@ def main(argv=None):
     p.add_argument("--level", type=int, default=3)
     p.add_argument("--samples", type=int, default=16)
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum, stats = render(w, h, samples=args.samples, level=args.level)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
     print(f"wrote {args.file}; micromap level {args.level}: "

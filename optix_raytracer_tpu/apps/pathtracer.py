@@ -7,6 +7,8 @@ progressive accumulation buffer, `--file` headless mode and
 from __future__ import annotations
 
 import argparse
+
+from ._cli import parse_dim
 import time
 
 import jax
@@ -48,7 +50,7 @@ def main(argv=None):
                    help="run the AI-denoiser stage with albedo/normal guides "
                         "(the optixDenoiser post-pass)")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
 
     t0 = time.time()
     accum, film = render(w, h, samples=args.samples, max_depth=args.depth,

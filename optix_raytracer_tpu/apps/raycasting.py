@@ -12,6 +12,8 @@ and "two streams" is XLA's async dispatch of two independent launches.
 from __future__ import annotations
 
 import argparse
+
+from ._cli import parse_dim
 import functools
 
 import jax
@@ -77,7 +79,7 @@ def main(argv=None):
                    help="time serialized vs async-dispatched launches "
                         "(the two-CUDA-streams analogue)")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
 
     if args.model:
         from ..scene.scene import Scene

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import numpy as np
 
 from ..accel import curves as cv, primitives as prim
@@ -72,7 +74,7 @@ def main(argv=None):
     p.add_argument("--dim", default="512x512")
     p.add_argument("--samples", type=int, default=8)
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum, film = render(w, h, samples=args.samples)
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
     print(f"wrote {args.file}")

@@ -7,6 +7,8 @@ sample, blur accumulates progressively.
 from __future__ import annotations
 
 import argparse
+
+from ._cli import parse_dim
 import functools
 
 import jax
@@ -116,7 +118,7 @@ def main(argv=None):
                    help="trace the motion GAS through the main path "
                         "tracer (per-path shutter times)")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     if args.engine:
         accum, film = render_engine(w, h, samples=args.samples)
         save_image(args.file, np.asarray(film_mod.make_color(accum)))

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,7 +45,7 @@ def main(argv=None):
     p.add_argument("--file", default="sphere.png")
     p.add_argument("--dim", default="768x768")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     save_image(args.file, np.asarray(render(w, h)))
     print(f"wrote {args.file} ({w}x{h})")
 

@@ -16,6 +16,8 @@ Checkpoint/resume: --checkpoint saves on exit, --resume continues.
 from __future__ import annotations
 
 import argparse
+
+from ._cli import parse_dim
 import time
 
 import numpy as np
@@ -177,7 +179,7 @@ def main(argv=None):
                    help="write render state here on exit")
     p.add_argument("--resume", default=None, help="resume from a checkpoint")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
 
     scene, camera, integrator = build(args, w, h)
     viewer = TracerViewer(scene, camera, w, h, integrator=integrator,

@@ -9,6 +9,8 @@ composited over a diffuse floor.
 from __future__ import annotations
 
 import argparse
+
+from ._cli import parse_dim
 import functools
 
 import jax
@@ -108,7 +110,7 @@ def main(argv=None):
                    help="render a mesh+volume Cornell through the main "
                         "path tracer (transmittance-weighted NEE)")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     if args.engine:
         accum, film = render_engine(w, h, samples=args.samples,
                                     res=min(args.res, 64))

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import argparse
 
+from ._cli import parse_dim
+
 import numpy as np
 
 from ..core import film as film_mod
@@ -37,7 +39,7 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=6)
     p.add_argument("--ascii", action="store_true")
     args = p.parse_args(argv)
-    w, h = (int(v) for v in args.dim.split("x"))
+    w, h = parse_dim(args.dim)
     accum, film = render(w, h, samples=args.samples, max_depth=args.depth)
     img = np.asarray(film_mod.make_color(accum))
     save_image(args.file, img)

@@ -35,6 +35,11 @@ WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights",
 # OPTIX_DENOISER_MODEL_KIND_UPSCALE2X role, optix_types.h:1609-1635).
 UPSCALE_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights",
                                     "kpcnn_up2x.npz")
+# Temporal weights: 13-channel input (the 10 spatial features + 3 channels
+# of flow-reprojected previous-output log-irradiance) — the
+# OPTIX_DENOISER_MODEL_KIND_TEMPORAL role.
+TEMPORAL_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights",
+                                     "kpcnn_temporal.npz")
 
 
 def upsample2x_bilinear(img):
@@ -80,8 +85,12 @@ def _up(x):
     return x.reshape(n, h * 2, w * 2, c)
 
 
-def init_params(rng) -> dict:
-    """He-initialized parameter pytree (dict of arrays)."""
+def init_params(rng, cin: int = 10) -> dict:
+    """He-initialized parameter pytree (dict of arrays).
+
+    cin: input feature channels — 10 spatial (log-irradiance 3, albedo 3,
+    normal 3, local variance 1), 13 for the temporal variant (+3 of
+    reprojected-history log-irradiance)."""
     params = {}
     keys = jax.random.split(rng, 16)
     ki = iter(keys)
@@ -92,7 +101,6 @@ def init_params(rng) -> dict:
                                    jnp.float32)
         params[name + "_b"] = jnp.zeros((cout,), jnp.float32)
 
-    cin = 10                     # log-irradiance(3) albedo(3) normal(3) var(1)
     add("in0", cin, _ENC[0][1])
     prev = _ENC[0][1]
     for name, ch in _ENC:
@@ -143,8 +151,12 @@ def apply_kernel(logits, img):
     return acc
 
 
-def _features(beauty, albedo, normal):
-    """Network input features + the demodulated irradiance to filter."""
+def _features(beauty, albedo, normal, history=None):
+    """Network input features + the demodulated irradiance to filter.
+
+    history: optional [N, H, W, 3] flow-reprojected previous output
+    (radiance) — appended as 3 demodulated log-irradiance channels for
+    the temporal variant."""
     irr = beauty / (albedo + _EPS)                       # demodulate texture
     log_irr = jnp.log1p(irr)
     lum = (0.2126 * beauty[..., 0] + 0.7152 * beauty[..., 1]
@@ -155,13 +167,17 @@ def _features(beauty, albedo, normal):
     mean2 = jax.lax.reduce_window(
         lum * lum, 0.0, jax.lax.add, (1, 3, 3), (1, 1, 1), "SAME") / 9.0
     var = jnp.sqrt(jnp.maximum(mean2 - mean * mean, 0.0))
-    feats = jnp.concatenate(
-        [log_irr, albedo, normal, var[..., None]], axis=-1)
+    parts = [log_irr, albedo, normal, var[..., None]]
+    if history is not None:
+        parts.append(jnp.log1p(jnp.maximum(history, 0.0)
+                               / (albedo + _EPS)))
+    feats = jnp.concatenate(parts, axis=-1)
     return feats, irr
 
 
 @jax.jit
-def denoise_kp(params, beauty, albedo=None, normal=None, emission=None):
+def denoise_kp(params, beauty, albedo=None, normal=None, emission=None,
+               history=None):
     """Denoise [H, W, 3] (or [N, H, W, 3]) HDR beauty with guide layers.
 
     Albedo/normal default to neutral guides when a caller has no AOVs
@@ -178,12 +194,15 @@ def denoise_kp(params, beauty, albedo=None, normal=None, emission=None):
         albedo = None if albedo is None else albedo[None]
         normal = None if normal is None else normal[None]
         emission = None if emission is None else emission[None]
+        history = None if history is None else history[None]
     if albedo is None:
         albedo = jnp.ones_like(beauty)
     if normal is None:
         normal = jnp.zeros_like(beauty)
     if emission is not None:
         beauty = jnp.maximum(beauty - emission, 0.0)
+        if history is not None:
+            history = jnp.maximum(history - emission, 0.0)
     h, w = beauty.shape[1], beauty.shape[2]
     # pad to a multiple of 4 (two downsamples)
     ph = (-h) % 4
@@ -191,8 +210,10 @@ def denoise_kp(params, beauty, albedo=None, normal=None, emission=None):
     pad = lambda x: jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
                             mode="edge")
     beauty_p, albedo_p, normal_p = pad(beauty), pad(albedo), pad(normal)
+    history_p = None if history is None else pad(history)
 
-    feats, irr = _features(beauty_p, albedo_p, normal_p)
+    feats, irr = _features(beauty_p, albedo_p, normal_p,
+                           history=history_p)
     logits = apply_net(params, feats)
     filtered = apply_kernel(logits, irr)
     out = filtered * (albedo_p + _EPS)                   # remodulate
@@ -235,3 +256,7 @@ def has_weights() -> bool:
 
 def has_upscale_weights() -> bool:
     return os.path.exists(UPSCALE_WEIGHTS_PATH)
+
+
+def has_temporal_weights() -> bool:
+    return os.path.exists(TEMPORAL_WEIGHTS_PATH)

@@ -163,3 +163,41 @@ class TestUpscale2x:
         out = d.invoke(lr, albedo=alb, normal=nrm)
         assert out.shape == (64, 64, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTemporalKP:
+    def test_temporal_net_plumbing(self):
+        # 13-channel net with a history input: shapes + finiteness + the
+        # history channel actually influences the output
+        import jax
+        from optix_raytracer_tpu.denoise import kpcnn
+        rng = np.random.default_rng(2)
+        params = kpcnn.init_params(jax.random.PRNGKey(1), cin=13)
+        noisy = jnp.asarray(rng.uniform(0, 2, (32, 32, 3)).astype(np.float32))
+        alb = jnp.asarray(rng.uniform(0.2, 1, (32, 32, 3)).astype(np.float32))
+        nrm = jnp.zeros((32, 32, 3), jnp.float32)
+        h0 = jnp.zeros((32, 32, 3), jnp.float32)
+        h1 = jnp.asarray(rng.uniform(0, 2, (32, 32, 3)).astype(np.float32))
+        o0 = kpcnn.denoise_kp(params, noisy, alb, nrm, history=h0)
+        o1 = kpcnn.denoise_kp(params, noisy, alb, nrm, history=h1)
+        assert o0.shape == (32, 32, 3)
+        assert np.isfinite(np.asarray(o0)).all()
+        assert float(jnp.abs(o0 - o1).max()) > 0.0
+
+    def test_api_temporal_with_trained_weights(self):
+        from optix_raytracer_tpu.denoise import kpcnn
+        if not kpcnn.has_temporal_weights():
+            pytest.skip("temporal weights not trained yet")
+        from optix_raytracer_tpu.api.denoiser import Denoiser, ModelKind
+        rng = np.random.default_rng(3)
+        cur = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+        prev = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+        fl = jnp.zeros((32, 32, 2), jnp.float32)
+        d = Denoiser(model_kind=ModelKind.TEMPORAL, backend="kpcnn",
+                     guide_albedo=True, guide_normal=True)
+        d.setup(32, 32)
+        out = d.invoke(cur, albedo=jnp.ones_like(cur),
+                       normal=jnp.zeros_like(cur),
+                       previous_output=prev, flow=fl)
+        assert out.shape == (32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()

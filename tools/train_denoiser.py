@@ -109,13 +109,17 @@ def random_scene(rng: np.random.Generator):
     return make_device_scene(verts, idx, tri_mat, mats, area_light=light)
 
 
-def random_camera(rng: np.random.Generator, w, h):
+def random_camera_obj(rng: np.random.Generator, w, h):
     from optix_raytracer_tpu.core.camera import Camera
     eye = (278 + rng.uniform(-120, 120), 273 + rng.uniform(-120, 120),
            -900 + rng.uniform(-100, 300))
     lookat = (278 + rng.uniform(-80, 80), 273 + rng.uniform(-80, 80), 330)
     return Camera(eye=eye, lookat=lookat, up=(0, 1, 0),
-                  fov_y=float(rng.uniform(28, 45)), aspect=w / h).params()
+                  fov_y=float(rng.uniform(28, 45)), aspect=w / h)
+
+
+def random_camera(rng: np.random.Generator, w, h):
+    return random_camera_obj(rng, w, h).params()
 
 
 def render_dataset(n_scenes: int, seed: int = 0,
@@ -166,6 +170,59 @@ def render_dataset(n_scenes: int, seed: int = 0,
             emission=np.asarray(aovs["emission"], np.float16))
         print(f"[{i+1}/{n_scenes}] spp={spp} {time.time()-t0:.1f}s",
               flush=True)
+
+
+def add_temporal_history(n_scenes: int, seed: int = 0,
+                         old_spp_until: int = 120, prev_spp: int = 128):
+    """Add a temporal 'history' layer to each dataset file: render the
+    SAME scene from a slightly moved camera (the previous frame), compute
+    optical flow previous->current against the noisy current frame
+    (matching inference conditions), and store the flow-warped previous
+    render. Replays the generator RNG stream like upgrade_emission_aovs."""
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.core.camera import Camera
+    from optix_raytracer_tpu.core.film import Film
+    from optix_raytracer_tpu.denoise.atrous import warp_by_flow
+    from optix_raytracer_tpu.denoise.flow import optical_flow
+    from optix_raytracer_tpu.wavefront.engine import render_accumulate
+
+    rng = np.random.default_rng(seed)
+    for i in range(n_scenes):
+        scene = random_scene(rng)
+        cam_obj = random_camera_obj(rng, RES, RES)
+        spp_pop = ((1, 2, 4, 8) if i < old_spp_until
+                   else (1, 2, 4, 8, 16, 32, 64))
+        rng.choice(spp_pop)
+        path = os.path.join(DATA, f"scene_{i:04d}.npz")
+        if not os.path.exists(path):
+            continue
+        d = dict(np.load(path))
+        if "history" in d:
+            continue
+        t0 = time.time()
+        # deterministic small camera move (not from the replay stream!)
+        js = np.random.default_rng(10_000 + i)
+        eye = np.asarray(cam_obj.eye, np.float32)
+        lookat = np.asarray(cam_obj.lookat, np.float32)
+        offset = js.normal(size=3).astype(np.float32)
+        offset /= max(np.linalg.norm(offset), 1e-6)
+        step = 0.02 * float(np.linalg.norm(lookat - eye))
+        prev_cam = Camera(eye=tuple(eye + step * offset),
+                          lookat=tuple(lookat), up=(0, 1, 0),
+                          fov_y=cam_obj.fov_y, aspect=cam_obj.aspect)
+        film = Film.create(RES, RES)
+        film, _ = render_accumulate(scene, prev_cam.params(), film, RES,
+                                    RES, samples_per_launch=prev_spp,
+                                    max_depth=4)
+        prev = np.asarray(film.accum, np.float32)
+        noisy = np.asarray(d["noisy"], np.float32)
+        fl = optical_flow(jnp.asarray(prev), jnp.asarray(noisy))
+        hist = np.asarray(warp_by_flow(jnp.asarray(prev), fl), np.float32)
+        d["history"] = hist.astype(np.float16)
+        np.savez_compressed(path, **d)
+        if (i + 1) % 24 == 0:
+            print(f"history {i+1}/{n_scenes} ({time.time()-t0:.1f}s/scene)",
+                  flush=True)
 
 
 def upgrade_emission_aovs(n_scenes: int, seed: int = 0,
@@ -219,7 +276,8 @@ def load_dataset():
 
 
 def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
-          seed: int = 0, val_frac: float = 0.1, upscale: bool = False):
+          seed: int = 0, val_frac: float = 0.1, upscale: bool = False,
+          temporal: bool = False):
     """upscale=True trains the UPSCALE2X weights: the input is the noisy
     image box-downsampled 2x then bilinear-lifted back (simulating a
     half-res render), guides stay full-res; saved to kpcnn_up2x.npz."""
@@ -241,7 +299,8 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
     print(f"dataset: {len(trainset)} train / {n_val} val scenes")
 
     rng = np.random.default_rng(seed)
-    params = kpcnn.init_params(jax.random.PRNGKey(seed))
+    params = kpcnn.init_params(jax.random.PRNGKey(seed),
+                               cin=13 if temporal else 10)
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
     opt = optax.adam(sched)
     opt_state = opt.init(params)
@@ -249,11 +308,12 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
     def tonemap(x):
         return jnp.log1p(jnp.maximum(x, 0.0))
 
-    def loss_fn(params, noisy, albedo, normal, emission, clean):
+    def loss_fn(params, noisy, albedo, normal, emission, history, clean):
         if upscale:
             noisy = degrade(noisy)
         out = kpcnn.denoise_kp(params, noisy, albedo, normal,
-                               emission=emission)
+                               emission=emission,
+                               history=history if temporal else None)
         lt = jnp.abs(tonemap(out) - tonemap(clean))
         gy = jnp.abs(jnp.diff(tonemap(out), axis=1)
                      - jnp.diff(tonemap(clean), axis=1))
@@ -262,14 +322,16 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
         return jnp.mean(lt) + 0.5 * (jnp.mean(gx) + jnp.mean(gy))
 
     @jax.jit
-    def step(params, opt_state, noisy, albedo, normal, emission, clean):
+    def step(params, opt_state, noisy, albedo, normal, emission, history,
+             clean):
         loss, grads = jax.value_and_grad(loss_fn)(params, noisy, albedo,
-                                                  normal, emission, clean)
+                                                  normal, emission, history,
+                                                  clean)
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
     def sample_batch(ds):
-        ns, als, nms, ems, cls_ = [], [], [], [], []
+        ns, als, nms, ems, hs, cls_ = [], [], [], [], [], []
         for _ in range(batch):
             s = ds[rng.integers(len(ds))]
             y = rng.integers(0, RES - PATCH + 1)
@@ -279,17 +341,19 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
             als.append(s["albedo"][sl])
             nms.append(s["normal"][sl])
             ems.append(s.get("emission", np.zeros_like(s["noisy"]))[sl])
+            hs.append(s.get("history", np.zeros_like(s["noisy"]))[sl])
             cls_.append(s["clean"][sl])
         return (jnp.asarray(np.stack(ns)), jnp.asarray(np.stack(als)),
                 jnp.asarray(np.stack(nms)), jnp.asarray(np.stack(ems)),
-                jnp.asarray(np.stack(cls_)))
+                jnp.asarray(np.stack(hs)), jnp.asarray(np.stack(cls_)))
 
     @jax.jit
-    def val_mse(params, noisy, albedo, normal, emission, clean):
+    def val_mse(params, noisy, albedo, normal, emission, history, clean):
         if upscale:
             noisy = degrade(noisy)
         out = kpcnn.denoise_kp(params, noisy, albedo, normal,
-                               emission=emission)
+                               emission=emission,
+                               history=history if temporal else None)
         return (jnp.mean((tonemap(out) - tonemap(clean)) ** 2),
                 jnp.mean((tonemap(noisy) - tonemap(clean)) ** 2))
 
@@ -301,17 +365,21 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
             vm, nm = 0.0, 0.0
             for s in val:
                 em = s.get("emission", np.zeros_like(s["noisy"]))
+                hi = s.get("history", np.zeros_like(s["noisy"]))
                 a, b_ = val_mse(params, jnp.asarray(s["noisy"][None]),
                                 jnp.asarray(s["albedo"][None]),
                                 jnp.asarray(s["normal"][None]),
                                 jnp.asarray(em[None]),
+                                jnp.asarray(hi[None]),
                                 jnp.asarray(s["clean"][None]))
                 vm += float(a); nm += float(b_)
             print(f"step {i+1}: loss={float(loss):.4f} "
                   f"val_mse={vm/len(val):.5f} noisy_mse={nm/len(val):.5f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
 
-    path = kpcnn.UPSCALE_WEIGHTS_PATH if upscale else kpcnn.WEIGHTS_PATH
+    path = (kpcnn.UPSCALE_WEIGHTS_PATH if upscale
+            else kpcnn.TEMPORAL_WEIGHTS_PATH if temporal
+            else kpcnn.WEIGHTS_PATH)
     kpcnn.save_params(params, path)
     print("saved", path)
 
@@ -328,15 +396,24 @@ def main(argv=None):
                          "dataset files that predate them")
     ap.add_argument("--upscale", action="store_true",
                     help="train the 2x-upscale weights (kpcnn_up2x.npz)")
+    ap.add_argument("--temporal", action="store_true",
+                    help="train the temporal weights (kpcnn_temporal.npz; "
+                         "needs --add-history first)")
+    ap.add_argument("--add-history", action="store_true",
+                    help="render+warp previous frames into the dataset")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
     if args.upgrade_emission:
         upgrade_emission_aovs(args.scenes, seed=args.seed)
+    if args.add_history:
+        add_temporal_history(args.scenes, seed=args.seed)
+        return
     if not args.train_only and not args.upgrade_emission:
         render_dataset(args.scenes, seed=args.seed,
                        clean_spp=args.clean_spp)
     if not args.render_only:
-        train(steps=args.steps, seed=args.seed, upscale=args.upscale)
+        train(steps=args.steps, seed=args.seed, upscale=args.upscale,
+              temporal=args.temporal)
 
 
 if __name__ == "__main__":
