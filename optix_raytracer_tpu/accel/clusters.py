@@ -192,48 +192,86 @@ def _pair_test(blk, ox, oy, oz, dx, dy, dz):
 # Stage 1: block-level culling (pure XLA)
 # ---------------------------------------------------------------------------
 
-def _exact_block_cull(cl: "ClusterSet", packed, n_blocks, c_pad):
-    """EXACT per-ray slab test, unioned per sub-block.
+def _exact_cull_kernel(rays_ref, aabb_ref, tn_out):
+    """EXACT per-ray slab cull, unioned per sub-block — Pallas.
 
     The interval cull below is conservative over a whole 256-ray bundle,
     and its looseness is the dominant traversal cost on SCATTERED rays:
     measured on the 25k-knot diffuse-bounce wavefront it lists ~60
     clusters per live block where the exact per-ray union is ~33, and on
     the NEE shadow wavefront ~42 where the exact union is ~9. Testing
-    every (ray, cluster) pair exactly costs ~25 VPU ops per pair — for
-    VMEM-resident scenes (<= 1024 clusters) that's cheaper than walking
-    the phantom clusters. Tile-coherent primaries are the opposite case
-    (interval lists are already ~2 clusters/block there, and the exact
-    test measured 58.3 -> 41.8 Mrays/s on knot25k primaries), so callers
-    pick per wavefront via the `exact` flag.
+    every (ray, cluster) pair exactly costs ~30 VPU ops per pair — for
+    VMEM-resident scenes (<= 1024 clusters) that's far cheaper than
+    walking the phantom clusters, and a whole-dead sub-block (every lane
+    window empty — the terminated-path tail of a sorted bounce wavefront)
+    skips all testing. Tile-coherent primaries keep the cheap interval
+    cull (their lists are already ~2 clusters/block); callers pick per
+    wavefront via the `exact` flag.
 
-    Returns (mask [n_blocks, c_pad] bool, tnear [n_blocks, c_pad] f32)
-    where tnear is the min entry distance over the block's crossing rays
-    (a valid per-ray lower bound for the walk's front-to-back exit).
+    rays_ref: (SUPER, 8) VMEM. aabb_ref: (c_rows, 6, 128) VMEM.
+    tn_out: (GROUPS, c_pad) f32 — min entry distance over the block's
+    crossing rays (a valid lower bound for the walk's front-to-back
+    exit), _BIG where no ray in the block crosses the cluster.
     """
-    blk = packed.reshape(n_blocks, SUB, 8)
-    ab = cl.aabb.transpose(0, 2, 1).reshape(-1, 6)      # [c_pad, 6]
-    lo = ab[None, None, :, 0:3]                          # [1, 1, C, 3]
-    hi = ab[None, None, :, 3:6]
+    c_rows = aabb_ref.shape[0]
+    for g in range(GROUPS):
+        a = rays_ref[g * SUB:(g + 1) * SUB, :]           # (SUB, 8)
+        tmin, tmax = a[:, 6:7], a[:, 7:8]                # (SUB, 1)
+        live = tmax > tmin
+        any_live = jnp.max(live.astype(jnp.float32))
 
-    o = blk[:, :, None, 0:3]                             # [B, S, 1, 3]
-    d = blk[:, :, 3:6]
-    # Finite pseudo-inverse for near-zero components: +-1e12 keeps the
-    # products finite-or-inf (never NaN) and degenerates to the correct
-    # "inside slab -> pass, outside -> fail" behavior.
-    inv = jnp.where(jnp.abs(d) > _DEGEN_EPS, 1.0 / d,
-                    jnp.where(d < 0, -1e12, 1e12))[:, :, None, :]
-    t0 = (lo - o) * inv                                  # [B, S, C, 3]
-    t1 = (hi - o) * inv
-    tn = jnp.max(jnp.minimum(t0, t1), axis=3)            # [B, S, C]
-    tf = jnp.min(jnp.maximum(t0, t1), axis=3)
-    tmin = blk[:, :, 6:7]                                # [B, S, 1]
-    tmax = blk[:, :, 7:8]
-    cross = ((jnp.maximum(tn, tmin) <= jnp.minimum(tf, tmax))
-             & (tmax > tmin))
-    mask = jnp.any(cross, axis=1)                        # [B, C]
-    tnear = jnp.min(jnp.where(cross, jnp.maximum(tn, 0.0), _BIG), axis=1)
-    return mask, jnp.where(mask, tnear, 0.0)
+        @pl.when(any_live == 0.0)
+        def _(g=g):
+            tn_out[g:g + 1, :] = jnp.full((1, tn_out.shape[1]), _BIG,
+                                          jnp.float32)
+
+        @pl.when(any_live > 0.0)
+        def _(g=g, a=a, tmin=tmin, tmax=tmax, live=live):
+            # Finite pseudo-inverse for near-zero components: +-1e12
+            # keeps products finite-or-inf (never NaN) and degenerates to
+            # the correct inside-slab-pass behavior.
+            invs = []
+            for ax in range(3):
+                d = a[:, 3 + ax:4 + ax]                  # (SUB, 1)
+                invs.append(jnp.where(
+                    jnp.abs(d) > _DEGEN_EPS, 1.0 / d,
+                    jnp.where(d < 0, -1e12, 1e12)))
+            for cr in range(c_rows):
+                ab = aabb_ref[cr]                        # (6, 128)
+                tn = jnp.full((SUB, LANES), -_BIG, jnp.float32)
+                tf = jnp.full((SUB, LANES), _BIG, jnp.float32)
+                for ax in range(3):
+                    o = a[:, ax:ax + 1]                  # (SUB, 1)
+                    t0 = (ab[ax:ax + 1, :] - o) * invs[ax]
+                    t1 = (ab[ax + 3:ax + 4, :] - o) * invs[ax]
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                cross = ((jnp.maximum(tn, tmin) <= jnp.minimum(tf, tmax))
+                         & live)
+                tnb = jnp.min(
+                    jnp.where(cross, jnp.maximum(tn, 0.0), _BIG),
+                    axis=0, keepdims=True)               # (1, 128)
+                tn_out[g:g + 1, cr * LANES:(cr + 1) * LANES] = tnb
+
+
+def _exact_block_cull(cl: "ClusterSet", packed, n_blocks, c_pad,
+                      interpret=False):
+    """Run the exact per-ray cull kernel. Returns (mask [n_blocks, c_pad]
+    bool, tnear [n_blocks, c_pad] f32)."""
+    n_super = n_blocks // GROUPS
+    tn = pl.pallas_call(
+        _exact_cull_kernel,
+        grid=(n_super,),
+        in_specs=[pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((GROUPS, c_pad), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, c_pad), jnp.float32),
+        interpret=interpret,
+    )(packed, cl.aabb)
+    mask = tn < _BIG
+    return mask, jnp.where(mask, tn, 0.0)
 
 
 def _block_cull(cl: "ClusterSet", packed, n_blocks, c_pad):
@@ -500,7 +538,7 @@ def _any_kernel_stream(count_ref, list_ref, tnear_ref, comp_hbm, rays_ref,
             # this a single dead lane forces the full-list walk.
             dead = (a[:, 7:8] <= a[:, 6:7]).astype(jnp.int32)  # (SUB, 1)
             occ_s[...] = dead
-            tmax_live = jnp.max(jnp.where(dead > 0, 0.0, a[:, 7:8]))
+            tmax_col = a[:, 7:8]
             c_pad = list_ref.shape[2]
 
             def dma(k):
@@ -531,8 +569,11 @@ def _any_kernel_stream(count_ref, list_ref, tnear_ref, comp_hbm, rays_ref,
 
             def cond(k):
                 tn = tnear_ref[0, g, jnp.minimum(k, c_pad - 1)]
+                # Shrinking front-to-back bound over unresolved lanes (see
+                # _any_kernel's cond).
+                bound = jnp.max(jnp.where(occ_s[...] > 0, 0.0, tmax_col))
                 return ((k < count) & (jnp.min(occ_s[...]) == 0)
-                        & (tn <= tmax_live))
+                        & (tn <= bound))
 
             kf = jax.lax.while_loop(cond, body, jnp.int32(0))
 
@@ -572,10 +613,7 @@ def _any_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
                       & (tt > tmin) & (tt < tmax))
                 return jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True)
 
-            # Front-to-back t-bound: clusters whose entry distance exceeds
-            # every live ray's tmax cannot occlude anything — for shadow
-            # rays this prunes the scene beyond the light.
-            tmax_live = jnp.max(jnp.where(dead > 0, 0.0, a[:, 7:8]))
+            tmax_col = a[:, 7:8]
 
             def body(state):
                 k, occ = state
@@ -588,8 +626,14 @@ def _any_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
                 k, occ = state
                 tn = tnear_ref[0, g, jnp.minimum(k, c_pad - 1)]
                 # Exit once every live ray is occluded, or no remaining
-                # cluster can intersect any live window.
-                return (k < count) & (jnp.min(occ) == 0) & (tn <= tmax_live)
+                # cluster can reach a still-unoccluded ray's window: the
+                # front-to-back bound shrinks as lanes resolve (a lane is
+                # resolved when occluded OR when tn passes its tmax), so
+                # unoccluded shadow rays stop at the light, not the scene —
+                # the terminate-on-first-hit role of the reference's
+                # occlusion rays (`optixPathTracer.cu:394-400`).
+                bound = jnp.max(jnp.where(occ > 0, 0.0, tmax_col))
+                return (k < count) & (jnp.min(occ) == 0) & (tn <= bound)
 
             _, occ = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), dead))
@@ -621,10 +665,10 @@ def _cull(cl: ClusterSet, packed, n_super, c_pad, interpret, exact=False):
     exact=True runs the per-ray slab cull — the right choice for
     scattered wavefronts (bounce/shadow rays), where interval looseness
     dominates the walk; coherent tile-ordered primaries keep the cheap
-    interval cull (see _exact_block_cull's tradeoff note)."""
-    del interpret  # pure XLA — interpret only affects the pallas kernels
+    interval cull (see _exact_cull_kernel's tradeoff note)."""
     if exact and c_pad <= MAX_CLUSTERS:
-        mask, tnear = _exact_block_cull(cl, packed, n_super * GROUPS, c_pad)
+        mask, tnear = _exact_block_cull(cl, packed, n_super * GROUPS, c_pad,
+                                        interpret=interpret)
     else:
         # Streaming regime: O(rays x clusters) exact testing is too much
         # at 4k+ clusters — the interval cull stays.
@@ -821,7 +865,7 @@ def any_hit_sorted(cl: ClusterSet, rays: Rays, interpret: bool = False):
     n_padded = -(-n // SUPER) * SUPER
     packed = _pack_rays(rays, n_padded)
     perm = _sorted_perm(cl, rays, n_padded)
-    occ = _any_core(cl, packed[perm], interpret)
+    occ = _any_core(cl, packed[perm], interpret, exact=True)
     return occ[jnp.argsort(perm)][:n] != 0
 
 
@@ -846,7 +890,7 @@ def traversal_stats(cl: ClusterSet, rays: Rays, interpret: bool = False):
     }
 
 
-def _any_core(cl: ClusterSet, packed, interpret):
+def _any_core(cl: ClusterSet, packed, interpret, exact=False):
     """Cull + occlusion walk over packed rays → i32 [n_padded] (0/1),
     empty-block live-masking already applied."""
     n_padded = packed.shape[0]
@@ -854,7 +898,7 @@ def _any_core(cl: ClusterSet, packed, interpret):
     c_pad = cl.num_rows * LANES
 
     counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
-                                        interpret)
+                                        interpret, exact=exact)
 
     stream = cl.num_clusters > MAX_CLUSTERS
     if stream:
@@ -889,10 +933,15 @@ def _any_core(cl: ClusterSet, packed, interpret):
     return jnp.where(live, occ[0], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False):
-    """Occlusion query through the cluster structure → bool [N]."""
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
+            exact: bool = False):
+    """Occlusion query through the cluster structure → bool [N].
+
+    Pass exact=True for scattered or mixed-liveness wavefronts (NEE
+    shadow rays): the exact cull's per-ray union lists ~4x fewer clusters
+    than the interval cull there (see _exact_cull_kernel)."""
     n = rays.tmin.shape[0]
     n_padded = -(-n // SUPER) * SUPER
     packed = _pack_rays(rays, n_padded)
-    return _any_core(cl, packed, interpret)[:n] != 0
+    return _any_core(cl, packed, interpret, exact=exact)[:n] != 0
