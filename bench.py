@@ -68,24 +68,41 @@ def bench_large_mesh():
     sync(hits.t)
     out["knot25k_closest_mrays"] = round(3 * n / (time.time() - t0) / 1e6, 1)
 
+    # Any-hit on the IDENTICAL primary wavefront: the direct occlusion-vs-
+    # closest comparison (reference semantics: occlusion rays terminate on
+    # first hit, `optixPathTracer.cu:394-400`, so any-hit must beat
+    # closest-hit on the same rays).
+    # Same cull policy as the closest-hit bench above (interval — the
+    # coherent all-live wavefront is its domain), so the delta is purely
+    # the occlusion walk's first-hit exit.
+    occ = cl.any_hit(cs, flat)
+    sync(occ)
+    t0 = time.time()
+    for _ in range(3):
+        occ = cl.any_hit(cs, flat)
+    sync(occ)
+    out["knot25k_anyhit_mrays"] = round(3 * n / (time.time() - t0) / 1e6, 1)
+
     p = flat.origin + flat.direction * hits.t[:, None] * 0.999
     lp = jnp.asarray([0.0, 8.0, 0.0])
     d = lp - p
     dist = jnp.linalg.norm(d, axis=1, keepdims=True)
-    # Engine-honest shadow wavefront: lanes whose primaries missed get an
-    # empty window (the NEE mask in wavefront/engine.py does the same), so
-    # throughput counts real shadow rays, not no-op background lanes.
+    # Engine-honest NEE shadow wavefront: lanes whose primaries missed get
+    # an empty window (the NEE mask in wavefront/engine.py does the same),
+    # and throughput counts only the LIVE shadow rays — the fixed per-call
+    # cost is carried by 2M lanes but amortized over the ~16% live ones,
+    # exactly as in a real launch.
     sh = Rays(origin=p, direction=d / dist,
               tmin=jnp.full((n,), 1e-3, jnp.float32),
               tmax=jnp.where(hits.valid, dist[:, 0] * 0.999, 0.0))
     n_live = float(jnp.sum(hits.valid.astype(jnp.float32)))
-    occ = cl.any_hit(cs, sh)
+    occ = cl.any_hit(cs, sh, exact=True)
     sync(occ)
     t0 = time.time()
     for _ in range(3):
-        occ = cl.any_hit(cs, sh)
+        occ = cl.any_hit(cs, sh, exact=True)
     sync(occ)
-    out["knot25k_anyhit_mrays"] = round(3 * n_live / (time.time() - t0)
+    out["knot25k_shadow_mrays"] = round(3 * n_live / (time.time() - t0)
                                         / 1e6, 1)
     out["knot25k_tris"] = int(geom.num_triangles)
     stats = cl.traversal_stats(cs, flat)

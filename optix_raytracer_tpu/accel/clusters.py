@@ -70,12 +70,17 @@ _BIG = 3.0e38
 class ClusterSet:
     """Triangle clusters in pair-test layout.
 
-    comp:      [C, 24, 128] f32 — per-slot constants as rows:
+    comp:      [C, 32, 128] f32 — per-slot constants as rows:
                0-8 m_inv, 9-11 offset, 12-14 unit face normal, 15 pad,
                16 original prim id (f32, exact below 2^24; -1 = padding),
-               17 material id (f32), 18-23 pad. Normals/ids are baked in
-               so the kernel emits complete hits with ZERO XLA gathers —
-               per-ray gathers cost more than the whole traversal.
+               17 material id (f32), 18-20 corner-0 shading normal,
+               21-23 corner-1 minus corner-0, 24-26 corner-2 minus
+               corner-0, 27-31 pad. Normals/ids are baked in so the
+               kernel emits complete hits with ZERO XLA gathers — per-ray
+               gathers cost more than the whole traversal; the shading
+               normal is barycentric-interpolated IN-KERNEL (for unsmooth
+               meshes the corner deltas are zero, so the emitted normal
+               is exactly the face normal).
     aabb:      [C_rows, 6, 128] f32 — cluster AABBs, 128 clusters per row
                (rows: lox loy loz hix hiy hiz); padding clusters inverted
     slot_prim: [C*128] i32 — original triangle id per slot (-1 = padding)
@@ -91,7 +96,7 @@ class ClusterSet:
 
     @classmethod
     def empty(cls):
-        return cls(comp=jnp.zeros((0, 24, LANES), jnp.float32),
+        return cls(comp=jnp.zeros((0, 32, LANES), jnp.float32),
                    aabb=jnp.zeros((0, 6, LANES), jnp.float32),
                    slot_prim=jnp.zeros((0,), jnp.int32),
                    num_clusters=0)
@@ -138,9 +143,17 @@ def build_clusters(geom: TriangleGeometry, tri_mat=None,
         slot_prim.astype(jnp.float32),
         jnp.where(slot_prim >= 0, mat.astype(jnp.float32), -1.0),
     ], axis=1)                                             # [n_slots, 2]
+    # Corner shading normals in (n0, n1-n0, n2-n0) form: the walk kernel
+    # interpolates n = n0 + u*d10 + v*d20 per pair, so smooth meshes get
+    # shading normals with zero epilogue gathers (the shading_frame role
+    # for untextured scenes; `whitted.cu:160-168` normal interpolation).
+    cn = geom.corner_normal[safe] * live[:, None, None]    # [n_slots, 3, 3]
+    nrows = jnp.concatenate(
+        [cn[:, 0], cn[:, 1] - cn[:, 0], cn[:, 2] - cn[:, 0]], axis=1)
     allc = jnp.concatenate(
-        [consts, extra, jnp.zeros((n_slots, 6), jnp.float32)], axis=1)
-    comp = allc.reshape(c, LANES, 24).transpose(0, 2, 1)   # [C, 24, 128]
+        [consts, extra, nrows, jnp.zeros((n_slots, 5), jnp.float32)],
+        axis=1)
+    comp = allc.reshape(c, LANES, 32).transpose(0, 2, 1)   # [C, 32, 128]
 
     # Cluster AABBs; padding slots contribute inverted boxes.
     lo = jnp.where(live[:, None] > 0, tri_lo[safe], _BIG)
@@ -342,8 +355,10 @@ def _block_cull(cl: "ClusterSet", packed, n_blocks, c_pad):
 
 def _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
                   bt_s, bu_s, bv_s, bn_s, bid_s):
-    """Pair-test one cluster block (24, 128) and fold into the running-min
-    hit scratch."""
+    """Pair-test one cluster block (32, 128) and fold into the running-min
+    hit scratch. The recorded normal is the barycentric-interpolated
+    shading normal (face normal exactly, for unsmooth meshes — corner
+    deltas are zero); the host epilogue normalizes."""
     tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
     bt = bt_s[...]
     ok = ((jnp.abs(dpz) > _DEGEN_EPS)
@@ -352,9 +367,11 @@ def _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
     bt_s[...] = jnp.where(ok, tt, bt)
     bu_s[...] = jnp.where(ok, uu, bu_s[...])
     bv_s[...] = jnp.where(ok, vv, bv_s[...])
-    bn_s[0] = jnp.where(ok, blk[12:13, :], bn_s[0])
-    bn_s[1] = jnp.where(ok, blk[13:14, :], bn_s[1])
-    bn_s[2] = jnp.where(ok, blk[14:15, :], bn_s[2])
+    for ax in range(3):
+        n_interp = (blk[18 + ax:19 + ax, :]
+                    + uu * blk[21 + ax:22 + ax, :]
+                    + vv * blk[24 + ax:25 + ax, :])
+        bn_s[ax] = jnp.where(ok, n_interp, bn_s[ax])
     bid_s[0] = jnp.where(ok, blk[16:17, :], bid_s[0])
     bid_s[1] = jnp.where(ok, blk[17:18, :], bid_s[1])
 
@@ -428,7 +445,7 @@ def _closest_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
             bid_s[0] = jnp.full((SUB, LANES), -1.0, jnp.float32)
 
             def step(c):
-                blk = comp_ref[pl.ds(c, 1)][0]    # (24, 128)
+                blk = comp_ref[pl.ds(c, 1)][0]    # (32, 128)
                 _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
                               bt_s, bu_s, bv_s, bn_s, bid_s)
 
@@ -460,7 +477,7 @@ def _closest_kernel_stream(count_ref, list_ref, tnear_ref, comp_hbm,
                            rays_ref, f_out, bt_s, bu_s, bv_s, bn_s, bid_s,
                            cbuf, sem, *, early_exit: bool):
     """HBM-streaming cluster walk: same hit semantics as _closest_kernel,
-    but the cluster table stays in HBM and each listed cluster's (24, 128)
+    but the cluster table stays in HBM and each listed cluster's (32, 128)
     block is DMA'd into a double-buffered VMEM scratch, prefetching
     cluster k+1 while k is pair-tested. This removes the VMEM residency
     cap (MAX_CLUSTERS) — the >131k-triangle role of the driver RT core
@@ -494,7 +511,7 @@ def _closest_kernel_stream(count_ref, list_ref, tnear_ref, comp_hbm,
                 def _():
                     dma(k + (NBUF - 1)).start()
                 dma(k).wait()
-                blk = cbuf[pl.ds(k % NBUF, 1)][0]  # (24, 128)
+                blk = cbuf[pl.ds(k % NBUF, 1)][0]  # (32, 128)
                 _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
                               bt_s, bu_s, bv_s, bn_s, bid_s)
                 return k + 1
@@ -726,7 +743,7 @@ def _closest_core(cl: ClusterSet, packed, interpret, early_exit,
         kernel = functools.partial(_closest_kernel_stream,
                                    early_exit=early_exit)
         comp_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        scratch += [pltpu.VMEM((NBUF, 24, LANES), jnp.float32),
+        scratch += [pltpu.VMEM((NBUF, 32, LANES), jnp.float32),
                     pltpu.SemaphoreType.DMA((NBUF,))]
     else:
         kernel = functools.partial(_closest_kernel, early_exit=early_exit)
@@ -757,7 +774,14 @@ def _hits_from_rows(rows, live, tmax):
     t = rows[:, 0]
     u = rows[:, 1]
     v = rows[:, 2]
+    # Interpolated shading normals are unnormalized in-kernel; one cheap
+    # elementwise normalize here (no-op for unsmooth meshes' unit face
+    # normals).
     normal = rows[:, 3:6]
+    nlen = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    # Cancelling corner normals (norm ~ 0) stay zero rather than blowing
+    # up — shading treats them as fully degenerate.
+    normal = jnp.where(nlen > 1e-8, normal / jnp.maximum(nlen, 1e-12), 0.0)
     prim = jnp.where(live, rows[:, 6], -1.0).astype(jnp.int32)
     mat = jnp.where(live, rows[:, 7], -1.0).astype(jnp.int32)
     hit = prim >= 0
@@ -905,7 +929,7 @@ def _any_core(cl: ClusterSet, packed, interpret, exact=False):
         kernel = _any_kernel_stream
         comp_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch = [pltpu.VMEM((SUB, 1), jnp.int32),
-                   pltpu.VMEM((NBUF, 24, LANES), jnp.float32),
+                   pltpu.VMEM((NBUF, 32, LANES), jnp.float32),
                    pltpu.SemaphoreType.DMA((NBUF,))]
     else:
         kernel = _any_kernel

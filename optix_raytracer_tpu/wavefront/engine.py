@@ -142,6 +142,52 @@ def _nee_direct_light(scene: DeviceScene, hit_p, n, throughput_albedo, rng,
     return contrib, rng
 
 
+def _sort_wavefront(scene: DeviceScene, state):
+    """Coherence-sort the ENTIRE path state for the next bounce — the
+    wavefront `optixReorder` SER role (`optix_device.h:184`).
+
+    One variadic `lax.sort` carries every per-ray column alongside the
+    coherence key. This replaces round 2's per-traversal-call
+    argsort + gather + scatter-back: measured at 2M rays on TPU, the
+    hit-record scatter alone cost ~230 ms per call, while sorting the
+    whole state (key + ~20 columns) costs ~35 ms per BOUNCE — after it,
+    every traversal of the bounce (closest hit AND NEE shadow rays) runs
+    on pre-sorted rays with the exact block cull, dead paths pack into
+    whole-dead blocks the cull skips, and nothing is ever scattered back
+    (the film unsorts once per launch by the carried pixel id).
+    """
+    from ..accel.clusters import coherence_key
+
+    key = coherence_key(scene.clusters, state["rays"])
+    # Per-ray entries ride the sort; shape-() accumulators (rays_traced)
+    # pass through. ndim must be checked on the LEAVES — np.ndim of a
+    # struct-of-arrays pytree is 0, which would silently exempt it.
+    scalars = {k: v for k, v in state.items()
+               if all(x.ndim == 0 for x in jax.tree.leaves(v))}
+    vec = {k: v for k, v in state.items() if k not in scalars}
+    leaves, treedef = jax.tree.flatten(vec)
+    cols, widths = [], []
+    for leaf in leaves:
+        if leaf.ndim == 1:
+            widths.append(None)
+            cols.append(leaf)
+        else:
+            widths.append(leaf.shape[1])
+            cols.extend(leaf[:, j] for j in range(leaf.shape[1]))
+    out = jax.lax.sort((key, *cols), dimension=0, num_keys=1)[1:]
+    new_leaves, i = [], 0
+    for leaf, w in zip(leaves, widths):
+        if w is None:
+            new_leaves.append(out[i])
+            i += 1
+        else:
+            new_leaves.append(jnp.stack(out[i:i + w], axis=1))
+            i += w
+    new_state = jax.tree.unflatten(treedef, new_leaves)
+    new_state.update(scalars)
+    return new_state
+
+
 def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                 chunk_size: Optional[int] = 65536, pixel_spread=0.0):
     """Integrate radiance along a wavefront of camera rays → [N, 3].
@@ -176,7 +222,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         rays_traced=jnp.zeros((), jnp.float32),
     )
 
-    def bounce(depth, state, coherent=False):
+    def bounce(depth, state, coherent=False, exact=False):
         rays = state["rays"]
         active = state["active"]
         throughput = state["throughput"]
@@ -184,7 +230,8 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         rng = state["rng"]
 
         hits = scene_closest(scene, rays, chunk_size=chunk_size,
-                             times=state["time"], coherent=coherent)
+                             times=state["time"], coherent=coherent,
+                             exact=exact)
         hit_valid = hits.valid & active
 
         # --- participating medium along this segment (volume.cu:284-366):
@@ -245,8 +292,16 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         albedo_tex = None
         tex_alpha = None
         surf_uv = hits.uv
+        # The cluster walk kernel interpolates vertex normals in-kernel
+        # (clusters.py comp rows 18-26), so untextured smooth meshes on
+        # the cluster path need no shading_frame epilogue — its per-ray
+        # corner gathers cost more than the whole traversal at 2M rays.
+        from .intersect import _use_clusters
+        smooth_needs_frame = (scene.geom.smooth
+                              and not (_use_clusters(scene)
+                                       and not scene.has_instances))
         if (scene.has_textures or scene.has_cutouts
-                or scene.geom.smooth):
+                or smooth_needs_frame):
             # Smooth-mesh path: interpolate vertex normals/uv; sample the
             # base-color texture when present (whitted.cu:160-168).
             # Custom-prim hits keep the analytic normal/uv.
@@ -482,7 +537,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         new_rays = new_rays.replace(
             tmax=jnp.where(new_active, new_rays.tmax, 0.0))
 
-        return dict(
+        out = dict(
             rays=new_rays,
             time=state["time"],
             throughput=new_throughput,
@@ -493,15 +548,31 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
             path_len=state["path_len"] + jnp.where(hit_valid, hits.t, 0.0),
             rays_traced=rays_traced,
         )
+        if "pix" in state:
+            out["pix"] = state["pix"]
+        return out
 
     if scene.has_clusters:
         # Peel the first bounce: camera rays arrive tile-coherent (no sort
-        # needed; shadow rays inherit that coherence), while every later
-        # wavefront is scattered and earns the cluster path's coherence
-        # pre-sort (~8x on the 25k-knot bounce wavefront). Costs one extra
-        # unrolled bounce body in the executable — cluster scenes only.
+        # needed; shadow rays inherit that coherence). Every later bounce
+        # first coherence-sorts the WHOLE path state (one variadic
+        # lax.sort — see _sort_wavefront) and then traverses pre-sorted
+        # with the exact block cull; the carried pixel id unsorts the
+        # radiance once at the end. Costs one extra unrolled bounce body
+        # in the executable — cluster scenes only.
+        state["pix"] = jnp.arange(n_rays, dtype=jnp.int32)
         state = bounce(0, state, coherent=True)
-        state = jax.lax.fori_loop(1, max_depth, bounce, state)
+
+        def sorted_bounce(depth, s):
+            return bounce(depth, _sort_wavefront(scene, s),
+                          coherent=True, exact=True)
+
+        state = jax.lax.fori_loop(1, max_depth, sorted_bounce, state)
+        rad = state["radiance"]
+        out = jax.lax.sort(
+            (state["pix"], rad[:, 0], rad[:, 1], rad[:, 2]),
+            dimension=0, num_keys=1)
+        state["radiance"] = jnp.stack(out[1:], axis=1)
     else:
         state = jax.lax.fori_loop(
             0, max_depth, functools.partial(bounce, coherent=True), state)

@@ -68,11 +68,14 @@ def _merge_motion_closest(scene: DeviceScene, hits: Hits, rays: Rays,
 
 def scene_closest(scene: DeviceScene, rays: Rays,
                   chunk_size: Optional[int] = None, times=None,
-                  coherent: bool = True) -> Hits:
+                  coherent: bool = True, exact: bool = False) -> Hits:
     """coherent=False marks scattered rays (bounce/shadow wavefronts): the
     cluster path then pre-sorts them into spatially coherent blocks — the
     wavefront-style `optixReorder` SER role (`optix_device.h:184`).
-    Tile-ordered primaries keep coherent=True and skip the sort cost."""
+    Tile-ordered primaries keep coherent=True and skip the sort cost.
+    exact=True (for already-sorted scattered wavefronts — the engine's
+    per-bounce state sort) runs the per-ray exact block cull instead of
+    the conservative interval cull."""
     if scene.has_instances:
         from ..accel import tlas
         mc = (scene.instance_clusters or None) if (
@@ -82,10 +85,14 @@ def scene_closest(scene: DeviceScene, rays: Rays,
                 scene.geom, scene.instances, r, tri_mat=scene.tri_mat,
                 chunk_size=chunk_size, mesh_clusters=mc), rays)
     elif _use_clusters(scene):
-        fn = (cluster_mod.closest_hit if coherent
-              else cluster_mod.closest_hit_sorted)
-        hits = _flat_call(
-            lambda r: fn(scene.clusters, r), rays)
+        if coherent:
+            hits = _flat_call(
+                lambda r: cluster_mod.closest_hit(scene.clusters, r,
+                                                  exact=exact), rays)
+        else:
+            hits = _flat_call(
+                lambda r: cluster_mod.closest_hit_sorted(scene.clusters, r),
+                rays)
     elif _use_bvh(scene):
         # Chunked: one unbounded while_loop over a multi-million-ray
         # wavefront runs past the device watchdog (the slowest ray stalls
@@ -122,9 +129,18 @@ def scene_any(scene: DeviceScene, rays: Rays,
                 mesh_clusters=mc),
             rays)
     elif _use_clusters(scene):
-        fn = cluster_mod.any_hit if coherent else cluster_mod.any_hit_sorted
-        occ = _flat_call(
-            lambda r: fn(scene.clusters, r), rays)
+        if coherent:
+            # NEE shadow wavefronts are mixed-liveness even when
+            # tile-coherent; the exact cull's per-ray union lists ~4x
+            # fewer clusters than the interval cull there (measured on
+            # the 25k-knot shadow wavefront), so any-hit always takes it.
+            occ = _flat_call(
+                lambda r: cluster_mod.any_hit(scene.clusters, r,
+                                              exact=True), rays)
+        else:
+            occ = _flat_call(
+                lambda r: cluster_mod.any_hit_sorted(scene.clusters, r),
+                rays)
     elif _use_bvh(scene):
         occ = _flat_call(
             lambda r: bf._chunked(

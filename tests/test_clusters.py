@@ -266,3 +266,27 @@ class TestStreaming:
             k = int(n0[0, g, 0])
             np.testing.assert_array_equal(np.asarray(lists[0, g, :k]),
                                           np.asarray(lists0[0, g, :k]))
+
+
+class TestSmoothNormals:
+    """The walk kernel interpolates baked corner normals (comp rows 18-26):
+    smooth-mesh cluster hits must carry the same shading normal that
+    accel.geometry.shading_frame computes from per-vertex gathers."""
+
+    def test_interpolated_normals_match_shading_frame(self):
+        from optix_raytracer_tpu.accel.geometry import shading_frame
+        from optix_raytracer_tpu.scene.builtins import trefoil_mesh
+
+        verts, idx, normals = trefoil_mesh(40, 12)
+        geom = build_triangle_geometry(verts, idx, normals=normals)
+        cs = cl.build_clusters(geom)
+        rays = make_rays(np.random.default_rng(5), 700, tmax=100.0)
+        hits = cl.closest_hit(cs, rays, interpret=True)
+        valid = np.asarray(hits.valid)
+        assert valid.sum() > 50
+        frame = shading_frame(geom,
+                              jnp.maximum(hits.prim_id, 0), hits.uv)
+        want = np.asarray(frame["shading_normal"])
+        got = np.asarray(hits.normal)
+        err = np.abs(want[valid] - got[valid]).max()
+        assert err < 1e-4, err

@@ -94,3 +94,40 @@ class TestPhysicalSanity:
         second = np.asarray(film.accum)
         assert int(film.subframe) == 16
         assert not np.array_equal(first8, second)
+
+
+class TestWavefrontSort:
+    """The per-bounce whole-state coherence sort (engine._sort_wavefront)
+    must be a pure reordering: tracing a cluster scene (sorted-bounce
+    branch) and the same scene with clusters stripped (plain fori_loop
+    branch) must produce identical radiance and identical traced-ray
+    counts — both run the same bruteforce intersector on CPU, so any
+    difference is sort machinery corrupting path state."""
+
+    def test_sorted_trace_matches_unsorted(self):
+        from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
+        from optix_raytracer_tpu.scene.device_scene import make_device_scene
+        from optix_raytracer_tpu.shade.lights import ParallelogramLight
+
+        w, h = 32, 24
+        verts, idx, normals = trefoil_mesh(40, 12)
+        light = ParallelogramLight.make((-2.0, 6.0, -2.0), (4.0, 0, 0),
+                                        (0, 0, 4.0), (12.0, 11.0, 10.0))
+        scene = make_device_scene(
+            verts, idx, np.zeros(len(idx), np.int32),
+            [{"kind": 0, "base_color": (0.7, 0.6, 0.5)}],
+            normals=normals, area_light=light)
+        assert scene.has_clusters
+        nocluster = scene.replace(clusters=type(scene.clusters).empty())
+        cam = knot_camera(w, h).params()
+        film = film_mod.Film.create(h, w)
+        f1, r1 = render_accumulate(scene, cam, film, w, h,
+                                   samples_per_launch=2, max_depth=3,
+                                   chunk_size=None)
+        f2, r2 = render_accumulate(nocluster, cam, film, w, h,
+                                   samples_per_launch=2, max_depth=3,
+                                   chunk_size=None)
+        a, b = np.asarray(f1.accum), np.asarray(f2.accum)
+        assert a.max() > 0.0  # the light actually contributes
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+        assert float(r1) == float(r2)
