@@ -138,14 +138,17 @@ def build_triangle_geometry(vertices, indices, normals=None,
 
 
 def shade_plane(geom: TriangleGeometry) -> jnp.ndarray:
-    """Per-triangle shading attributes packed into ONE [M, 32] plane, so a
-    wavefront's shading_frame costs a single sliced gather instead of
-    eight — XLA's TPU gather is priced per descriptor (~12 ns each), so
-    per-hit attribute fetches at 2M lanes dropped ~120 ms → ~30 ms.
+    """Per-triangle shading attributes packed into ONE [M, 128] plane, so a
+    wavefront's shading_frame costs a single row gather instead of
+    eight — XLA's TPU gather is priced per descriptor, so per-hit
+    attribute fetches at 2M lanes dropped ~120 ms → ~30 ms. Rows are
+    padded to the full 128-lane width: [N, 128] row gathers are XLA's
+    fast path (measured 30 ms vs 87 ms for [N, 32] at 2M rows — the
+    padding costs memory, not time).
 
     Columns: v0(0:3) e1(3:6) e2(6:9) face_normal(9:12)
     corner_normal(12:21) corner_uv(21:27) tangent(27:30)
-    uv_density(30) pad(31)."""
+    uv_density(30) pad(31:128)."""
     m = geom.num_triangles
     return jnp.concatenate([
         geom.v0, geom.e1, geom.e2, geom.face_normal,
@@ -153,7 +156,7 @@ def shade_plane(geom: TriangleGeometry) -> jnp.ndarray:
         geom.corner_uv.reshape(m, 6),
         geom.tangent,
         geom.uv_density[:, None],
-        jnp.zeros((m, 1), jnp.float32),
+        jnp.zeros((m, 97), jnp.float32),
     ], axis=1)
 
 
@@ -178,16 +181,17 @@ def shading_frame(geom: TriangleGeometry, prim_id, uv, plane=None):
     w = 1.0 - u - v
     pos = v0 + u[..., None] * e1 + v[..., None] * e2
 
-    cn = row[..., 12:21].reshape(row.shape[:-1] + (3, 3))
-    sn = (w[..., None] * cn[..., 0, :] + u[..., None] * cn[..., 1, :]
-          + v[..., None] * cn[..., 2, :])
+    # Straight column-slice interpolation — no [N, 3, 3] reshapes: the
+    # relayout of gathered rows into nested minor dims costs more than the
+    # gather itself on TPU.
+    sn = (w[..., None] * row[..., 12:15] + u[..., None] * row[..., 15:18]
+          + v[..., None] * row[..., 18:21])
     # Degenerate interpolation (zero-filled corner normals for meshes that
     # shipped none, or opposing normals cancelling) → geometric normal.
     sn_len = jnp.linalg.norm(sn, axis=-1, keepdims=True)
     sn = jnp.where(sn_len > 1e-6, sn / jnp.maximum(sn_len, 1e-12), n)
-    cuv = row[..., 21:27].reshape(row.shape[:-1] + (3, 2))
-    tex_uv = (w[..., None] * cuv[..., 0, :] + u[..., None] * cuv[..., 1, :]
-              + v[..., None] * cuv[..., 2, :])
+    tex_uv = (w[..., None] * row[..., 21:23] + u[..., None] * row[..., 23:25]
+              + v[..., None] * row[..., 25:27])
     return {"position": pos, "normal": n, "shading_normal": sn,
             "uv": tex_uv, "tangent": row[..., 27:30],
             "uv_density": row[..., 30]}

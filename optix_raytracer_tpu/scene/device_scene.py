@@ -73,6 +73,13 @@ class DeviceScene:
         default_factory=lambda: jnp.zeros((0, 1, 1, 16), jnp.float32))
     bundle_mip: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((0, 1, 4), jnp.int32))
+    # Quad-row form of the bundle atlas: one [128] row per (bundle, level,
+    # texel) holding the full 2x2x16 bilinear footprint, so a bundle fetch
+    # is ONE fast-path [N, 128] row gather per mip level (pack_bundles).
+    bundle_quads: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0, 128), jnp.float32))
+    bundle_quad_base: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0, 1), jnp.int32))
     # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
     # pass-through in the integrators. Determined at scene-build time.
     features: tuple = struct.field(pytree_node=False, default=())
@@ -279,7 +286,9 @@ def pack_bundles(images, materials):
     if not bundles:
         return (jnp.zeros((0, 1, 1, 16), jnp.float32),
                 jnp.zeros((0, 1, 4), jnp.int32),
-                jnp.asarray(mat_bundle))
+                jnp.asarray(mat_bundle),
+                jnp.zeros((0, 128), jnp.float32),
+                jnp.zeros((0, 1), jnp.int32))
 
     chains = []
     for b in bundles:
@@ -313,7 +322,34 @@ def pack_bundles(images, materials):
             out[i, y:y + hl + 1, max_w:max_w + wl + 1] = bordered(lv)
             mips[i, li] = (y, max_w, hl, wl)
             y += hl + 1
-    return jnp.asarray(out), jnp.asarray(mips), jnp.asarray(mat_bundle)
+
+    # Quad rows: every (bundle, level, texel) gets one 128-lane row holding
+    # its full 2x2 bilinear footprint (2x2x16 channels, zero-padded to
+    # 128). A bilinear bundle fetch is then ONE [N, 128] row gather —
+    # measured ~2x faster than the (2,2,16)-slice gather at 2M lanes, and
+    # 128-lane rows are XLA's fast gather path ([N,128] 30 ms vs [N,32]
+    # 87 ms at 2M rows). Memory trades 8x for descriptor count.
+    quad_rows = []
+    quad_base = np.zeros((len(bundles), n_levels), np.int32)
+    r = 0
+    for i, chain in enumerate(chains):
+        for li in range(n_levels):
+            yo, xo, hl, wl = mips[i, li]
+            quad_base[i, li] = r
+            if hl == 0:
+                continue
+            win = out[i, yo:yo + hl + 1, xo:xo + wl + 1]   # bordered level
+            q = np.zeros((hl * wl, 128), np.float32)
+            for dy in range(2):
+                for dx in range(2):
+                    q[:, (dy * 2 + dx) * 16:(dy * 2 + dx + 1) * 16] = \
+                        win[dy:dy + hl, dx:dx + wl].reshape(hl * wl, 16)
+            quad_rows.append(q)
+            r += hl * wl
+    quads = (np.concatenate(quad_rows, axis=0) if quad_rows
+             else np.zeros((0, 128), np.float32))
+    return (jnp.asarray(out), jnp.asarray(mips), jnp.asarray(mat_bundle),
+            jnp.asarray(quads), jnp.asarray(quad_base))
 
 
 def make_device_scene(vertices, indices, tri_mat, materials,
@@ -335,12 +371,15 @@ def make_device_scene(vertices, indices, tri_mat, materials,
                  else make_material_table(materials))
     if textures is not None and len(list(textures)) and isinstance(
             materials, (list, tuple)):
-        bundles, bundle_mip, mat_bundle = pack_bundles(list(textures),
-                                                       materials)
+        (bundles, bundle_mip, mat_bundle,
+         bundle_quads, bundle_quad_base) = pack_bundles(list(textures),
+                                                        materials)
         mat_table = mat_table.replace(bundle=jnp.asarray(mat_bundle))
     else:
         bundles = jnp.zeros((0, 1, 1, 16), jnp.float32)
         bundle_mip = jnp.zeros((0, 1, 4), jnp.int32)
+        bundle_quads = jnp.zeros((0, 128), jnp.float32)
+        bundle_quad_base = jnp.zeros((0, 1), jnp.int32)
     geom = build_triangle_geometry(vertices, indices, normals=normals,
                                    uvs=uvs)
     tri_mat_arr = jnp.asarray(tri_mat, jnp.int32)
@@ -434,4 +473,6 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         tex_mip=tex_mip,
         bundles=bundles,
         bundle_mip=bundle_mip,
+        bundle_quads=bundle_quads,
+        bundle_quad_base=bundle_quad_base,
     )

@@ -10,6 +10,7 @@ Texture references are integer ids into the scene's texture atlas (scene/).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -119,9 +120,59 @@ def make_material_table(materials) -> MaterialTable:
     )
 
 
+_FIELDS = (  # (name, width, integer)
+    ("kind", 1, True), ("base_color", 3, False), ("emission", 3, False),
+    ("metallic", 1, False), ("roughness", 1, False), ("ior", 1, False),
+    ("specular", 3, False), ("phong_exp", 1, False),
+    ("checker1", 3, False), ("checker_scale", 1, False),
+    ("kr", 3, False), ("base_tex", 1, True), ("normal_tex", 1, True),
+    ("mr_tex", 1, True), ("emissive_tex", 1, True), ("alpha_mode", 1, True),
+    ("alpha_cutoff", 1, False), ("cutout", 1, True), ("bundle", 1, True),
+)
+
+
+def _gather_onehot(table: MaterialTable, mid):
+    """Small-table gather as a one-hot MXU matmul.
+
+    XLA's TPU gather costs ~15 cycles per ROW PER DESCRIPTOR, so the 19
+    per-field gathers of the naive path cost ~400 ms per 2M-lane bounce.
+    For the small material tables every real scene has (K <= 128 — the SBT
+    rarely holds more distinct materials), one [N, K] one-hot matmul
+    against a packed [K, 32] plane fetches every field in one MXU pass
+    (~2 ms at 2M lanes) and is bit-exact: exactly one 1.0 x v term per
+    row, the 0.0 x w terms vanish, f32 accumulate.
+    """
+    k = table.num
+    cols = []
+    for name, width, integer in _FIELDS:
+        v = getattr(table, name)
+        if v is None:
+            v = jnp.full((k,), -1, jnp.int32)
+        v = v.astype(jnp.float32)
+        cols.append(v[:, None] if width == 1 else v)
+    plane = jnp.concatenate(cols, axis=1)                  # [K, 29]
+    shape = mid.shape
+    flat = mid.reshape(-1)
+    onehot = (flat[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+    vals = jax.lax.dot(onehot, plane,
+                       precision=jax.lax.Precision.HIGHEST)  # [N, 29]
+    out, i = {}, 0
+    for name, width, integer in _FIELDS:
+        v = vals[:, i:i + width] if width > 1 else vals[:, i]
+        v = v.reshape(shape + ((width,) if width > 1 else ()))
+        out[name] = v.astype(jnp.int32) if integer else v
+        i += width
+    return out
+
+
 def gather(table: MaterialTable, mat_id):
-    """Per-hit material parameters: gathers [...]-shaped planes from the table."""
+    """Per-hit material parameters from the table — the SBT data fetch of
+    the closest-hit program (`optixGetSbtDataPointer`,
+    `optix_device.h:1239`). Small tables go through the one-hot matmul
+    (see _gather_onehot); big ones fall back to per-field gathers."""
     mid = jnp.maximum(mat_id, 0)
+    if table.num <= 128:
+        return _gather_onehot(table, mid)
     return {
         "kind": table.kind[mid],
         "base_color": table.base_color[mid],

@@ -75,7 +75,8 @@ def _sample_level(textures, tex_mip, tid, uv, level):
             + (c01 * (1 - fx) + c11 * fx) * fy)
 
 
-def sample_bundle(bundles, bundle_mip, bundle_id, uv, texel_scale=None):
+def sample_bundle(bundles, bundle_mip, bundle_id, uv, texel_scale=None,
+                  quads=None, quad_base=None):
     """Trilinear fetch from the 16-channel MATERIAL BUNDLE atlas.
 
     One material = one bundle image carrying base RGBA(0:4),
@@ -90,6 +91,12 @@ def sample_bundle(bundles, bundle_mip, bundle_id, uv, texel_scale=None):
     LOGICAL level sizes, each level stored with one extra wrapped
     row/col). bundle_id -1 → neutral (white base, flat normal, unit
     scalars). Returns [..., 16].
+
+    quads/quad_base (device_scene.pack_bundles): the quad-row atlas —
+    one [128] row per (bundle, level, texel) carrying the whole 2x2x16
+    bilinear footprint. When given, each mip fetch is ONE [N, 128] row
+    gather (XLA's fast gather shape: measured 30 ms vs 65 ms for the
+    (2,2,16)-slice form at 2M lanes).
     """
     import jax
 
@@ -100,22 +107,49 @@ def sample_bundle(bundles, bundle_mip, bundle_id, uv, texel_scale=None):
         # scene has a texture atlas but no material references any map
         return jnp.broadcast_to(neutral, uv.shape[:-1] + (16,))
     bid = jnp.maximum(bundle_id, 0)
+    n_b = bundle_mip.shape[0]
     n_levels = bundle_mip.shape[1]
+
+    def tiny_fetch(idx, plane, k):
+        """Per-lane row fetch from a tiny [k, C] table as a one-hot MXU
+        matmul — a per-lane XLA gather costs ~15 ms per 2M lanes even
+        from a 4-entry table, and sample_bundle needs ~7 such lookups
+        (mip entries, chain lengths, quad bases); one-hot matmuls make
+        them ~1 ms each. Exact: one 1.0 x v term per row."""
+        sh = idx.shape
+        onehot = (idx.reshape(-1)[:, None]
+                  == jnp.arange(k)[None, :]).astype(jnp.float32)
+        vals = jax.lax.dot(onehot, plane.astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST)
+        return vals.reshape(sh + (plane.shape[1],))
+
+    # Per-bundle constants via ONE one-hot fetch: [dim0, chain_len]
+    chain_b = jnp.sum((bundle_mip[:, :, 2] > 0), axis=1)      # [B]
+    dim_b = jnp.maximum(bundle_mip[:, 0, 2], bundle_mip[:, 0, 3])
+    bconst = tiny_fetch(bid, jnp.stack(
+        [dim_b, chain_b], axis=1), n_b)                       # [..., 2]
+    dim0, chain_len = bconst[..., 0], bconst[..., 1]
     if texel_scale is None or n_levels == 1:
         lod = jnp.zeros(uv.shape[:-1], jnp.float32)
     else:
-        dim0 = jnp.maximum(bundle_mip[bid, 0, 2],
-                           bundle_mip[bid, 0, 3]).astype(jnp.float32)
         lod = jnp.log2(jnp.maximum(texel_scale * dim0, 1.0))
-    chain_len = jnp.sum((bundle_mip[bid, :, 2] > 0).astype(jnp.float32),
-                        axis=-1)
     lod = jnp.clip(lod, 0.0, chain_len - 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, (chain_len - 1.0).astype(jnp.int32))
     f = (lod - l0.astype(jnp.float32))[..., None]
 
+    use_quads = (quads is not None and quad_base is not None
+                 and quads.shape[0] > 0)
+    # Flattened (bundle, level) constant plane for the per-level one-hot
+    # fetch: y x h w [+ quad row base].
+    cols = [bundle_mip.reshape(n_b * n_levels, 4)]
+    if use_quads:
+        cols.append(quad_base.reshape(n_b * n_levels, 1))
+    lv_plane = jnp.concatenate(cols, axis=1)
+
     def level(lv):
-        entry = bundle_mip[bid, lv].astype(jnp.float32)
+        entry = tiny_fetch(bid * n_levels + lv, lv_plane,
+                           n_b * n_levels)                # [..., 4 or 5]
         y_off, x_off = entry[..., 0], entry[..., 1]
         h = jnp.maximum(entry[..., 2], 1.0)
         w = jnp.maximum(entry[..., 3], 1.0)
@@ -128,21 +162,32 @@ def sample_bundle(bundles, bundle_mip, bundle_id, uv, texel_scale=None):
         fx = (x - x0)[..., None]
         fy = (y - y0)[..., None]
         # wrap the BASE corner; the +1 border row/col covers the far taps
-        xi = jnp.mod(x0, w).astype(jnp.int32) + x_off.astype(jnp.int32)
-        yi = jnp.mod(y0, h).astype(jnp.int32) + y_off.astype(jnp.int32)
-        idx = jnp.stack([bid.reshape(-1), yi.reshape(-1), xi.reshape(-1)],
-                        axis=1)
-        dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1, 2))
-        quad = jax.lax.gather(bundles, idx, dn,
-                              slice_sizes=(1, 2, 2, bundles.shape[-1]),
-                              mode="clip")
-        quad = quad.reshape(uv.shape[:-1] + quad.shape[1:])
-        c00 = quad[..., 0, 0, :]
-        c01 = quad[..., 0, 1, :]
-        c10 = quad[..., 1, 0, :]
-        c11 = quad[..., 1, 1, :]
+        xi_l = jnp.mod(x0, w).astype(jnp.int32)
+        yi_l = jnp.mod(y0, h).astype(jnp.int32)
+        if use_quads:
+            row = (entry[..., 4].astype(jnp.int32)
+                   + yi_l * w.astype(jnp.int32) + xi_l)
+            q = quads[row]                           # [..., 128] one gather
+            c00 = q[..., 0:16]
+            c01 = q[..., 16:32]
+            c10 = q[..., 32:48]
+            c11 = q[..., 48:64]
+        else:
+            xi = xi_l + x_off.astype(jnp.int32)
+            yi = yi_l + y_off.astype(jnp.int32)
+            idx = jnp.stack([bid.reshape(-1), yi.reshape(-1),
+                             xi.reshape(-1)], axis=1)
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3), collapsed_slice_dims=(0,),
+                start_index_map=(0, 1, 2))
+            quad = jax.lax.gather(bundles, idx, dn,
+                                  slice_sizes=(1, 2, 2, bundles.shape[-1]),
+                                  mode="clip")
+            quad = quad.reshape(uv.shape[:-1] + quad.shape[1:])
+            c00 = quad[..., 0, 0, :]
+            c01 = quad[..., 0, 1, :]
+            c10 = quad[..., 1, 0, :]
+            c11 = quad[..., 1, 1, :]
         return ((c00 * (1 - fx) + c01 * fx) * (1 - fy)
                 + (c10 * (1 - fx) + c11 * fx) * fy)
 

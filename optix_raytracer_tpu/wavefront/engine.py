@@ -347,7 +347,9 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                 # this is ~8x cheaper than per-map trilinear fetches.
                 b16 = sample_bundle(scene.bundles, scene.bundle_mip,
                                     jnp.where(is_tri, m["bundle"], -1),
-                                    surf_uv, texel_scale=texel_scale)
+                                    surf_uv, texel_scale=texel_scale,
+                                    quads=scene.bundle_quads,
+                                    quad_base=scene.bundle_quad_base)
                 rgba = b16[..., 0:4]
                 albedo_tex = jnp.where(
                     (is_tri & (m["base_tex"] >= 0))[..., None],
