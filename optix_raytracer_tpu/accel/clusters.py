@@ -56,11 +56,20 @@ SUB = 256                   # rays per pair-test sub-block (sublane axis)
 GROUPS = 16                 # sub-blocks per grid step
 SUPER = SUB * GROUPS        # rays per grid step
 MAX_CLUSTERS = 1024         # VMEM-resident cluster cap (131k triangles)
-MAX_STREAM_CLUSTERS = 8192  # HBM-streaming cap (1M triangles; bounded by
-                            # the 13 low key bits of the cull's packed sort)
+MAX_STREAM_CLUSTERS = 8192  # per-cluster HBM-streaming cap (1M triangles;
+                            # bounded by SMEM list bytes + the 13 low key
+                            # bits of the cull's packed sort)
 NBUF = 4                    # streaming DMA ring: cluster k+3 is issued
-                            # while k is pair-tested — one 12 KB copy in
+                            # while k is pair-tested — one 16 KB copy in
                             # flight is latency-bound, not bandwidth-bound
+SC_CLUSTERS = 32            # clusters per SUPERCLUSTER (4096 triangles):
+                            # the coarse tier that lifts the per-cluster
+                            # list caps — cull and work lists run at
+                            # supercluster granularity, the walk DMAs one
+                            # whole supercluster (512 KB contiguous) and
+                            # pair-tests only members whose AABBs cross
+MAX_SUPERCLUSTERS = 1024    # supercluster-tier cap: 4.19M triangles
+NBUF_SC = 2                 # supercluster DMA ring (2 x 512 KB VMEM)
 
 _DEGEN_EPS = 1e-12
 _BIG = 3.0e38
@@ -116,7 +125,12 @@ def build_clusters(geom: TriangleGeometry, tri_mat=None,
     n = geom.num_triangles
     c = -(-n // LANES)
     c_rows = max(1, -(-c // LANES))
-    n_slots = c * LANES
+    # Past the per-cluster streaming cap the supercluster tier walks the
+    # comp table in SC_CLUSTERS-row slabs, so round the row count up (the
+    # padding clusters are never-hit: zero comps, inverted AABBs).
+    c_alloc = (-(-c // SC_CLUSTERS) * SC_CLUSTERS
+               if c > MAX_STREAM_CLUSTERS else c)
+    n_slots = c_alloc * LANES
 
     v0, e1, e2 = geom.v0, geom.e1, geom.e2
     tri_lo = jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2))
@@ -153,19 +167,19 @@ def build_clusters(geom: TriangleGeometry, tri_mat=None,
     allc = jnp.concatenate(
         [consts, extra, nrows, jnp.zeros((n_slots, 5), jnp.float32)],
         axis=1)
-    comp = allc.reshape(c, LANES, 32).transpose(0, 2, 1)   # [C, 32, 128]
+    comp = allc.reshape(c_alloc, LANES, 32).transpose(0, 2, 1)
 
     # Cluster AABBs; padding slots contribute inverted boxes.
     lo = jnp.where(live[:, None] > 0, tri_lo[safe], _BIG)
     hi = jnp.where(live[:, None] > 0, tri_hi[safe], -_BIG)
-    cl_lo = jnp.min(lo.reshape(c, LANES, 3), axis=1)        # [C, 3]
-    cl_hi = jnp.max(hi.reshape(c, LANES, 3), axis=1)
+    cl_lo = jnp.min(lo.reshape(c_alloc, LANES, 3), axis=1)  # [C, 3]
+    cl_hi = jnp.max(hi.reshape(c_alloc, LANES, 3), axis=1)
 
     c_pad = c_rows * LANES
     cl_lo = jnp.concatenate(
-        [cl_lo, jnp.full((c_pad - c, 3), _BIG, jnp.float32)])
+        [cl_lo, jnp.full((c_pad - c_alloc, 3), _BIG, jnp.float32)])
     cl_hi = jnp.concatenate(
-        [cl_hi, jnp.full((c_pad - c, 3), -_BIG, jnp.float32)])
+        [cl_hi, jnp.full((c_pad - c_alloc, 3), -_BIG, jnp.float32)])
     # [C_rows, 6, 128]: lox loy loz hix hiy hiz
     aabb = jnp.concatenate([cl_lo, cl_hi], axis=1)          # [c_pad, 6]
     aabb = aabb.reshape(c_rows, LANES, 6).transpose(0, 2, 1)
@@ -658,6 +672,221 @@ def _any_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
 
 
 # ---------------------------------------------------------------------------
+# Supercluster tier: >1M-triangle meshes
+# ---------------------------------------------------------------------------
+# The per-cluster streaming path is bounded by SMEM work-list bytes and the
+# packed-sort id width at MAX_STREAM_CLUSTERS (1M triangles). Past that,
+# culling and work lists move up one level: SC_CLUSTERS (32) consecutive
+# clusters form a SUPERCLUSTER (4096 triangles), the block cull and
+# front-to-back lists run over supercluster AABBs (<= 1024 lanes — same
+# widths as the VMEM-resident tier), and the walk DMAs one whole
+# supercluster (512 KB, contiguous) per list entry, slab-tests its 32
+# member-cluster AABBs against the block in ONE vector op, and pair-tests
+# only the crossing members. This is the arbitrary-GAS-size role of
+# `optixAccelBuild` + the RT core (`Scene.cpp:817-1131` batched builds;
+# `optix_device.h:61` optixTrace on any handle) for meshes to 4.19M
+# triangles.
+
+
+def _sc_tables(cl: ClusterSet):
+    """Supercluster AABB tables, derived (pure jnp) from the cluster set:
+    (cull_aabb [SC_rows, 6, 128] packed 128/lane row for the block cull,
+    member_aabb [SC_pad, 6, 128] one supercluster per row with its 32
+    member-cluster boxes on lanes 0..31, n_sc)."""
+    ab = cl.aabb.transpose(0, 2, 1).reshape(-1, 6)        # [c_pad, 6]
+    n_rows_comp = cl.comp.shape[0]                        # % SC_CLUSTERS == 0
+    n_sc = n_rows_comp // SC_CLUSTERS
+    mem = ab[:n_sc * SC_CLUSTERS].reshape(n_sc, SC_CLUSTERS, 6)
+    sc_lo = jnp.min(mem[:, :, 0:3], axis=1)               # [n_sc, 3]
+    sc_hi = jnp.max(mem[:, :, 3:6], axis=1)
+    sc_rows = -(-n_sc // LANES)
+    sc_pad = sc_rows * LANES
+    lo = jnp.concatenate(
+        [sc_lo, jnp.full((sc_pad - n_sc, 3), _BIG, jnp.float32)])
+    hi = jnp.concatenate(
+        [sc_hi, jnp.full((sc_pad - n_sc, 3), -_BIG, jnp.float32)])
+    cull_aabb = jnp.concatenate([lo, hi], axis=1).reshape(
+        sc_rows, LANES, 6).transpose(0, 2, 1)             # [SC_rows,6,128]
+
+    # [n_sc, 6, 32] → pad lanes to 128 and rows to sc_pad with inverted
+    # boxes (member pre-test then reports "no cross" for them).
+    memT = mem.transpose(0, 2, 1)                         # [n_sc, 6, 32]
+    inv_lane = jnp.concatenate(
+        [jnp.full((n_sc, 3, LANES - SC_CLUSTERS), _BIG, jnp.float32),
+         jnp.full((n_sc, 3, LANES - SC_CLUSTERS), -_BIG, jnp.float32)],
+        axis=1)
+    member = jnp.concatenate([memT, inv_lane], axis=2)    # [n_sc, 6, 128]
+    inv_row = jnp.concatenate(
+        [jnp.full((sc_pad - n_sc, 3, LANES), _BIG, jnp.float32),
+         jnp.full((sc_pad - n_sc, 3, LANES), -_BIG, jnp.float32)], axis=1)
+    member = jnp.concatenate([member, inv_row], axis=0)   # [sc_pad, 6, 128]
+    return cull_aabb, member, n_sc
+
+
+def _member_cross(a, ab):
+    """Exact slab test of one supercluster's member-cluster AABBs (6, 128)
+    against a sub-block's packed rays (SUB, 8) → bool (SUB, 128)."""
+    tmin, tmax = a[:, 6:7], a[:, 7:8]
+    live = tmax > tmin
+    tn = jnp.full((SUB, LANES), -_BIG, jnp.float32)
+    tf = jnp.full((SUB, LANES), _BIG, jnp.float32)
+    for ax in range(3):
+        d = a[:, 3 + ax:4 + ax]
+        inv = jnp.where(jnp.abs(d) > _DEGEN_EPS, 1.0 / d,
+                        jnp.where(d < 0, -1e12, 1e12))
+        o = a[:, ax:ax + 1]
+        t0 = (ab[ax:ax + 1, :] - o) * inv
+        t1 = (ab[ax + 3:ax + 4, :] - o) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    return (jnp.maximum(tn, tmin) <= jnp.minimum(tf, tmax)) & live
+
+
+def _sc_closest_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
+                       rays_ref, f_out, bt_s, bu_s, bv_s, bn_s, bid_s,
+                       cbuf, sem, *, early_exit: bool):
+    """Supercluster streaming closest-hit walk (see tier comment above)."""
+    c_pad = list_ref.shape[2]
+    for g in range(GROUPS):
+        a = rays_ref[g * SUB:(g + 1) * SUB, :]
+        sub = _sub_rays(rays_ref, g)
+        tmin = sub[6]
+        count = count_ref[0, g, 0]
+        cols = slice(g * SUB, (g + 1) * SUB)
+
+        @pl.when(count > 0)
+        def _(g=g, a=a, sub=sub, tmin=tmin, count=count, cols=cols):
+            ox, oy, oz, dx, dy, dz = sub[0:6]
+            bt_s[...] = sub[7]
+            bid_s[0] = jnp.full((SUB, LANES), -1.0, jnp.float32)
+
+            def dma(k):
+                s = list_ref[0, g, k]
+                slot = jax.lax.rem(k, NBUF_SC)
+                return pltpu.make_async_copy(
+                    comp_hbm.at[pl.ds(s * SC_CLUSTERS, SC_CLUSTERS)],
+                    cbuf.at[pl.ds(slot * SC_CLUSTERS, SC_CLUSTERS)],
+                    sem.at[slot])
+
+            for w in range(NBUF_SC - 1):
+                @pl.when(w < count)
+                def _(w=w):
+                    dma(jnp.int32(w)).start()
+
+            def body(k):
+                @pl.when(k + (NBUF_SC - 1) < count)
+                def _():
+                    dma(k + (NBUF_SC - 1)).start()
+                dma(k).wait()
+                s = list_ref[0, g, k]
+                slot = jax.lax.rem(k, NBUF_SC)
+                cross = _member_cross(a, msc_ref[pl.ds(s, 1)][0])
+                for c in range(SC_CLUSTERS):
+                    hitc = jnp.max(
+                        cross[:, c:c + 1].astype(jnp.float32))
+
+                    @pl.when(hitc > 0.0)
+                    def _(c=c, slot=slot):
+                        blk = cbuf[pl.ds(slot * SC_CLUSTERS + c, 1)][0]
+                        _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
+                                      bt_s, bu_s, bv_s, bn_s, bid_s)
+                return k + 1
+
+            def cond(k):
+                tn = tnear_ref[0, g, jnp.minimum(k, c_pad - 1)]
+                return (k < count) & (jnp.max(bt_s[...]) > tn)
+
+            if early_exit:
+                kf = jax.lax.while_loop(cond, body, jnp.int32(0))
+            else:
+                kf = jax.lax.while_loop(lambda k: k < count, body,
+                                        jnp.int32(0))
+            for w in range(NBUF_SC - 1):
+                @pl.when(kf + w < count)
+                def _(w=w):
+                    dma(kf + w).wait()
+            _emit_closest(a, f_out, cols, bt_s, bu_s, bv_s, bn_s, bid_s)
+
+
+def _sc_any_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
+                   rays_ref, occ_out, occ_s, cbuf, sem):
+    """Supercluster streaming occlusion walk."""
+    c_pad = list_ref.shape[2]
+    for g in range(GROUPS):
+        count = count_ref[0, g, 0]
+        cols = slice(g * SUB, (g + 1) * SUB)
+
+        @pl.when(count > 0)
+        def _(g=g, count=count, cols=cols):
+            a = rays_ref[g * SUB:(g + 1) * SUB, :]
+            ox, oy, oz, dx, dy, dz, tmin, tmax = _sub_rays(rays_ref, g)
+            dead = (a[:, 7:8] <= a[:, 6:7]).astype(jnp.int32)
+            occ_s[...] = dead
+            tmax_col = a[:, 7:8]
+
+            def dma(k):
+                s = list_ref[0, g, k]
+                slot = jax.lax.rem(k, NBUF_SC)
+                return pltpu.make_async_copy(
+                    comp_hbm.at[pl.ds(s * SC_CLUSTERS, SC_CLUSTERS)],
+                    cbuf.at[pl.ds(slot * SC_CLUSTERS, SC_CLUSTERS)],
+                    sem.at[slot])
+
+            for w in range(NBUF_SC - 1):
+                @pl.when(w < count)
+                def _(w=w):
+                    dma(jnp.int32(w)).start()
+
+            def body(k):
+                @pl.when(k + (NBUF_SC - 1) < count)
+                def _():
+                    dma(k + (NBUF_SC - 1)).start()
+                dma(k).wait()
+                s = list_ref[0, g, k]
+                slot = jax.lax.rem(k, NBUF_SC)
+                cross = _member_cross(a, msc_ref[pl.ds(s, 1)][0])
+                for c in range(SC_CLUSTERS):
+                    hitc = jnp.max(
+                        cross[:, c:c + 1].astype(jnp.float32))
+
+                    @pl.when(hitc > 0.0)
+                    def _(c=c, slot=slot):
+                        blk = cbuf[pl.ds(slot * SC_CLUSTERS + c, 1)][0]
+                        tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz,
+                                                     dx, dy, dz)
+                        ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                              & (uu >= 0.0) & (vv >= 0.0)
+                              & (uu + vv <= 1.0)
+                              & (tt > tmin) & (tt < tmax))
+                        occ_s[...] = jnp.maximum(
+                            occ_s[...],
+                            jnp.max(ok.astype(jnp.int32), axis=1,
+                                    keepdims=True))
+                return k + 1
+
+            def cond(k):
+                tn = tnear_ref[0, g, jnp.minimum(k, c_pad - 1)]
+                bound = jnp.max(jnp.where(occ_s[...] > 0, 0.0, tmax_col))
+                return ((k < count) & (jnp.min(occ_s[...]) == 0)
+                        & (tn <= bound))
+
+            kf = jax.lax.while_loop(cond, body, jnp.int32(0))
+            for w in range(NBUF_SC - 1):
+                @pl.when(kf + w < count)
+                def _(w=w):
+                    dma(kf + w).wait()
+            occ_out[0:1, cols] = jnp.transpose(
+                occ_s[...] * (1 - dead), (1, 0))
+
+
+def _sc_facade(cl: ClusterSet, cull_aabb, n_sc):
+    """ClusterSet view whose 'clusters' are the superclusters — lets the
+    existing cull/compaction stage run unchanged at the coarse tier."""
+    return ClusterSet(comp=cl.comp[:0], aabb=cull_aabb,
+                      slot_prim=cl.slot_prim[:0], num_clusters=n_sc)
+
+
+# ---------------------------------------------------------------------------
 # Host-side orchestration
 # ---------------------------------------------------------------------------
 
@@ -726,43 +955,61 @@ def _closest_core(cl: ClusterSet, packed, interpret, early_exit,
     up to MAX_CLUSTERS and the HBM-streaming kernel beyond."""
     n_padded = packed.shape[0]
     n_super = n_padded // SUPER
-    c_pad = cl.num_rows * LANES
+    supercluster = cl.num_clusters > MAX_STREAM_CLUSTERS
 
-    counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
-                                        interpret, exact=exact)
-
-    smem3 = pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM)
-    stream = cl.num_clusters > MAX_CLUSTERS
     scratch = [pltpu.VMEM((SUB, LANES), jnp.float32),
                pltpu.VMEM((SUB, LANES), jnp.float32),
                pltpu.VMEM((SUB, LANES), jnp.float32),
                pltpu.VMEM((3, SUB, LANES), jnp.float32),
                pltpu.VMEM((2, SUB, LANES), jnp.float32)]
-    if stream:
-        kernel = functools.partial(_closest_kernel_stream,
+    extra_args = []
+    if supercluster:
+        cull_aabb, member_aabb, n_sc = _sc_tables(cl)
+        assert n_sc <= MAX_SUPERCLUSTERS, (
+            f"{n_sc} superclusters exceeds the cluster path's "
+            f"{MAX_SUPERCLUSTERS * SC_CLUSTERS * LANES}-triangle capacity")
+        c_pad = cull_aabb.shape[0] * LANES
+        counts, lists, tnear_sorted = _cull(
+            _sc_facade(cl, cull_aabb, n_sc), packed, n_super, c_pad,
+            interpret, exact=exact)
+        kernel = functools.partial(_sc_closest_kernel,
                                    early_exit=early_exit)
-        comp_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        scratch += [pltpu.VMEM((NBUF, 32, LANES), jnp.float32),
-                    pltpu.SemaphoreType.DMA((NBUF,))]
+        comp_spec = [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+        extra_args = [member_aabb]
+        scratch += [pltpu.VMEM((NBUF_SC * SC_CLUSTERS, 32, LANES),
+                               jnp.float32),
+                    pltpu.SemaphoreType.DMA((NBUF_SC,))]
     else:
-        kernel = functools.partial(_closest_kernel, early_exit=early_exit)
-        comp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        c_pad = cl.num_rows * LANES
+        counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
+                                            interpret, exact=exact)
+        if cl.num_clusters > MAX_CLUSTERS:
+            kernel = functools.partial(_closest_kernel_stream,
+                                       early_exit=early_exit)
+            comp_spec = [pl.BlockSpec(memory_space=pl.ANY)]
+            scratch += [pltpu.VMEM((NBUF, 32, LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((NBUF,))]
+        else:
+            kernel = functools.partial(_closest_kernel,
+                                       early_exit=early_exit)
+            comp_spec = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    smem3 = pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM)
     fouts = pl.pallas_call(
         kernel,
         grid=(n_super,),
         in_specs=[pl.BlockSpec((1, GROUPS, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  smem3, smem3,
-                  comp_spec,
-                  pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
+                  smem3, smem3] + comp_spec
+                 + [pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, SUPER), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, n_padded), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(counts, lists, tnear_sorted, cl.comp, packed)
+    )(counts, lists, tnear_sorted, cl.comp, *extra_args, packed)
     return fouts, counts
 
 
@@ -903,13 +1150,22 @@ def traversal_stats(cl: ClusterSet, rays: Rays, interpret: bool = False):
     n = rays.tmin.shape[0]
     n_padded = -(-n // SUPER) * SUPER
     packed = _pack_rays(rays, n_padded)
-    counts, _, _ = _cull(cl, packed, n_padded // SUPER,
-                         cl.num_rows * LANES, interpret)
+    if cl.num_clusters > MAX_STREAM_CLUSTERS:
+        # Supercluster tier: lists are superclusters of SC_CLUSTERS.
+        cull_aabb, _, n_sc = _sc_tables(cl)
+        counts, _, _ = _cull(_sc_facade(cl, cull_aabb, n_sc), packed,
+                             n_padded // SUPER,
+                             cull_aabb.shape[0] * LANES, interpret)
+        tris_per_item = SC_CLUSTERS * LANES
+    else:
+        counts, _, _ = _cull(cl, packed, n_padded // SUPER,
+                             cl.num_rows * LANES, interpret)
+        tris_per_item = LANES
     c = np.asarray(counts).ravel().astype(np.float64)
     return {
         "mean_clusters_per_block": float(c.mean()),
         "max_clusters_per_block": float(c.max()),
-        "mean_tris_tested_per_ray": float(c.mean() * LANES),
+        "mean_tris_tested_per_ray": float(c.mean() * tris_per_item),
         "empty_block_fraction": float((c == 0).mean()),
     }
 
@@ -919,22 +1175,38 @@ def _any_core(cl: ClusterSet, packed, interpret, exact=False):
     empty-block live-masking already applied."""
     n_padded = packed.shape[0]
     n_super = n_padded // SUPER
-    c_pad = cl.num_rows * LANES
+    supercluster = cl.num_clusters > MAX_STREAM_CLUSTERS
 
-    counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
-                                        interpret, exact=exact)
-
-    stream = cl.num_clusters > MAX_CLUSTERS
-    if stream:
-        kernel = _any_kernel_stream
-        comp_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    extra_args = []
+    if supercluster:
+        cull_aabb, member_aabb, n_sc = _sc_tables(cl)
+        assert n_sc <= MAX_SUPERCLUSTERS
+        c_pad = cull_aabb.shape[0] * LANES
+        counts, lists, tnear_sorted = _cull(
+            _sc_facade(cl, cull_aabb, n_sc), packed, n_super, c_pad,
+            interpret, exact=exact)
+        kernel = _sc_any_kernel
+        comp_spec = [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]
+        extra_args = [member_aabb]
         scratch = [pltpu.VMEM((SUB, 1), jnp.int32),
-                   pltpu.VMEM((NBUF, 32, LANES), jnp.float32),
-                   pltpu.SemaphoreType.DMA((NBUF,))]
+                   pltpu.VMEM((NBUF_SC * SC_CLUSTERS, 32, LANES),
+                              jnp.float32),
+                   pltpu.SemaphoreType.DMA((NBUF_SC,))]
     else:
-        kernel = _any_kernel
-        comp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        scratch = []
+        c_pad = cl.num_rows * LANES
+        counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
+                                            interpret, exact=exact)
+        if cl.num_clusters > MAX_CLUSTERS:
+            kernel = _any_kernel_stream
+            comp_spec = [pl.BlockSpec(memory_space=pl.ANY)]
+            scratch = [pltpu.VMEM((SUB, 1), jnp.int32),
+                       pltpu.VMEM((NBUF, 32, LANES), jnp.float32),
+                       pltpu.SemaphoreType.DMA((NBUF,))]
+        else:
+            kernel = _any_kernel
+            comp_spec = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            scratch = []
     smem3 = pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
@@ -942,16 +1214,15 @@ def _any_core(cl: ClusterSet, packed, interpret, exact=False):
         grid=(n_super,),
         in_specs=[pl.BlockSpec((1, GROUPS, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),
-                  smem3, smem3,
-                  comp_spec,
-                  pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
+                  smem3, smem3] + comp_spec
+                 + [pl.BlockSpec((SUPER, 8), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, SUPER), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, n_padded), jnp.int32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(counts, lists, tnear_sorted, cl.comp, packed)
+    )(counts, lists, tnear_sorted, cl.comp, *extra_args, packed)
 
     live = jnp.repeat(counts.reshape(-1) > 0, SUB)
     return jnp.where(live, occ[0], 0)

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..accel.clusters import (ClusterSet, LANES as _CLUSTER_LANES,
-                              MAX_STREAM_CLUSTERS, build_clusters)
+                              MAX_STREAM_CLUSTERS, MAX_SUPERCLUSTERS,
+                              SC_CLUSTERS, build_clusters)
 from ..accel.geometry import TriangleGeometry, build_triangle_geometry
 from ..accel.lbvh import LBVH, build_lbvh
 from ..accel.motion import MotionTriangles
@@ -399,7 +400,8 @@ def make_device_scene(vertices, indices, tri_mat, materials,
     instance_clusters = {}
     n_tris = geom.num_triangles
     if (instances is None and n_tris > MAX_SMEM_TRIS
-            and -(-n_tris // _CLUSTER_LANES) <= MAX_STREAM_CLUSTERS):
+            and -(-n_tris // _CLUSTER_LANES)
+            <= MAX_SUPERCLUSTERS * SC_CLUSTERS):
         # SAH-tree leaf order makes tighter clusters than raw morton
         # (~25% fewer clusters per ray block); fall back to morton when
         # the native builder is unavailable.

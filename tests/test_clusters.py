@@ -290,3 +290,50 @@ class TestSmoothNormals:
         got = np.asarray(hits.normal)
         err = np.abs(want[valid] - got[valid]).max()
         assert err < 1e-4, err
+
+
+class TestSupercluster:
+    """The supercluster tier (>MAX_STREAM_CLUSTERS: coarse cull + whole-
+    supercluster DMA + member pre-test) must find exactly the brute-force
+    hits. Forced onto a small mesh by shrinking the caps — the kernels
+    read the module constants at trace time."""
+
+    @pytest.fixture()
+    def sc_setup(self, monkeypatch):
+        monkeypatch.setattr(cl, "MAX_STREAM_CLUSTERS", 2)
+        monkeypatch.setattr(cl, "SC_CLUSTERS", 2)
+        rng = np.random.default_rng(23)
+        verts, idx = random_mesh(rng, 700)   # 6 clusters -> 3 superclusters
+        geom = build_triangle_geometry(verts, idx)
+        tri_mat = jnp.asarray(rng.integers(0, 6, 700), jnp.int32)
+        cs = cl.build_clusters(geom, tri_mat)
+        assert cs.num_clusters > cl.MAX_STREAM_CLUSTERS
+        assert cs.comp.shape[0] % cl.SC_CLUSTERS == 0
+        return geom, tri_mat, cs
+
+    @pytest.mark.parametrize("exact", [False, True])
+    def test_closest_matches_xla(self, sc_setup, exact):
+        geom, tri_mat, cs = sc_setup
+        rays = make_rays(np.random.default_rng(4), 600)
+        ref = bf.intersect_closest(geom, rays, tri_mat=tri_mat, impl="xla",
+                                   chunk_size=None)
+        out = cl.closest_hit(cs, rays, interpret=True, exact=exact)
+        np.testing.assert_array_equal(np.asarray(out.prim_id),
+                                      np.asarray(ref.prim_id))
+        np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out.mat_id),
+                                      np.asarray(ref.mat_id))
+
+    def test_any_matches_xla(self, sc_setup):
+        geom, _, cs = sc_setup
+        rays = make_rays(np.random.default_rng(5), 600, tmax=3.0)
+        ref = bf.intersect_any(geom, rays)
+        out = cl.any_hit(cs, rays, interpret=True, exact=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_stats_supercluster_granularity(self, sc_setup):
+        geom, _, cs = sc_setup
+        rays = make_rays(np.random.default_rng(6), 512)
+        st = cl.traversal_stats(cs, rays, interpret=True)
+        assert st["max_clusters_per_block"] <= cs.comp.shape[0] // cl.SC_CLUSTERS
