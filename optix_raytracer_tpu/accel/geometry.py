@@ -81,11 +81,18 @@ def build_triangle_geometry(vertices, indices, normals=None,
     valid = n_len2 > 1e-24
 
     # Local frame matrix M_t = [e1 | e2 | n] (columns); its inverse maps world
-    # offsets into (u, v, w). Guard degenerate triangles with identity so inv()
-    # stays finite, then mask them out of every hit test via `valid`.
-    m = jnp.stack([e1, e2, n], axis=-1)                       # [M, 3, 3]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), m.shape)
-    m_inv = jnp.linalg.inv(jnp.where(valid[:, None, None], m, eye))  # [M, 3, 3]
+    # offsets into (u, v, w). Closed-form adjugate/determinant inverse —
+    # the batched LU of jnp.linalg.inv materializes ~6 KB of workspace per
+    # matrix (23 GB at 4M triangles); the cofactor form is ~40 elementwise
+    # ops and O(M) memory. Degenerate triangles (det ~ 0) divide by 1 and
+    # are masked out of every hit test via `valid`.
+    c0 = cross(e2, n)                                         # [M, 3]
+    c1 = cross(n, e1)
+    c2 = cross(e1, e2)
+    det = jnp.sum(e1 * c0, axis=-1)                           # [M]
+    inv_det = jnp.where(valid, 1.0 / jnp.where(valid, det, 1.0), 0.0)
+    # rows of M^-1 are the cofactor columns / det
+    m_inv = jnp.stack([c0, c1, c2], axis=1) * inv_det[:, None, None]
 
     # Zero the transform of degenerate triangles: a zeroed transform yields
     # d'_w = 0 for every ray, which every intersector masks out — so `valid`
