@@ -288,6 +288,37 @@ def bench_knot_pathtrace():
     return round(2 * float(rays) / (time.time() - t0) / 1e6, 1)
 
 
+def bench_instanced_cornell():
+    """Cornell as an IAS (walls instance + two shared-box instances) kept on
+    the fused megakernel — the one-pipeline-under-instancing behavior of
+    `Scene.cpp:1134-1213` (VERDICT round-2 item 5)."""
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.core import film as film_mod
+    from optix_raytracer_tpu.scene.builtins import (cornell_box_instanced,
+                                                    cornell_camera)
+    from optix_raytracer_tpu.wavefront.engine import (_use_fused,
+                                                      render_accumulate)
+
+    scene = cornell_box_instanced()
+    assert _use_fused(scene, "auto"), "instanced Cornell must stay fused"
+    cam = cornell_camera(WIDTH, HEIGHT).params()
+    film = film_mod.Film.create(HEIGHT, WIDTH)
+
+    def run(f):
+        return render_accumulate(scene, cam, f, WIDTH, HEIGHT,
+                                 samples_per_launch=SAMPLES,
+                                 max_depth=MAX_DEPTH)
+
+    film, rays = run(film)
+    float(jnp.sum(film.accum))
+    t0 = time.time()
+    f = film
+    for _ in range(2):
+        f, rays = run(f)
+    float(jnp.sum(f.accum))
+    return round(2 * float(rays) / (time.time() - t0) / 1e6, 1)
+
+
 def bench_pbr_cornell():
     """Cornell with a rough-metal GGX wall material through the fused
     megakernel's PBR lanes (VERDICT round-1 item 4: keep non-diffuse
@@ -370,6 +401,7 @@ def main():
 
     large = bench_large_mesh()
     large["cornell_pbr_ggx_mrays"] = bench_pbr_cornell()
+    large["cornell_instanced_mrays"] = bench_instanced_cornell()
     large["whitted_prims_mrays"] = bench_whitted_prims()
     large["textured_mrays"] = bench_textured()
     large["knot25k_pathtrace_mrays"] = bench_knot_pathtrace()

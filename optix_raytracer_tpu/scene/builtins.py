@@ -84,6 +84,55 @@ def cornell_box() -> DeviceScene:
                              area_light=light, miss_color=(0.0, 0.0, 0.0))
 
 
+def cornell_box_instanced() -> DeviceScene:
+    """Cornell box as an IAS scene: walls+light are one instance, the two
+    blocks are transformed instances of ONE shared unit-box mesh — the
+    `Scene.cpp:1134-1213` two-level layout on the classic scene. Block
+    transforms are the affine frames of the measured block tops (the real
+    blocks are ~2 units off parallelepiped, so the image differs from
+    cornell_box() by a sliver at block edges)."""
+    import numpy as np
+
+    from .scene import Scene
+
+    sc = Scene()
+    for m in CORNELL_MATERIALS:
+        sc.add_material(dict(m))
+
+    room_quads = _CORNELL_QUADS[:5] + [_CORNELL_QUADS[15]]
+    verts, idx, tri_mat = quads_to_triangles(room_quads)
+    room = sc.add_mesh(np.asarray(verts), np.asarray(idx),
+                       material=np.asarray(tri_mat))
+
+    # unit box (no bottom face), instanced twice
+    bq = [
+        ([(0, 1, 0), (0, 1, 1), (1, 1, 1), (1, 1, 0)], 0),   # top
+        ([(1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1)], 0),
+        ([(0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 0)], 0),
+        ([(0, 0, 1), (0, 1, 1), (0, 1, 0), (0, 0, 0)], 0),
+        ([(1, 0, 1), (1, 1, 1), (0, 1, 1), (0, 0, 1)], 0),
+    ]
+    bverts, bidx, _ = quads_to_triangles(bq)
+    box = sc.add_mesh(np.asarray(bverts), np.asarray(bidx), material=WHITE)
+
+    def frame(origin, x, y, z):
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 0], t[:3, 1], t[:3, 2], t[:3, 3] = x, y, z, origin
+        return t
+
+    sc.add_instance(room, np.eye(4, dtype=np.float32))
+    sc.add_instance(box, frame((130, 0, 65), (160, 0, 49),
+                               (0, 165, 0), (-48, 0, 160)))     # short block
+    sc.add_instance(box, frame((423, 0, 247), (49, 0, 159),
+                               (0, 330, 0), (-158, 0, 49)))     # tall block
+    light = ParallelogramLight.make(
+        CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1, CORNELL_LIGHT_V2,
+        CORNELL_LIGHT_EMISSION)
+    ds = sc.finalize(area_light=light)
+    import jax.numpy as jnp
+    return ds.replace(miss_color=jnp.zeros((3,), jnp.float32))
+
+
 def cornell_camera(width, height) -> Camera:
     """The classic Cornell viewpoint (matches the reference's default camera
     geometry: eye in front of the open face, 35° vertical fov —

@@ -31,9 +31,21 @@ class MeshEntry:
     indices: np.ndarray
     normals: Optional[np.ndarray]
     uvs: Optional[np.ndarray]
-    material: int
+    material: object    # int or per-triangle int array
     transform: np.ndarray     # [4, 4]
     name: str = ""
+
+
+
+def _mesh_tri_mat(m) -> np.ndarray:
+    """Per-triangle material ids of a mesh entry: `material` may be one int
+    (the common case) or a per-triangle array (multi-material meshes — the
+    per-SBT-record role of multiple buildInput flags, `Scene.cpp:1154`)."""
+    if np.ndim(m.material) == 0:
+        return np.full(len(m.indices), m.material, np.int32)
+    arr = np.asarray(m.material, np.int32)
+    assert arr.shape == (len(m.indices),), (arr.shape, len(m.indices))
+    return arr
 
 
 class Scene:
@@ -227,7 +239,7 @@ class Scene:
                 n = None
             all_n.append(n)
             all_uv.append(m.uvs)
-            tri_mat.append(np.full(len(m.indices), m.material, np.int32))
+            tri_mat.append(_mesh_tri_mat(m))
             base += len(m.positions)
 
         if not all_pos:
@@ -309,7 +321,7 @@ class Scene:
             all_n.append(n)
             all_uv.append(m.uvs if m.uvs is not None
                           else np.zeros((len(obj), 2), np.float32))
-            tri_mat.append(np.full(len(m.indices), m.material, np.int32))
+            tri_mat.append(_mesh_tri_mat(m))
             ranges[mi] = (tbase, tbase + len(m.indices))
             vbase += len(m.positions)
             tbase += len(m.indices)

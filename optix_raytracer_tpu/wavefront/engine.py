@@ -623,7 +623,8 @@ def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
 def _use_fused(scene: DeviceScene, impl: str) -> bool:
     from ..accel import bruteforce as bf
     from ..accel.pallas_bf import MAX_SMEM_TRIS
-    from .pallas_pt import FUSED_PRIM_KINDS, MAX_FUSED_PRIMS
+    from .pallas_pt import (FUSED_PRIM_KINDS, MAX_FUSED_INST,
+                            MAX_FUSED_PRIMS, fused_inst_ranges)
     if impl == "xla":
         return False
     if impl in ("fused", "fused_interpret"):
@@ -631,13 +632,25 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
     prims_ok = (scene.prims.num <= MAX_FUSED_PRIMS
                 and all(k in FUSED_PRIM_KINDS
                         for k in scene.prims.kinds_static))
+    if scene.has_instances:
+        # Instanced scenes stay on the megakernel when the per-ray work
+        # (sum of instance triangle ranges) fits the SMEM-path budget —
+        # small IAS scenes keep megakernel speed (`Scene.cpp:1134-1213`
+        # one-pipeline behavior). Smooth meshes need the engine's
+        # shading-frame epilogue, which the kernel doesn't emit.
+        ranges = fused_inst_ranges(scene)
+        inst_ok = (len(ranges) <= MAX_FUSED_INST
+                   and sum(hi - lo for lo, hi in ranges) <= MAX_SMEM_TRIS
+                   and not scene.geom.smooth)
+    else:
+        inst_ok = True
     return (jax.default_backend() in bf._TPU_PLATFORMS
             and prims_ok
+            and inst_ok
             and not scene.has_textures
             and not scene.has_cutouts
             and not scene.has_volume
             and not scene.has_motion
-            and not scene.has_instances
             and scene.geom.num_triangles <= MAX_SMEM_TRIS)
 
 

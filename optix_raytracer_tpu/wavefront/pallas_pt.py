@@ -235,6 +235,31 @@ def pack_prims(prims) -> jnp.ndarray:
 
 FUSED_PRIM_KINDS = (0, 1, 2, 3)     # sphere, shell, parallelogram, capsule
 MAX_FUSED_PRIMS = 16
+# Instanced fused path: total per-ray triangle tests = sum of instance
+# ranges; cap at the same SMEM budget that gates the flat path.
+MAX_FUSED_INST = 32
+
+
+def pack_instances(instances) -> jnp.ndarray:
+    """InstanceTable → [max(I,1), 16] f32 SMEM plane: world→object 3x4
+    inverse flattened row-major in cols 0:12 + sbt_offset in col 12+...13."""
+    i = max(instances.num, 1)
+    out = jnp.zeros((i, 16), jnp.float32)
+    if instances.num:
+        out = out.at[:instances.num, 0:12].set(
+            instances.inv_transform.reshape(instances.num, 12))
+        out = out.at[:instances.num, 12].set(
+            instances.sbt_offset.astype(jnp.float32))
+    return out
+
+
+def fused_inst_ranges(scene) -> tuple:
+    """Static per-instance (lo, hi) triangle ranges for the fused kernel
+    (whole shared geometry when the table carries no explicit ranges)."""
+    if not scene.has_instances:
+        return ()
+    return (scene.instances.prim_ranges
+            or ((0, scene.geom.num_triangles),) * scene.instances.num)
 
 
 def pack_light(light) -> jnp.ndarray:
@@ -264,7 +289,7 @@ def pack_camera(cam_params, miss_color) -> jnp.ndarray:
 
 def _make_kernel(width, height, full_w, full_h,
                  num_tris, num_mats, max_depth, spl, has_specular=True,
-                 has_pbr=False, prim_kinds=()):
+                 has_pbr=False, prim_kinds=(), inst_ranges=()):
     """has_specular=False (no glass/mirror materials in the scene — a static
     scene feature) drops the reflect/refract/fresnel block from the bounce,
     ~10% fewer VPU ops on diffuse-only scenes like the Cornell benchmark.
@@ -275,11 +300,19 @@ def _make_kernel(width, height, full_w, full_h,
     parallelogram/capsule); per-prim analytic intersectors are emitted
     inline in both the closest-hit and shadow loops — the whitted-class
     custom-geometry IS programs (`cuda/geometry.cu:38-143`, `sphere.cu:37`)
-    folded into the megakernel."""
+    folded into the megakernel.
+    inst_ranges: static tuple of per-instance (lo, hi) triangle ranges into
+    the shared object-space GAS — non-empty switches the closest-hit and
+    shadow loops to the two-level form: the ray is transformed into each
+    instance's object space by its 3x4 inverse from the inst plane (the
+    device transform stack, `optix_device.h:728-868`), that instance's
+    range is tested, and the winner's object-space normal goes back to
+    world by the inverse-transpose rule — the IAS pipeline of
+    `Scene.cpp:1134-1213` kept inside the megakernel."""
     glass_kind, pbr_kind = 2.0, 1.0  # shade.materials GLASS / PBR tags
 
-    def kernel(tri_ref, prim_ref, mat_tbl_ref, light_ref, cam_ref, misc_ref,
-               rad_r_out, rad_g_out, rad_b_out, count_out):
+    def kernel(tri_ref, prim_ref, inst_ref, mat_tbl_ref, light_ref, cam_ref,
+               misc_ref, rad_r_out, rad_g_out, rad_b_out, count_out):
         pid = pl.program_id(0)
         subframe0 = misc_ref[0, 0]
         y0 = misc_ref[0, 1]
@@ -515,39 +548,90 @@ def _make_kernel(width, height, full_w, full_h,
                      jnp.full(lane.shape, RAY_TMIN * 1e-2, jnp.float32),  # tmin
                      jnp.full(lane.shape, 1e16, jnp.float32))  # tmax
 
+            def inst_xform_ray(i, rox, roy, roz, rdx, rdy, rdz):
+                """World ray → instance i's object space (3x4 inverse from
+                the SMEM inst plane). Direction stays UNNORMALIZED so the
+                object-space t equals the world-space t."""
+                c = [inst_ref[i, j] for j in range(12)]
+                return ((c[0] * rox + c[1] * roy + c[2] * roz + c[3],
+                         c[4] * rox + c[5] * roy + c[6] * roz + c[7],
+                         c[8] * rox + c[9] * roy + c[10] * roz + c[11]),
+                        (c[0] * rdx + c[1] * rdy + c[2] * rdz,
+                         c[4] * rdx + c[5] * rdy + c[6] * rdz,
+                         c[8] * rdx + c[9] * rdy + c[10] * rdz))
+
             def bounce(depth, st):
                 (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_, rng,
                  active, prev_spec, count, tmin, tmax) = st
 
                 # --- closest hit over SMEM triangles ---
                 neg1 = jnp.full(lane.shape, -1, jnp.int32)
-                init = (tmax, neg1, neg1, fzero, fzero, fzero)
 
-                def tri_body(t, carry):
-                    bt, bid, bmid, bnx, bny, bnz = carry
-                    consts = _load_tri(tri_ref, t)
-                    tt, uu, vv, dpz = _tri_test(consts, ox, oy, oz, dx, dy, dz)
-                    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-                          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                          & (tt > tmin) & (tt < bt))
-                    bt = jnp.where(ok, tt, bt)
-                    bid = jnp.where(ok, t, bid)
-                    bmid = jnp.where(ok, tri_ref[t, 15].astype(jnp.int32), bmid)
-                    bnx = jnp.where(ok, consts[12], bnx)
-                    bny = jnp.where(ok, consts[13], bny)
-                    bnz = jnp.where(ok, consts[14], bnz)
-                    return bt, bid, bmid, bnx, bny, bnz
+                def tri_body_rays(rox, roy, roz, rdx, rdy, rdz,
+                                  sbt_off=None, inst_i=None):
+                    def tri_body(t, carry):
+                        bt, bid, bmid, bnx, bny, bnz, binst = carry
+                        consts = _load_tri(tri_ref, t)
+                        tt, uu, vv, dpz = _tri_test(consts, rox, roy, roz,
+                                                    rdx, rdy, rdz)
+                        ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                              & (tt > tmin) & (tt < bt))
+                        mid = tri_ref[t, 15]
+                        if sbt_off is not None:
+                            mid = mid + sbt_off
+                        bt = jnp.where(ok, tt, bt)
+                        bid = jnp.where(ok, t, bid)
+                        bmid = jnp.where(ok, mid.astype(jnp.int32), bmid)
+                        bnx = jnp.where(ok, consts[12], bnx)
+                        bny = jnp.where(ok, consts[13], bny)
+                        bnz = jnp.where(ok, consts[14], bnz)
+                        if inst_i is not None:
+                            binst = jnp.where(ok, inst_i, binst)
+                        return bt, bid, bmid, bnx, bny, bnz, binst
+                    return tri_body
 
-                # Static unroll for small meshes: removes scf loop control
-                # and lets Mosaic pipeline SMEM scalar loads with vector work.
-                if num_tris <= 64:
+                init = (tmax, neg1, neg1, fzero, fzero, fzero, neg1)
+                if inst_ranges:
                     carry = init
+                    for i, (lo, hi) in enumerate(inst_ranges):
+                        (rox, roy, roz), (rdx, rdy, rdz) = inst_xform_ray(
+                            i, ox, oy, oz, dx, dy, dz)
+                        body = tri_body_rays(rox, roy, roz, rdx, rdy, rdz,
+                                             sbt_off=inst_ref[i, 12],
+                                             inst_i=i)
+                        if hi - lo <= 64:
+                            for t in range(lo, hi):
+                                carry = body(t, carry)
+                        else:
+                            carry = jax.lax.fori_loop(lo, hi, body, carry)
+                    bt, bid, bmid, gnx, gny, gnz, binst = carry
+                    # winner's OBJECT-space normal back to world by the
+                    # inverse-transpose row rule w_k = sum_j n_j inv[j][k]
+                    # (matches tlas.intersect_instances), then normalize.
+                    for i in range(len(inst_ranges)):
+                        c = [inst_ref[i, j] for j in range(12)]
+                        sel = binst == i
+                        wx = gnx * c[0] + gny * c[4] + gnz * c[8]
+                        wy = gnx * c[1] + gny * c[5] + gnz * c[9]
+                        wz = gnx * c[2] + gny * c[6] + gnz * c[10]
+                        gnx = jnp.where(sel, wx, gnx)
+                        gny = jnp.where(sel, wy, gny)
+                        gnz = jnp.where(sel, wz, gnz)
+                    gnx, gny, gnz = _normalize3(gnx, gny, gnz)
+                # Static unroll for small meshes: removes scf loop control
+                # and lets Mosaic pipeline SMEM scalar loads with vector
+                # work.
+                elif num_tris <= 64:
+                    carry = init
+                    body = tri_body_rays(ox, oy, oz, dx, dy, dz)
                     for t in range(num_tris):
-                        carry = tri_body(t, carry)
-                    bt, bid, bmid, gnx, gny, gnz = carry
+                        carry = body(t, carry)
+                    bt, bid, bmid, gnx, gny, gnz, _ = carry
                 else:
-                    bt, bid, bmid, gnx, gny, gnz = jax.lax.fori_loop(
-                        0, num_tris, tri_body, init)
+                    bt, bid, bmid, gnx, gny, gnz, _ = jax.lax.fori_loop(
+                        0, num_tris, tri_body_rays(ox, oy, oz, dx, dy, dz),
+                        init)
 
                 # --- custom prims (static per-kind intersectors) ---
                 for p_i, k_i in enumerate(prim_kinds):
@@ -663,22 +747,39 @@ def _make_kernel(width, height, full_w, full_h,
                 sh_tmin = jnp.full(lane.shape, RAY_TMIN, jnp.float32)
                 sh_tmax = dist * SHADOW_TMAX_SCALE
 
-                def sh_body(t, occ):
-                    consts = _load_tri(tri_ref, t)
-                    tt, uu, vv, dpz = _tri_test(consts, px, py, pz,
-                                                wix, wiy, wiz)
-                    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-                          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                          & (tt > sh_tmin) & (tt < sh_tmax))
-                    return jnp.maximum(occ, ok.astype(jnp.int32))
+                def sh_body_rays(sox, soy, soz, sdx, sdy, sdz):
+                    def sh_body(t, occ):
+                        consts = _load_tri(tri_ref, t)
+                        tt, uu, vv, dpz = _tri_test(consts, sox, soy, soz,
+                                                    sdx, sdy, sdz)
+                        ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                              & (tt > sh_tmin) & (tt < sh_tmax))
+                        return jnp.maximum(occ, ok.astype(jnp.int32))
+                    return sh_body
 
-                if num_tris <= 64:
-                    occ = jnp.zeros(lane.shape, jnp.int32)
+                occ = jnp.zeros(lane.shape, jnp.int32)
+                if inst_ranges:
+                    # Shadow ray through each instance's object space; t
+                    # stays in world units (unnormalized direction), so
+                    # the [sh_tmin, sh_tmax) window applies unchanged.
+                    for i, (lo, hi) in enumerate(inst_ranges):
+                        (sox, soy, soz), (sdx, sdy, sdz) = inst_xform_ray(
+                            i, px, py, pz, wix, wiy, wiz)
+                        body = sh_body_rays(sox, soy, soz, sdx, sdy, sdz)
+                        if hi - lo <= 64:
+                            for t in range(lo, hi):
+                                occ = body(t, occ)
+                        else:
+                            occ = jax.lax.fori_loop(lo, hi, body, occ)
+                elif num_tris <= 64:
+                    body = sh_body_rays(px, py, pz, wix, wiy, wiz)
                     for t in range(num_tris):
-                        occ = sh_body(t, occ)
+                        occ = body(t, occ)
                 else:
-                    occ = jax.lax.fori_loop(0, num_tris, sh_body,
-                                            jnp.zeros(lane.shape, jnp.int32))
+                    occ = jax.lax.fori_loop(
+                        0, num_tris, sh_body_rays(px, py, pz, wix, wiy, wiz),
+                        occ)
                 for p_i, k_i in enumerate(prim_kinds):
                     for tt, okg in prim_candidates(p_i, k_i, px, py, pz,
                                                        wix, wiy, wiz):
@@ -870,12 +971,15 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
     has_specular = ("glass" in scene.features) or ("mirror" in scene.features)
     prim_kinds = scene.prims.kinds_static
     prim_plane = pack_prims(scene.prims)
+    inst_ranges = fused_inst_ranges(scene)
+    inst_plane = pack_instances(scene.instances)
     kernel = _make_kernel(width, height, full_w, full_h,
                           scene.geom.num_triangles, scene.materials.num,
                           max_depth, samples_per_launch,
                           has_specular=has_specular,
                           has_pbr=scene.has_pbr,
-                          prim_kinds=prim_kinds)
+                          prim_kinds=prim_kinds,
+                          inst_ranges=inst_ranges)
 
     out_shapes = tuple(jax.ShapeDtypeStruct(blk_shape, jnp.float32)
                        for _ in range(4))
@@ -884,11 +988,11 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
     rad_r, rad_g, rad_b, count = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7,
         out_specs=(blockspec,) * 4,
         out_shape=out_shapes,
         interpret=interpret,
-    )(tri_consts, prim_plane, mat_tbl, light, cam, misc)
+    )(tri_consts, prim_plane, inst_plane, mat_tbl, light, cam, misc)
 
     rad = jnp.stack([rad_r.reshape(n_padded)[:n],
                      rad_g.reshape(n_padded)[:n],

@@ -17,6 +17,51 @@ def scene():
     return cornell_box()
 
 
+def _instanced_cube_scene():
+    """Two transformed instances of a shared cube GAS + a floor instance,
+    distinct sbt offsets — the minimal IAS scene (`Scene.cpp:1134-1213`)."""
+    from optix_raytracer_tpu.scene.scene import Scene
+    from optix_raytracer_tpu.shade import materials as mat
+    from optix_raytracer_tpu.shade.lights import ParallelogramLight
+
+    s_half = 0.5
+    v = np.array([[x, y, z] for x in (-s_half, s_half)
+                  for y in (-s_half, s_half)
+                  for z in (-s_half, s_half)], np.float32)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+    ], np.int32)
+
+    def xf(tx, ty, tz, s=1.0, deg=0.0):
+        a = np.radians(deg)
+        t = np.eye(4, dtype=np.float32)
+        t[0, 0] = np.cos(a) * s
+        t[0, 2] = np.sin(a) * s
+        t[2, 0] = -np.sin(a) * s
+        t[2, 2] = np.cos(a) * s
+        t[1, 1] = s
+        t[:3, 3] = (tx, ty, tz)
+        return t
+
+    sc = Scene()
+    sc.add_material({"kind": mat.DIFFUSE, "base_color": (0.8, 0.3, 0.2)})
+    sc.add_material({"kind": mat.DIFFUSE, "base_color": (0.2, 0.4, 0.8)})
+    sc.add_material({"kind": mat.DIFFUSE, "base_color": (0.7, 0.7, 0.7)})
+    mi = sc.add_mesh(v, f, material=0)
+    floor = np.array([[-4, 0, -4], [4, 0, -4], [4, 0, 4], [-4, 0, 4]],
+                     np.float32)
+    fidx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    fi = sc.add_mesh(floor, fidx, material=2)
+    sc.add_instance(mi, xf(-1.1, 0.5, 0.0, 1.0, 25.0))
+    sc.add_instance(mi, xf(1.0, 0.35, -0.4, 0.7, -40.0), sbt_offset=1)
+    sc.add_instance(fi, np.eye(4, dtype=np.float32))
+    light = ParallelogramLight.make((-1, 4, -1), (2, 0, 0), (0, 0, 2),
+                                    (12.0, 12.0, 12.0))
+    return sc.finalize(area_light=light)
+
+
 class TestFusedKernel:
     def test_matches_engine_exactly(self, scene):
         w = h = 24
@@ -176,6 +221,55 @@ class TestFusedPrims:
         from optix_raytracer_tpu.wavefront.engine import _use_fused
         scene = self._prim_scene()
         import jax
+        if jax.default_backend() in ("tpu", "axon"):
+            assert _use_fused(scene, "auto")
+
+    def test_instanced_matches_engine(self):
+        """IAS scene inside the megakernel: per-instance object-space ray
+        transform + inverse-transpose normal return + sbt-offset material
+        remap must reproduce the XLA engine's tlas.intersect_instances
+        result exactly (`Scene.cpp:1134-1213` kept on the fused path)."""
+        scene = _instanced_cube_scene()
+        w = h = 24
+        from optix_raytracer_tpu.core.camera import Camera
+        cam = Camera(eye=(0, 1.5, -6.0), lookat=(0, 0.5, 0), up=(0, 1, 0),
+                     fov_y=45.0, aspect=1.0).params()
+        r0, c0 = render_sample(scene, cam, w, h, 0, max_depth=3,
+                               chunk_size=None)
+        r1, c1 = render_sample(scene, cam, w, h, 1, max_depth=3,
+                               chunk_size=None)
+        ref = np.asarray(r0 + r1)
+        out, count = render_sum_fused(scene, cam, w, h, 0,
+                                      samples_per_launch=2, max_depth=3,
+                                      interpret=True)
+        assert float(count) == float(c0 + c1)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=3e-3,
+                                   rtol=1e-3)
+        # both instances must actually be visible (distinct sbt materials)
+        assert ref.max() > 0.05
+
+    def test_instanced_cornell_matches_engine(self):
+        """The VERDICT acceptance scene: Cornell as an IAS (walls instance +
+        two shared-box instances) through the megakernel."""
+        from optix_raytracer_tpu.scene.builtins import (cornell_box_instanced,
+                                                        cornell_camera)
+        scene = cornell_box_instanced()
+        assert scene.instances.num == 3
+        w = h = 16
+        cam = cornell_camera(w, h).params()
+        r0, c0 = render_sample(scene, cam, w, h, 0, max_depth=2,
+                               chunk_size=None)
+        out, count = render_sum_fused(scene, cam, w, h, 0,
+                                      samples_per_launch=1, max_depth=2,
+                                      interpret=True)
+        assert float(count) == float(c0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(r0),
+                                   atol=3e-3, rtol=1e-3)
+
+    def test_fused_gate_accepts_small_ias(self):
+        import jax
+        from optix_raytracer_tpu.wavefront.engine import _use_fused
+        scene = _instanced_cube_scene()
         if jax.default_backend() in ("tpu", "axon"):
             assert _use_fused(scene, "auto")
 
