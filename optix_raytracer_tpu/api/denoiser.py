@@ -20,6 +20,28 @@ import jax.numpy as jnp
 from ..denoise import atrous, flow as flow_mod, kpcnn
 
 
+def _variance_gate(noisy, filtered, variance, lo: float = 0.05,
+                   hi: float = 0.25):
+    """Never-worse blend: per-pixel weight from the tracked stderr of the
+    progressive mean (`Film.variance_of_mean`). Pixels whose relative
+    stderr is below `lo` (converged past the filter's bias floor) keep
+    their input EXACTLY; noise above `hi` gets the full filter; a linear
+    ramp in between. The L-launch variance estimate is itself noisy, so
+    the weight is box-smoothed 3x3 before use."""
+    import jax
+
+    def lum(x):
+        return (0.2126 * x[..., 0] + 0.7152 * x[..., 1]
+                + 0.0722 * x[..., 2])
+
+    stderr = jnp.sqrt(jnp.maximum(lum(variance), 0.0))
+    rel = stderr / (lum(noisy) + 1e-2)
+    w = jnp.clip((rel - lo) / (hi - lo), 0.0, 1.0)
+    w = jax.lax.reduce_window(w, 0.0, jax.lax.add, (3, 3), (1, 1),
+                              "SAME") / 9.0
+    return noisy + w[..., None] * (filtered - noisy)
+
+
 class ModelKind:
     LDR = "LDR"
     HDR = "HDR"
@@ -76,13 +98,19 @@ class Denoiser:
     def invoke(self, beauty, albedo=None, normal=None, flow=None,
                previous_output=None, intensity=None,
                blend_factor: float = 0.0, aovs: Optional[dict] = None,
-               emission=None):
+               emission=None, variance=None):
         """optixDenoiserInvoke. Returns the denoised image (and a dict of
         denoised AOVs in AOV mode).
 
         HDR mode pre-scales by `intensity` (computed if not given) and
         un-scales after — the reference's HDR pipeline. blend_factor lerps
         toward the noisy input (`OptixDenoiserParams::blendFactor`).
+
+        variance: optional [H, W, 3] per-pixel stderr² of the beauty mean
+        (`Film.variance_of_mean()`). When given, a variance-gated blend
+        keeps converged pixels at their INPUT value — near-clean renders
+        can never come out worse than untouched (the reference's denoiser
+        is safe at convergence; this gate gives the same guarantee).
         """
         assert self._setup is not None, "call setup() first (optixDenoiserSetup)"
         it = self._setup["iterations"]
@@ -136,20 +164,23 @@ class Denoiser:
             if tparams is not None:
                 # trained temporal model: the flow-reprojected previous
                 # output rides in as 3 extra input channels — the net
-                # learns history reuse instead of a fixed-alpha blend
+                # learns history reuse instead of a fixed-alpha blend.
+                # (scale == 1.0 on the kpcnn backend, so falling through
+                # to the common epilogue is exact.)
                 history = atrous.warp_by_flow(
                     jnp.asarray(previous_output, jnp.float32),
                     jnp.asarray(flow, jnp.float32))
-                return kpcnn.denoise_kp(
+                out = kpcnn.denoise_kp(
                     tparams, jnp.asarray(beauty, jnp.float32),
                     albedo=albedo, normal=normal,
                     emission=(None if emission is None
                               else jnp.asarray(emission, jnp.float32)),
                     history=history)
-            out = atrous.denoise_temporal(work,
-                                          jnp.asarray(previous_output) * scale,
-                                          flow, albedo=albedo, normal=normal,
-                                          iterations=it, core=core)
+            else:
+                out = atrous.denoise_temporal(
+                    work, jnp.asarray(previous_output) * scale,
+                    flow, albedo=albedo, normal=normal,
+                    iterations=it, core=core)
         elif self._setup["tiled"]:
             out = jnp.asarray(atrous.denoise_tiled(
                 work, albedo=albedo, normal=normal,
@@ -161,6 +192,9 @@ class Denoiser:
             out = self._spatial(work, albedo, normal, it, emission=em)
 
         out = out / scale
+        if variance is not None:
+            out = _variance_gate(beauty, out,
+                                 jnp.asarray(variance, jnp.float32))
         if blend_factor > 0.0:
             out = (1.0 - blend_factor) * out + blend_factor * beauty
 

@@ -27,6 +27,10 @@ def save_checkpoint(path: str, film: film_mod.Film, camera: Camera = None,
                     config: dict = None):
     camera_json = (json.dumps(dataclasses.asdict(camera))
                    if camera is not None else "")
+    extra = {}
+    if film.sq is not None:
+        extra["sq"] = np.asarray(film.sq)
+        extra["launches"] = np.asarray(film.launches)
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
@@ -34,6 +38,7 @@ def save_checkpoint(path: str, film: film_mod.Film, camera: Camera = None,
         subframe=np.asarray(film.subframe),
         camera_json=camera_json,
         config_json=json.dumps(config or {}),
+        **extra,
     )
 
 
@@ -41,8 +46,12 @@ def load_checkpoint(path: str):
     """Returns (Film, Camera or None, config dict)."""
     with np.load(path, allow_pickle=False) as z:
         assert int(z["version"]) == FORMAT_VERSION
-        film = film_mod.Film(accum=jnp.asarray(z["accum"]),
-                             subframe=jnp.asarray(z["subframe"]))
+        film = film_mod.Film(
+            accum=jnp.asarray(z["accum"]),
+            subframe=jnp.asarray(z["subframe"]),
+            sq=jnp.asarray(z["sq"]) if "sq" in z.files else None,
+            launches=(jnp.asarray(z["launches"]) if "launches" in z.files
+                      else None))
         cam_js = str(z["camera_json"])
         camera = None
         if cam_js:

@@ -12,6 +12,8 @@ Replaces the reference's accumulation + display-buffer path:
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -24,14 +26,28 @@ class Film:
     This is also the checkpointable render state (SURVEY.md §5 checkpoint/resume):
     it is a pytree, so `orbax`/`np.savez` snapshots of (accum, subframe) resume a
     progressive render exactly.
+
+    Optional per-pixel variance tracking (`create(track_variance=True)`):
+    `sq` holds the running mean of SQUARED per-launch radiance estimates and
+    `launches` counts accumulate() calls. The standard error of the mean
+    (`variance_of_mean`) then gates the denoiser's never-worse blend — a
+    converged pixel keeps its input exactly instead of eating the filter's
+    bias floor. Valid when every launch carries the same sample count (the
+    progressive loop's invariant).
     """
     accum: jnp.ndarray      # [H, W, 3] float32 linear radiance mean
     subframe: jnp.ndarray   # int32 scalar — samples accumulated so far
+    sq: Optional[jnp.ndarray] = None        # [H, W, 3] mean of estimate²
+    launches: Optional[jnp.ndarray] = None  # int32 scalar accumulate() calls
 
     @classmethod
-    def create(cls, height, width):
+    def create(cls, height, width, track_variance: bool = False):
         return cls(accum=jnp.zeros((height, width, 3), jnp.float32),
-                   subframe=jnp.zeros((), jnp.int32))
+                   subframe=jnp.zeros((), jnp.int32),
+                   sq=(jnp.zeros((height, width, 3), jnp.float32)
+                       if track_variance else None),
+                   launches=(jnp.zeros((), jnp.int32)
+                             if track_variance else None))
 
     def accumulate(self, radiance):
         """One progressive step: accum ← lerp(accum, radiance, 1/(subframe+1)).
@@ -40,14 +56,32 @@ class Film:
         subframes).
         """
         t = 1.0 / (self.subframe.astype(jnp.float32) + 1.0)
+        sq, launches = self.sq, self.launches
+        if sq is not None:
+            tl = 1.0 / (launches.astype(jnp.float32) + 1.0)
+            sq = sq + (radiance * radiance - sq) * tl
+            launches = launches + 1
         return Film(accum=self.accum + (radiance - self.accum) * t,
-                    subframe=self.subframe + 1)
+                    subframe=self.subframe + 1, sq=sq, launches=launches)
+
+    def variance_of_mean(self):
+        """Per-pixel stderr² of `accum` (None when tracking is off):
+        Var(estimates) / L over L equal-spp launches — the sample-variance
+        noise estimate production denoisers gate on."""
+        if self.sq is None:
+            return None
+        L = self.launches.astype(jnp.float32)
+        var_est = jnp.maximum(self.sq - self.accum * self.accum, 0.0)
+        return var_est / jnp.maximum(L - 1.0, 1.0) / jnp.maximum(L, 1.0)
 
     def reset(self):
         """Camera moved / resized → restart accumulation
         (`optixPathTracer.cpp:480-481`)."""
         return Film(accum=jnp.zeros_like(self.accum),
-                    subframe=jnp.zeros_like(self.subframe))
+                    subframe=jnp.zeros_like(self.subframe),
+                    sq=None if self.sq is None else jnp.zeros_like(self.sq),
+                    launches=(None if self.launches is None
+                              else jnp.zeros_like(self.launches)))
 
 
 def linear_to_srgb(c):

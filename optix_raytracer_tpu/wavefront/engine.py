@@ -684,9 +684,17 @@ def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
         prev_n = film.subframe.astype(jnp.float32)
         new_n = jnp.float32(samples_per_launch)
         accum = (film.accum * prev_n + rad_sum) / (prev_n + new_n)
+        sq, launches = film.sq, film.launches
+        if sq is not None:
+            # per-launch estimate for the variance tracker (film.py)
+            est = rad_sum / new_n
+            tl = 1.0 / (launches.astype(jnp.float32) + 1.0)
+            sq = sq + (est * est - sq) * tl
+            launches = launches + 1
         from ..core.film import Film
         return Film(accum=accum,
-                    subframe=film.subframe + samples_per_launch), rays
+                    subframe=film.subframe + samples_per_launch,
+                    sq=sq, launches=launches), rays
 
     def body(i, carry):
         film, count = carry

@@ -201,3 +201,90 @@ class TestTemporalKP:
                        previous_output=prev, flow=fl)
         assert out.shape == (32, 32, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestNeverWorse:
+    """Variance-gated blend (Film.variance_of_mean + Denoiser(variance=)):
+    near-clean renders must come out no worse than untouched — the
+    reference's denoiser is safe at convergence."""
+
+    def _render_tracked(self, spp, launches, w=48, h=48):
+        from optix_raytracer_tpu.core.film import Film
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        from optix_raytracer_tpu.wavefront.engine import render_accumulate
+        scene = cornell_box()
+        cam = cornell_camera(w, h).params()
+        film = Film.create(h, w, track_variance=True)
+        per = spp // launches
+        for _ in range(launches):
+            film, _ = render_accumulate(scene, cam, film, w, h,
+                                        samples_per_launch=per, max_depth=4,
+                                        chunk_size=None, impl="xla")
+        return scene, cam, film
+
+    def test_variance_tracks_and_decays(self):
+        _, _, f64 = self._render_tracked(16, 8)
+        v16 = np.asarray(f64.variance_of_mean())
+        assert v16.shape == f64.accum.shape and (v16 >= 0).all()
+        _, _, f256 = self._render_tracked(64, 8)
+        v64 = np.asarray(f256.variance_of_mean())
+        # 4x the samples -> ~4x lower stderr^2 of the mean (allow slack)
+        assert v64.mean() < 0.5 * v16.mean(), (v16.mean(), v64.mean())
+
+    # Gate quality tests run at 128x128 — the KPCNN's training resolution
+    # regime (256-res scenes, 128 patches); quality comparisons are in the
+    # repo's training metric, log-MSE. Renders are cached per module run.
+    _CACHE = {}
+
+    def _gated(self, spp, launches, w=128, h=128):
+        key = (spp, launches, w, h)
+        if key not in self._CACHE:
+            from optix_raytracer_tpu.wavefront.engine import render_aovs
+            scene, cam, film = self._render_tracked(spp, launches, w, h)
+            if "clean" not in self._CACHE:
+                _, _, cf = self._render_tracked(512, 8, w, h)
+                self._CACHE["clean"] = np.asarray(cf.accum)
+                self._CACHE["aovs"] = render_aovs(scene, cam, w, h)
+            aovs = self._CACHE["aovs"]
+            den = Denoiser(model_kind=ModelKind.HDR).setup(w, h)
+            out = np.asarray(den.invoke(
+                film.accum, albedo=aovs["albedo"], normal=aovs["normal"],
+                emission=aovs.get("emission"),
+                variance=film.variance_of_mean()))
+            self._CACHE[key] = (np.asarray(film.accum), out)
+        noisy, out = self._CACHE[key]
+        clean = self._CACHE["clean"]
+
+        def lmse(x):
+            return float(np.mean((np.log1p(np.maximum(x, 0.0))
+                                  - np.log1p(np.maximum(clean, 0.0))) ** 2))
+        return lmse(noisy), lmse(out)
+
+    def test_cornell_64spp_not_worse(self):
+        """The VERDICT acceptance: at 64 spp on the canonical Cornell the
+        gated denoiser must not regress past the untouched input (the
+        ungated KPCNN's residual floor is ~10x the 64-spp noise here)."""
+        noisy, out = self._gated(64, 16)
+        assert out <= noisy * 1.001, (out, noisy)
+
+    def test_gate_open_when_noisy(self):
+        """At 4 spp the gate must stay open: gated output still beats the
+        noisy input clearly (the gate is a safety, not a lobotomy)."""
+        noisy, out = self._gated(4, 4)
+        assert out < 0.8 * noisy, (out, noisy)
+
+    def test_checkpoint_roundtrip_variance(self, tmp_path):
+        from optix_raytracer_tpu.core import checkpoint as ckpt
+        from optix_raytracer_tpu.core.film import Film
+        film = Film.create(8, 8, track_variance=True)
+        film = film.accumulate(jnp.ones((8, 8, 3)))
+        film = film.accumulate(jnp.full((8, 8, 3), 2.0))
+        p = str(tmp_path / "f.npz")
+        ckpt.save_checkpoint(p, film)
+        f2, _, _ = ckpt.load_checkpoint(p)
+        np.testing.assert_allclose(np.asarray(f2.sq), np.asarray(film.sq))
+        assert int(f2.launches) == 2
+        np.testing.assert_allclose(
+            np.asarray(f2.variance_of_mean()),
+            np.asarray(film.variance_of_mean()))
