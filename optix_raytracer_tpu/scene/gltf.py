@@ -42,6 +42,12 @@ class GltfMesh:
     # morph targets: list of [V, 3] POSITION deltas + default weights
     targets: list = field(default_factory=list)
     morph_weights: list = field(default_factory=list)
+    # per-target [V, 3] NORMAL deltas (None where a target has none).
+    # TANGENT deltas are intentionally not stored: this framework derives
+    # tangents from the morphed positions+uvs at build time
+    # (accel/geometry.py shading-frame tangents), so they track morphs
+    # automatically.
+    targets_normal: list = field(default_factory=list)
 
 
 @dataclass
@@ -380,11 +386,19 @@ def load_gltf(path: str) -> GltfScene:
                         if tt:
                             uvs = _apply_texture_transform(uvs, tt)
                 targets = []
+                targets_n = []
                 for tg in prim.get("targets", []):
-                    if "POSITION" in tg:
-                        targets.append(_read_accessor(
-                            gltf, buffers,
-                            tg["POSITION"]).astype(np.float32)[:, :3])
+                    targets.append(
+                        _read_accessor(gltf, buffers,
+                                       tg["POSITION"]).astype(
+                                           np.float32)[:, :3]
+                        if "POSITION" in tg
+                        else np.zeros((len(pos), 3), np.float32))
+                    targets_n.append(
+                        _read_accessor(gltf, buffers,
+                                       tg["NORMAL"]).astype(
+                                           np.float32)[:, :3]
+                        if "NORMAL" in tg else None)
                 morph_w = [float(x) for x in node.get(
                     "weights", mesh.get("weights",
                                         [0.0] * len(targets)))]
@@ -395,6 +409,15 @@ def load_gltf(path: str) -> GltfScene:
                     pos = pos.copy()
                     for w_t, delta in zip(morph_w, targets):
                         pos[:, :3] = pos[:, :3] + np.float32(w_t) * delta
+                    if (normals is not None
+                            and any(tn is not None for tn in targets_n)):
+                        normals = normals.copy()
+                        for w_t, dn in zip(morph_w, targets_n):
+                            if dn is not None:
+                                normals = normals + np.float32(w_t) * dn
+                        normals /= np.maximum(
+                            np.linalg.norm(normals, axis=1, keepdims=True),
+                            1e-8)
                 joints = weights = None
                 if skin_idx >= 0 and "JOINTS_0" in attrs:
                     joints = _read_accessor(
@@ -411,7 +434,8 @@ def load_gltf(path: str) -> GltfScene:
                     uvs=uvs, material=prim.get("material", -1),
                     transform=m, name=mesh.get("name", ""),
                     joints=joints, weights=weights, skin=skin_idx,
-                    targets=targets, morph_weights=morph_w))
+                    targets=targets, morph_weights=morph_w,
+                    targets_normal=targets_n))
                 out.node_meshes.setdefault(node_idx, []).append(mi)
         for child in node.get("children", []):
             walk(child, m)
@@ -540,6 +564,7 @@ def pose_meshes(scene: GltfScene, t: float, animation: int = 0):
                 # base positions already carry the DEFAULT morph state,
                 # so apply (w(t) - default) deltas.
                 w_now = overrides.get(ni, {}).get("weights")
+                base_nrm = mesh.normals
                 if w_now is not None:
                     w_now = np.asarray(w_now, np.float32).reshape(-1)
                     base_pos = base_pos.copy()
@@ -548,8 +573,25 @@ def pose_meshes(scene: GltfScene, t: float, animation: int = 0):
                               - float(mesh.morph_weights[t_i]))
                         if dw != 0.0:
                             base_pos = base_pos + np.float32(dw) * delta
+                    if (base_nrm is not None and any(
+                            tn is not None for tn in mesh.targets_normal)):
+                        # NORMAL morph deltas: accumulate then renormalize
+                        # (tinygltf-parity for all morph attributes;
+                        # tangents re-derive from morphed positions+uvs).
+                        base_nrm = base_nrm.copy()
+                        for t_i, dn in enumerate(mesh.targets_normal):
+                            if dn is None:
+                                continue
+                            dw = (float(w_now[t_i])
+                                  - float(mesh.morph_weights[t_i]))
+                            if dw != 0.0:
+                                base_nrm = base_nrm + np.float32(dw) * dn
+                        base_nrm = base_nrm / np.maximum(
+                            np.linalg.norm(base_nrm, axis=1, keepdims=True),
+                            1e-8)
                 mesh = type(mesh)(**{**mesh.__dict__,
-                                     "positions": base_pos})
+                                     "positions": base_pos,
+                                     "normals": base_nrm})
             if mesh.skin >= 0 and mesh.joints is not None:
                 skin = scene.skins[mesh.skin]
                 # joint palette [J, 4, 4]

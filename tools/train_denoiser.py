@@ -301,6 +301,21 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
     rng = np.random.default_rng(seed)
     params = kpcnn.init_params(jax.random.PRNGKey(seed),
                                cin=13 if temporal else 10)
+    if temporal and kpcnn.has_weights():
+        # Warm start from the trained spatial net: copy every layer and
+        # zero-pad in0_w's 3 new history channels. At step 0 the temporal
+        # net then EQUALS the spatial net, so training can only improve on
+        # it by actually using history (a cold start plateaus slightly
+        # worse than spatial).
+        spatial = kpcnn.load_params()
+        for k, v in spatial.items():
+            if k == "in0_w":
+                w = np.zeros_like(np.asarray(params[k]))
+                w[:, :, :10, :] = np.asarray(v)
+                params[k] = jnp.asarray(w)
+            else:
+                params[k] = jnp.asarray(v)
+        print("warm-started temporal net from", kpcnn.WEIGHTS_PATH)
     sched = optax.cosine_decay_schedule(lr, steps, alpha=0.02)
     opt = optax.adam(sched)
     opt_state = opt.init(params)
