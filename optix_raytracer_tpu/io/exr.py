@@ -1,4 +1,4 @@
-"""Minimal OpenEXR 2.0 codec: scanline images, HALF/FLOAT, NONE/ZIP/ZIPS.
+"""Minimal OpenEXR 2.0 codec: scanline images, HALF/FLOAT, NONE/ZIP/ZIPS/PIZ.
 
 No EXR library ships in this environment, so this implements the subset of
 the format the reference's denoiser sample actually exchanges
@@ -30,9 +30,11 @@ import numpy as np
 _MAGIC = b"\x76\x2f\x31\x01"
 _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
 _DTYPES = {_PT_UINT: np.uint32, _PT_HALF: np.float16, _PT_FLOAT: np.float32}
-_COMP_NONE, _COMP_ZIPS, _COMP_ZIP = 0, 2, 3
-_COMP_IDS = {"NONE": _COMP_NONE, "ZIPS": _COMP_ZIPS, "ZIP": _COMP_ZIP}
-_LINES_PER_CHUNK = {_COMP_NONE: 1, _COMP_ZIPS: 1, _COMP_ZIP: 16}
+_COMP_NONE, _COMP_ZIPS, _COMP_ZIP, _COMP_PIZ = 0, 2, 3, 4
+_COMP_IDS = {"NONE": _COMP_NONE, "ZIPS": _COMP_ZIPS, "ZIP": _COMP_ZIP,
+             "PIZ": _COMP_PIZ}
+_LINES_PER_CHUNK = {_COMP_NONE: 1, _COMP_ZIPS: 1, _COMP_ZIP: 16,
+                    _COMP_PIZ: 32}
 
 
 def _zip_compress(raw: bytes) -> bytes:
@@ -59,6 +61,391 @@ def _zip_decompress(data: bytes, raw_size: int) -> bytes:
     out[0::2] = t[:half]
     out[1::2] = t[half:]
     return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PIZ codec (wavelet + Huffman over 16-bit units) — implemented from the
+# published OpenEXR PIZ format (ImfPizCompressor/ImfHuf/ImfWav semantics),
+# validated against a tinyexr-written oracle file. Layout of one chunk:
+#   u16 minNonZero, u16 maxNonZero, bitmap[min..max],
+#   i32 hufLength, huf data (u32 im, u32 iM, u32 tableLen, u32 nBits,
+#   u32 reserved, packed 6-bit code-length table, MSB-first bit stream).
+# Data = per-channel planes of u16 (FLOAT splits into 2 u16 sub-planes),
+# LUT-compacted via the bitmap, each plane 2D-wavelet transformed.
+# ---------------------------------------------------------------------------
+
+_HUF_ENCSIZE = (1 << 16) + 1          # one pseudo-symbol for RLE
+_SHORT_ZEROCODE_RUN = 59
+_LONG_ZEROCODE_RUN = 63
+_SHORTEST_LONG_RUN = 2 + _LONG_ZEROCODE_RUN - _SHORT_ZEROCODE_RUN   # 6
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.c = 0
+        self.lc = 0
+
+    def put(self, nbits: int, val: int):
+        val = int(val)        # numpy ints would overflow the shift
+        self.c = (self.c << nbits) | (val & ((1 << nbits) - 1))
+        self.lc += nbits
+        while self.lc >= 8:
+            self.lc -= 8
+            self.out.append((self.c >> self.lc) & 0xFF)
+
+    def done(self) -> bytes:
+        if self.lc:
+            self.out.append((self.c << (8 - self.lc)) & 0xFF)
+            self.lc = 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.c = 0
+        self.lc = 0
+
+    def get(self, nbits: int) -> int:
+        while self.lc < nbits:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.c = (self.c << 8) | b
+            self.lc += 8
+        self.lc -= nbits
+        return (self.c >> self.lc) & ((1 << nbits) - 1)
+
+
+def _canonical_codes(lengths: dict) -> dict:
+    """Code-length dict {symbol: len} → {symbol: code}, exactly the
+    hufCanonicalCodeTable assignment (codes counted per length, first code
+    of each length derived longest-first, then assigned in symbol order)."""
+    n = [0] * 59
+    for l in lengths.values():
+        n[l] += 1
+    c = 0
+    for i in range(58, 0, -1):
+        nc = (c + n[i]) >> 1
+        n[i] = c
+        c = nc
+    codes = {}
+    for sym in sorted(lengths):
+        l = lengths[sym]
+        codes[sym] = n[l]
+        n[l] += 1
+    return codes
+
+
+def _huf_build_lengths(freq: dict) -> dict:
+    """Plain heap Huffman over the present symbols → {symbol: length<=58}."""
+    import heapq
+    heap = [(f, sym, None, None) for sym, f in freq.items()]
+    if len(heap) == 1:
+        return {next(iter(freq)): 1}
+    heapq.heapify(heap)
+    cnt = 0
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        cnt += 1
+        heapq.heappush(heap, (a[0] + b[0], _HUF_ENCSIZE + cnt, a, b))
+    lengths = {}
+
+    def walk(node, depth):
+        if node[2] is None:
+            lengths[node[1]] = max(1, depth)
+        else:
+            walk(node[2], depth + 1)
+            walk(node[3], depth + 1)
+    walk(heap[0], 0)
+    assert max(lengths.values()) <= 58, "pathological Huffman depth"
+    return lengths
+
+
+def _huf_compress(data: np.ndarray) -> bytes:
+    """u16 array → ImfHuf-format block."""
+    vals, counts = np.unique(data, return_counts=True)
+    freq = {int(v): int(c) for v, c in zip(vals, counts)}
+    im = min(freq)
+    iM = max(freq) + 1          # pseudo-symbol: the run-length code
+    freq[iM] = 1
+    lengths = _huf_build_lengths(freq)
+    codes = _canonical_codes(lengths)
+
+    # pack the code-length table (6-bit entries + zero-run codes)
+    tw = _BitWriter()
+    i = im
+    while i <= iM:
+        l = lengths.get(i, 0)
+        if l == 0:
+            zerun = 1
+            while (i + zerun <= iM and zerun < 255 + _SHORTEST_LONG_RUN
+                   and lengths.get(i + zerun, 0) == 0):
+                zerun += 1
+            if zerun >= _SHORTEST_LONG_RUN:
+                tw.put(6, _LONG_ZEROCODE_RUN)
+                tw.put(8, zerun - _SHORTEST_LONG_RUN)
+                i += zerun
+                continue
+            if zerun >= 2:
+                tw.put(6, _SHORT_ZEROCODE_RUN + zerun - 2)
+                i += zerun
+                continue
+        tw.put(6, l)
+        i += 1
+    table = tw.done()
+
+    # encode with run-length folding (sendCode semantics)
+    bw = _BitWriter()
+    arr = data.astype(np.int64)
+    # split into runs of equal values, each capped at 256 (count byte 0-255)
+    change = np.nonzero(np.diff(arr))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(arr)]])
+    rl_code, rl_len = codes[iM], lengths[iM]
+    for s, e in zip(starts, ends):
+        sym = int(arr[s])
+        code, cl = codes[sym], lengths[sym]
+        total = e - s
+        while total > 0:
+            run = min(total, 256) - 1          # extra repeats after first
+            if cl + rl_len + 8 < cl * (run + 1):
+                bw.put(cl, code)
+                bw.put(rl_len, rl_code)
+                bw.put(8, run)
+            else:
+                for _ in range(run + 1):
+                    bw.put(cl, code)
+            total -= run + 1
+    n_bits = bw.lc + 8 * len(bw.out)
+    stream = bw.done()
+    head = struct.pack("<IIIII", im, iM, len(table), n_bits, 0)
+    return head + table + stream
+
+
+def _huf_decompress(block: bytes, n_out: int) -> np.ndarray:
+    im, iM, table_len, n_bits, _ = struct.unpack_from("<IIIII", block, 0)
+    tr = _BitReader(block[20:20 + table_len])
+    lengths = {}
+    i = im
+    while i <= iM:
+        l = tr.get(6)
+        if l == _LONG_ZEROCODE_RUN:
+            i += tr.get(8) + _SHORTEST_LONG_RUN
+        elif l >= _SHORT_ZEROCODE_RUN:
+            i += l - _SHORT_ZEROCODE_RUN + 2
+        else:
+            if l:
+                lengths[i] = l
+            i += 1
+    by_code = {(lengths[s], c): s
+               for s, c in _canonical_codes(lengths).items()}
+    # the bit stream starts byte-aligned after the packed table
+    br = _BitReader(block[20 + table_len:])
+
+    out = np.empty(n_out, np.uint16)
+    n = 0
+    c = 0
+    lc = 0
+    bits_left = n_bits
+    while n < n_out:
+        if bits_left <= 0:
+            raise ValueError("PIZ: huf bit stream exhausted early")
+        c = (c << 1) | br.get(1)
+        lc += 1
+        bits_left -= 1
+        sym = by_code.get((lc, c))
+        if sym is None:
+            if lc > 58:
+                raise ValueError("PIZ: bad huf code")
+            continue
+        c = lc = 0
+        if sym == iM:                      # run-length marker
+            run = br.get(8)
+            bits_left -= 8
+            out[n:n + run] = out[n - 1]
+            n += run
+        else:
+            out[n] = sym
+            n += 1
+    return out
+
+
+def _wdec14(l, h):
+    ls = l.astype(np.int16).astype(np.int32)
+    hs = h.astype(np.int16).astype(np.int32)
+    ai = ls + (hs & 1) + (hs >> 1)
+    return (ai.astype(np.int16).astype(np.uint16),
+            (ai - hs).astype(np.int16).astype(np.uint16))
+
+
+def _wenc14(a, b):
+    ai = a.astype(np.int16).astype(np.int32)
+    bi = b.astype(np.int16).astype(np.int32)
+    m = (ai + bi) >> 1
+    d = ai - bi
+    return (m.astype(np.int16).astype(np.uint16),
+            d.astype(np.int16).astype(np.uint16))
+
+
+_MOD_MASK = 0xFFFF
+_A_OFFSET = 1 << 15
+
+
+def _wdec16(l, h):
+    m = l.astype(np.int32)
+    d = h.astype(np.int32)
+    bb = (m - (d >> 1)) & _MOD_MASK
+    aa = (d + bb - _A_OFFSET) & _MOD_MASK
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wenc16(a, b):
+    ao = (a.astype(np.int32) + _A_OFFSET) & _MOD_MASK
+    m = (ao + b.astype(np.int32)) >> 1
+    d = ao - b.astype(np.int32)
+    m = np.where(d < 0, (m + _A_OFFSET) & _MOD_MASK, m)
+    d &= _MOD_MASK
+    return m.astype(np.uint16), d.astype(np.uint16)
+
+
+def _wav2(plane: np.ndarray, max_value: int, decode: bool) -> None:
+    """In-place 2D wavelet (ImfWav wav2Encode/Decode) on a [ny, nx] u16
+    view. Vectorized per level: every 2x2 block at stride p2 transforms
+    independently."""
+    ny, nx = plane.shape
+    w14 = max_value < (1 << 14)
+    pair = (_wdec14 if decode else _wenc14) if w14 else (
+        _wdec16 if decode else _wenc16)
+    n = min(nx, ny)
+    levels = []
+    p = 1
+    while 2 * p <= n:     # encode order: p = 1, 2, ... while p2 = 2p <= n
+        levels.append(p)
+        p <<= 1
+    if decode:
+        levels = levels[::-1]
+    for p in levels:
+        p2 = p << 1
+        ys = np.arange(0, ny - p2 + 1, p2)
+        xs = np.arange(0, nx - p2 + 1, p2)
+        if len(ys) and len(xs):
+            yy, xx = np.meshgrid(ys, xs, indexing="ij")
+            a00 = plane[yy, xx]
+            a01 = plane[yy, xx + p]
+            a10 = plane[yy + p, xx]
+            a11 = plane[yy + p, xx + p]
+            if decode:
+                i00, i10 = pair(a00, a10)
+                i01, i11 = pair(a01, a11)
+                o00, o01 = pair(i00, i01)
+                o10, o11 = pair(i10, i11)
+            else:
+                i00, i01 = pair(a00, a01)
+                i10, i11 = pair(a10, a11)
+                o00, o10 = pair(i00, i10)
+                o01, o11 = pair(i01, i11)
+            plane[yy, xx] = o00
+            plane[yy, xx + p] = o01
+            plane[yy + p, xx] = o10
+            plane[yy + p, xx + p] = o11
+        if nx & p and len(ys):                 # odd column (1D vertical)
+            cx = (len(xs)) * p2 if len(xs) else 0
+            a, b = pair(plane[ys, cx], plane[ys + p, cx])
+            plane[ys, cx] = a
+            plane[ys + p, cx] = b
+        if ny & p and len(xs):                 # odd row (1D horizontal)
+            cy = (len(ys)) * p2 if len(ys) else 0
+            a, b = pair(plane[cy, xs], plane[cy, xs + p])
+            plane[cy, xs] = a
+            plane[cy, xs + p] = b
+
+
+def _piz_compress(raw: bytes, w: int, n_lines: int, chan_sizes) -> bytes:
+    """One chunk: scanline-interleaved raw bytes → PIZ block.
+    chan_sizes: per (alphabetical) channel, its size in u16 units/sample."""
+    scan_u16 = w * sum(chan_sizes)
+    data = np.frombuffer(raw, "<u2").reshape(n_lines, scan_u16)
+    # channel-planar tmp buffer
+    planes = []
+    col = 0
+    for size in chan_sizes:
+        planes.append(np.ascontiguousarray(
+            data[:, col:col + w * size]))            # [ny, nx*size]
+        col += w * size
+    tmp = np.concatenate([p.reshape(-1) for p in planes])
+
+    # bitmap + forward LUT
+    bitmap = np.zeros(8192, np.uint8)
+    present = np.unique(tmp).astype(np.int64)
+    np.bitwise_or.at(bitmap, present >> 3,
+                     (1 << (present & 7)).astype(np.uint8))
+    bitmap[0] &= 0xFE                                 # zero never stored
+    nz = np.nonzero(bitmap)[0]
+    min_nz = int(nz[0]) if len(nz) else 8191
+    max_nz = int(nz[-1]) if len(nz) else 0
+    bits = np.unpackbits(bitmap, bitorder="little")
+    bits[0] = 1                                       # zero always mapped
+    lut = np.cumsum(bits).astype(np.uint16) - 1
+    lut = np.where(bits.astype(bool), lut, 0).astype(np.uint16)
+    max_value = int(lut.max())
+    tmp = lut[tmp]
+
+    # wavelet per channel plane (FLOAT = 2 interleaved u16 sub-planes)
+    off = 0
+    for size, p in zip(chan_sizes, planes):
+        ny, row = p.shape
+        nxs = row
+        block = tmp[off:off + ny * nxs].reshape(ny, nxs)
+        for j in range(size):
+            _wav2(block[:, j::size], max_value, decode=False)
+        off += ny * nxs
+
+    huf = _huf_compress(tmp)
+    out = struct.pack("<HH", min_nz, max_nz)
+    if min_nz <= max_nz:
+        out += bitmap[min_nz:max_nz + 1].tobytes()
+    out += struct.pack("<i", len(huf)) + huf
+    return out if len(out) < len(raw) else raw
+
+
+def _piz_decompress(payload: bytes, raw_size: int, w: int, n_lines: int,
+                    chan_sizes) -> bytes:
+    if len(payload) == raw_size:                      # stored raw
+        return payload
+    min_nz, max_nz = struct.unpack_from("<HH", payload, 0)
+    pos = 4
+    bitmap = np.zeros(8192, np.uint8)
+    if min_nz <= max_nz:
+        count = max_nz - min_nz + 1
+        bitmap[min_nz:max_nz + 1] = np.frombuffer(payload, np.uint8,
+                                                  count, pos)
+        pos += count
+    huf_len = struct.unpack_from("<i", payload, pos)[0]
+    pos += 4
+    bits = np.unpackbits(bitmap, bitorder="little")
+    bits[0] = 1
+    rlut = np.nonzero(bits)[0].astype(np.uint16)      # compact → value
+    max_value = len(rlut) - 1
+
+    n_u16 = raw_size // 2
+    tmp = _huf_decompress(payload[pos:pos + huf_len], n_u16)
+
+    scan_u16 = w * sum(chan_sizes)
+    off = 0
+    cols = []
+    for size in chan_sizes:
+        nxs = w * size
+        block = tmp[off:off + n_lines * nxs].reshape(n_lines, nxs)
+        for j in range(size):
+            _wav2(block[:, j::size], max_value, decode=True)
+        cols.append(block)
+        off += n_lines * nxs
+    data = np.concatenate(cols, axis=1)
+    assert data.shape == (n_lines, scan_u16)
+    return rlut[data].astype("<u2").tobytes()
 
 
 def _attr(name: str, typ: str, data: bytes) -> bytes:
@@ -115,10 +502,13 @@ def write_exr(path: str, image: np.ndarray, channels=None,
     n_chunks = -(-h // lines)
 
     rows = image[:, :, order].transpose(0, 2, 1).astype(dtype)  # [H, C, W]
+    chan_sizes = [bpp // 2] * nc                     # u16 units per sample
     chunks = []
     for y in range(0, h, lines):
         raw = np.ascontiguousarray(rows[y:y + lines]).tobytes()
-        if comp_id != _COMP_NONE:
+        if comp_id == _COMP_PIZ:
+            raw = _piz_compress(raw, w, min(lines, h - y), chan_sizes)
+        elif comp_id != _COMP_NONE:
             raw = _zip_compress(raw)
         chunks.append((y, raw))
 
@@ -167,7 +557,7 @@ def read_exr(path: str, layers: bool = False):
     comp_id = attrs["compression"][0]
     if comp_id not in _LINES_PER_CHUNK:
         raise NotImplementedError(
-            "only compression NONE/ZIPS/ZIP supported (got type "
+            "only compression NONE/ZIPS/ZIP/PIZ supported (got type "
             f"{comp_id})")
     lines = _LINES_PER_CHUNK[comp_id]
     x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"])
@@ -194,7 +584,11 @@ def read_exr(path: str, layers: bool = False):
         y -= y0
         n_lines = min(lines, h - y)
         payload = data[off + 8:off + 8 + size]
-        if comp_id != _COMP_NONE:
+        if comp_id == _COMP_PIZ:
+            payload = _piz_decompress(
+                payload, n_lines * scan_bytes, w, n_lines,
+                [np.dtype(_DTYPES[pt]).itemsize // 2 for _, pt in chans])
+        elif comp_id != _COMP_NONE:
             payload = _zip_decompress(payload, n_lines * scan_bytes)
         p = 0
         for line in range(n_lines):

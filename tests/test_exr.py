@@ -117,3 +117,69 @@ class TestDenoiserAppContract:
         den = read_exr(out)
         assert den.shape == img.shape
         assert np.isfinite(den).all()
+
+
+class TestPiz:
+    """PIZ codec (wavelet + Huffman, `optix_types` denoiser EXR exchange
+    parity with tinyexr's PIZ reader — `SDK/support/tinyexr/`)."""
+
+    def _img(self, shape, seed=0):
+        rng = np.random.default_rng(seed)
+        img = (rng.normal(0, 1, shape).astype(np.float32) ** 2
+               * rng.choice([0.01, 1.0, 100.0], shape).astype(np.float32))
+        img[::7] = 0.0                     # runs exercise the RLE path
+        return img
+
+    @pytest.mark.parametrize("shape,pt", [
+        ((37, 53, 3), "HALF"),             # odd dims (wavelet leftovers)
+        ((64, 64, 4), "HALF"),             # two chunks, RGBA
+        ((33, 17, 3), "FLOAT"),            # 2-u16 sub-planes
+        ((5, 3, 1), "HALF"),               # tiny (stored-raw fallback)
+        ((100, 200, 3), "HALF"),           # 4 chunks, last partial
+    ])
+    def test_roundtrip(self, shape, pt, tmp_path):
+        from optix_raytracer_tpu.io.exr import read_exr, write_exr
+        img = self._img(shape, seed=sum(shape))
+        p = str(tmp_path / "t.exr")
+        write_exr(p, img, pixel_type=pt, compression="PIZ")
+        back = read_exr(p)
+        ref = (img.astype(np.float16).astype(np.float32)
+               if pt == "HALF" else img)
+        np.testing.assert_array_equal(back, ref)
+
+    def test_actually_compresses(self, tmp_path):
+        import os
+        from optix_raytracer_tpu.io.exr import write_exr
+        # a render-like smooth image (PIZ targets natural images, not noise)
+        y, x = np.mgrid[0:128, 0:128].astype(np.float32)
+        img = np.stack([y / 128, x / 128, (x + y) / 256], -1) * 3.0
+        pz = str(tmp_path / "p.exr")
+        un = str(tmp_path / "n.exr")
+        write_exr(pz, img, compression="PIZ")
+        write_exr(un, img, compression="NONE")
+        assert os.path.getsize(pz) < 0.8 * os.path.getsize(un)
+
+    def test_huffman_unit(self):
+        from optix_raytracer_tpu.io import exr
+        rng = np.random.default_rng(1)
+        for n in (1, 10, 1000, 5000):
+            d = rng.integers(0, 3000, n).astype(np.uint16)
+            d[::5] = 7                      # runs
+            out = exr._huf_decompress(exr._huf_compress(d), n)
+            np.testing.assert_array_equal(out, d)
+        # a 300-long run crosses the 256 RLE cap
+        d = np.full(300, 9, np.uint16)
+        np.testing.assert_array_equal(
+            exr._huf_decompress(exr._huf_compress(d), 300), d)
+
+    def test_wavelet_unit(self):
+        from optix_raytracer_tpu.io import exr
+        rng = np.random.default_rng(2)
+        for shape in ((8, 8), (37, 53), (1, 16), (16, 1), (5, 3),
+                      (33, 17), (32, 100)):
+            for mx in (1000, 60000):        # 14-bit and mod-16 modes
+                d = rng.integers(0, mx + 1, shape).astype(np.uint16)
+                p = d.copy()
+                exr._wav2(p, mx, decode=False)
+                exr._wav2(p, mx, decode=True)
+                np.testing.assert_array_equal(p, d)
