@@ -288,3 +288,58 @@ class TestNeverWorse:
         np.testing.assert_allclose(
             np.asarray(f2.variance_of_mean()),
             np.asarray(film.variance_of_mean()))
+
+
+class TestTemporalSequence:
+    """VERDICT acceptance for the trained TEMPORAL model: on a moving-
+    camera Cornell sequence the trained temporal net must beat the
+    flow-blended per-frame model (the pre-trained-temporal fallback)."""
+
+    def test_moving_camera_cornell(self):
+        from optix_raytracer_tpu.denoise import kpcnn
+        if not kpcnn.has_temporal_weights():
+            pytest.skip("temporal weights not trained yet")
+        from optix_raytracer_tpu.core.camera import Camera
+        from optix_raytracer_tpu.core.film import Film
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        from optix_raytracer_tpu.wavefront.engine import (render_accumulate,
+                                                          render_aovs)
+        w = h = 128
+        scene = cornell_box()
+        cam_prev = Camera(eye=(290.0, 280.0, -900.0),
+                          lookat=(278.0, 273.0, 330.0), up=(0, 1, 0),
+                          fov_y=35.0, aspect=1.0).params()
+        cam_cur = cornell_camera(w, h).params()
+
+        def render(cam, spp, launches):
+            f = Film.create(h, w)
+            for _ in range(launches):
+                f, _ = render_accumulate(scene, cam, f, w, h,
+                                         samples_per_launch=spp // launches,
+                                         max_depth=4, chunk_size=None,
+                                         impl="xla")
+            return np.asarray(f.accum)
+
+        prev = render(cam_prev, 64, 4)       # previous frame's output
+        noisy = render(cam_cur, 4, 4)
+        clean = render(cam_cur, 256, 4)
+        aovs = render_aovs(scene, cam_cur, w, h)
+
+        flow = Denoiser.compute_flow(jnp.asarray(prev), jnp.asarray(noisy))
+        kw = dict(albedo=aovs["albedo"], normal=aovs["normal"],
+                  emission=aovs.get("emission"), flow=flow,
+                  previous_output=prev)
+        d_t = Denoiser(model_kind=ModelKind.TEMPORAL,
+                       backend="kpcnn").setup(w, h)
+        out_t = np.asarray(d_t.invoke(jnp.asarray(noisy), **kw))
+        d_f = Denoiser(model_kind=ModelKind.TEMPORAL,
+                       backend="atrous").setup(w, h)
+        out_f = np.asarray(d_f.invoke(jnp.asarray(noisy), **kw))
+
+        def lmse(x):
+            return float(np.mean((np.log1p(np.maximum(x, 0))
+                                  - np.log1p(np.maximum(clean, 0))) ** 2))
+        noisy_e, t_e, f_e = lmse(noisy), lmse(out_t), lmse(out_f)
+        assert t_e < f_e, (t_e, f_e)
+        assert t_e < 0.5 * noisy_e, (t_e, noisy_e)
