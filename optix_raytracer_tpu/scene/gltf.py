@@ -212,18 +212,22 @@ def _node_matrix(node):
 def _decode_image(gltf, buffers, base_dir, img):
     from PIL import Image
     import io
+    from ..io import ktx2 as ktx2_mod
     if "uri" in img:
         uri = img["uri"]
         if uri.startswith("data:"):
             raw = base64.b64decode(uri.split(",", 1)[1])
-            im = Image.open(io.BytesIO(raw))
         else:
-            im = Image.open(os.path.join(base_dir, uri))
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                raw = f.read()
     else:
         bv = gltf["bufferViews"][img["bufferView"]]
         off = bv.get("byteOffset", 0)
         raw = buffers[bv["buffer"]][off:off + bv["byteLength"]]
-        im = Image.open(io.BytesIO(raw))
+    if ktx2_mod.is_ktx2(raw):
+        # KHR_texture_basisu image payload (uncompressed/zstd/zlib levels)
+        return ktx2_mod.read_ktx2_rgba(raw)
+    im = Image.open(io.BytesIO(raw))
     return np.asarray(im.convert("RGBA"))
 
 
@@ -285,7 +289,9 @@ def load_gltf(path: str) -> GltfScene:
     for tex in gltf.get("textures", []):
         if images is None:
             images = [None] * len(gltf.get("images", []))
-        src = tex.get("source", 0)
+        # KHR_texture_basisu points at a KTX2 image instead of source
+        src = tex.get("extensions", {}).get(
+            "KHR_texture_basisu", {}).get("source", tex.get("source", 0))
         if images[src] is None:
             images[src] = _decode_image(gltf, buffers, base_dir,
                                         gltf["images"][src])
