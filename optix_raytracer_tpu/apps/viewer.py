@@ -163,6 +163,137 @@ def run_interactive(viewer: TracerViewer, out: str):
         plt.pause(0.01)
 
 
+_SERVE_PAGE = """<!doctype html><html><head><title>optix_raytracer_tpu</title>
+<style>body{background:#111;color:#ccc;font-family:monospace;text-align:center}
+img{image-rendering:pixelated;margin-top:12px}</style></head><body>
+<div id=s>connecting…</div><img id=v>
+<div>WASDQE move · arrows orbit · +/- spf · [ ] fov · 9/0 aperture ·
+r reset</div>
+<script>
+const v=document.getElementById('v'),s=document.getElementById('s');
+async function tick(){
+  try{
+    const r=await fetch('/frame.png?'+Date.now());
+    s.textContent=r.headers.get('x-status')||'';
+    const b=await r.blob();
+    const u=URL.createObjectURL(b); v.onload=()=>URL.revokeObjectURL(u);
+    v.src=u;
+  }catch(e){s.textContent='disconnected';}
+  setTimeout(tick,100);
+}
+const KEYS={'ArrowUp':'up','ArrowDown':'down','ArrowLeft':'left',
+            'ArrowRight':'right','=':'+'};
+document.addEventListener('keydown',e=>{
+  const k=KEYS[e.key]||e.key.toLowerCase();
+  fetch('/key?k='+encodeURIComponent(k),{method:'POST'});
+});
+tick();
+</script></body></html>"""
+
+
+class ViewerServer:
+    """HTTP live view: the GLDisplay-blit role (`sutil/GLDisplay.cpp:93-122`)
+    re-expressed for headless TPU hosts — the render loop stays in the main
+    thread next to the device; a browser anywhere on the network polls
+    /frame.png and posts /key, so the 'window' needs no GL, no X, and no
+    display on the host at all."""
+
+    def __init__(self, viewer: TracerViewer, port: int = 0):
+        import http.server
+        import threading
+        self.viewer = viewer
+        self._png = b""
+        self._status = ""
+        self._lock = threading.Lock()
+        self._keys = []
+        srv = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, code, body, ctype, extra=()):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in extra:
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path.startswith("/frame.png"):
+                    with srv._lock:
+                        png, status = srv._png, srv._status
+                    self._send(200, png, "image/png",
+                               [("X-Status", status),
+                                ("Cache-Control", "no-store")])
+                else:
+                    self._send(200, _SERVE_PAGE.encode(), "text/html")
+
+            def do_POST(self):
+                if self.path.startswith("/key?k="):
+                    from urllib.parse import unquote
+                    with srv._lock:
+                        srv._keys.append(unquote(self.path[7:]))
+                    self._send(200, b"ok", "text/plain")
+                else:
+                    self._send(404, b"", "text/plain")
+
+        self.httpd = http.server.ThreadingHTTPServer(("0.0.0.0", port),
+                                                     Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def publish(self, rgba: np.ndarray, status: str = ""):
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(rgba[..., :3]).save(buf, format="PNG")
+        with self._lock:
+            self._png = buf.getvalue()
+            self._status = status
+
+    def pending_keys(self):
+        with self._lock:
+            keys, self._keys = self._keys, []
+        return keys
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def run_server(viewer: TracerViewer, port: int, out: str,
+               max_frames: int = 0):
+    """Serve the progressive render over HTTP until interrupted (or for
+    max_frames frames — test hook)."""
+    server = ViewerServer(viewer, port)
+    print(f"live view: http://localhost:{server.port}/  (ctrl-c to stop)")
+    frames = 0
+    try:
+        while max_frames == 0 or frames < max_frames:
+            for k in server.pending_keys():
+                if k == " " or k == "space":
+                    save_image(out or "render.png", viewer.step())
+                    print(f"saved ({int(viewer.film.subframe)} spp)")
+                else:
+                    viewer.key(k)
+            img = viewer.step()
+            server.publish(
+                img, f"{int(viewer.film.subframe)} spp | spf {viewer.spf} "
+                     f"| fov {viewer.camera.fov_y:.0f} "
+                     f"| {viewer.timers.report()}")
+            frames += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return frames
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="interactive viewer (imgui_test)")
     p.add_argument("--model", "-m", default=None, help=".gltf/.glb model")
@@ -175,6 +306,10 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--interactive", "-w", action="store_true",
                    help="open a live window (needs a display)")
+    p.add_argument("--serve", type=int, nargs="?", const=8000, default=None,
+                   metavar="PORT",
+                   help="serve a live browser view over HTTP (headless "
+                        "hosts; default port 8000)")
     p.add_argument("--checkpoint", default=None,
                    help="write render state here on exit")
     p.add_argument("--resume", default=None, help="resume from a checkpoint")
@@ -194,6 +329,8 @@ def main(argv=None):
 
     if args.interactive:
         run_interactive(viewer, args.file)
+    elif args.serve is not None:
+        run_server(viewer, args.serve, args.file)
     else:
         run_headless(viewer, args.frames, args.file)
 

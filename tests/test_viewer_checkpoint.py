@@ -150,3 +150,109 @@ class TestVolume:
         _, t_hi = vol.march(grid, rays, (0, -1.0, 0), jnp.ones(3),
                             sigma_t=20.0, num_steps=48)
         assert float(t_hi[0]) < float(t_lo[0])
+
+
+class TestViewerInput:
+    """The imgui_test input surface (tracer_window.cpp update_camera /
+    settings panel): every key must mutate viewer state the documented way
+    and dirty-flag the accumulation when the camera changes."""
+
+    def _viewer(self, w=16, h=16):
+        from optix_raytracer_tpu.apps.viewer import TracerViewer
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        return TracerViewer(cornell_box(), cornell_camera(w, h), w, h,
+                            spf_log2=1, max_depth=2)
+
+    def test_move_keys_dirty_and_move(self):
+        v = self._viewer()
+        eye0 = np.asarray(v.camera.eye)
+        v.key("w")
+        assert v.dirty
+        assert not np.allclose(np.asarray(v.camera.eye), eye0)
+
+    def test_orbit_keys(self):
+        v = self._viewer()
+        look0 = np.asarray(v.camera.lookat) - np.asarray(v.camera.eye)
+        v.key("left")
+        look1 = np.asarray(v.camera.lookat) - np.asarray(v.camera.eye)
+        assert v.dirty
+        cos = (look0 @ look1) / (np.linalg.norm(look0)
+                                 * np.linalg.norm(look1))
+        assert cos < 0.9999          # direction actually rotated
+
+    def test_settings_keys(self):
+        v = self._viewer()
+        s0 = v.spf
+        v.key("+")
+        assert v.spf == 2 * s0
+        v.key("-")
+        v.key("-")
+        assert v.spf == max(s0 // 2, 1)
+        f0 = v.camera.fov_y
+        v.key("[")
+        assert v.camera.fov_y == f0 - 5 and v.dirty
+        v.key("]")
+        assert v.camera.fov_y == f0
+        a0 = v.camera.aperture
+        v.key("0")
+        assert v.camera.aperture == a0 + 2.0
+        v.key("9")
+        assert v.camera.aperture == a0
+
+    def test_dirty_resets_film(self):
+        v = self._viewer()
+        v.step()
+        assert int(v.film.subframe) > 0
+        v.key("r")
+        v.step()
+        assert int(v.film.subframe) == v.spf      # restarted then rendered
+
+
+class TestViewerServer:
+    """The HTTP live-view display path (the GLDisplay-blit role on a
+    headless host): page serves, frames publish as valid PNG, posted keys
+    reach the viewer."""
+
+    def test_serve_roundtrip(self):
+        import io
+        import urllib.request
+        from PIL import Image
+        from optix_raytracer_tpu.apps.viewer import TracerViewer, ViewerServer
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        w = h = 16
+        v = TracerViewer(cornell_box(), cornell_camera(w, h), w, h,
+                         spf_log2=0, max_depth=2)
+        srv = ViewerServer(v, port=0)
+        try:
+            base = f"http://127.0.0.1:{srv.port}"
+            page = urllib.request.urlopen(base + "/").read()
+            assert b"frame.png" in page
+            srv.publish(v.step(), "7 spp")
+            r = urllib.request.urlopen(base + "/frame.png")
+            assert r.headers["X-Status"] == "7 spp"
+            img = Image.open(io.BytesIO(r.read()))
+            assert img.size == (w, h)
+            req = urllib.request.Request(base + "/key?k=w", method="POST")
+            urllib.request.urlopen(req)
+            keys = None
+            for _ in range(50):
+                keys = srv.pending_keys()
+                if keys:
+                    break
+            assert keys == ["w"]
+            v.key(keys[0])
+            assert v.dirty
+        finally:
+            srv.close()
+
+    def test_run_server_frames(self):
+        from optix_raytracer_tpu.apps.viewer import TracerViewer, run_server
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        w = h = 16
+        v = TracerViewer(cornell_box(), cornell_camera(w, h), w, h,
+                         spf_log2=0, max_depth=2)
+        n = run_server(v, port=0, out="", max_frames=3)
+        assert n == 3 and int(v.film.subframe) == 3
