@@ -18,6 +18,7 @@ reassociation — the XLA engine doubles as this kernel's oracle in tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -289,7 +290,8 @@ def pack_camera(cam_params, miss_color) -> jnp.ndarray:
 
 def _make_kernel(width, height, full_w, full_h,
                  num_tris, num_mats, max_depth, spl, has_specular=True,
-                 has_pbr=False, prim_kinds=(), inst_ranges=()):
+                 has_pbr=False, prim_kinds=(), inst_ranges=(),
+                 regen=False):
     """has_specular=False (no glass/mirror materials in the scene — a static
     scene feature) drops the reflect/refract/fresnel block from the bounce,
     ~10% fewer VPU ops on diffuse-only scenes like the Cornell benchmark.
@@ -486,10 +488,12 @@ def _make_kernel(width, height, full_w, full_h,
                     (hy - (pay + yh * bay)) * inv_r,
                     (hz - (paz + yh * baz)) * inv_r)
 
-        def sample_body(s, accum):
-            acc_r, acc_g, acc_b, count = accum
-            subframe = subframe0 + s
-            rng = _tea(pixel_index, jnp.full(lane.shape, 1, jnp.int32) * subframe)
+        def raygen_state(sv, count):
+            """Fresh path state for per-lane sample indices `sv` (engine
+            raygen parity; the RNG stream is a pure function of
+            (pixel, subframe0+sv), so lanes at different sample indices
+            stay bit-identical to the lock-step engine)."""
+            rng = _tea(pixel_index, subframe0 + sv)
 
             # --- raygen (camera.generate_rays parity) ---
             jx, jy, rng = _uniform2(rng)
@@ -536,399 +540,454 @@ def _make_kernel(width, height, full_w, full_h,
             dz = jnp.where(use_dof, ddz, dz)
 
             # --- path state ---
-            state = (ox, oy, oz, dx, dy, dz,
-                     jnp.full(lane.shape, 1.0, jnp.float32),  # throughput rgb
-                     jnp.full(lane.shape, 1.0, jnp.float32),
-                     jnp.full(lane.shape, 1.0, jnp.float32),
-                     fzero, fzero, fzero,                      # radiance rgb
-                     rng,
-                     jnp.ones(lane.shape, jnp.int32),          # active
-                     jnp.ones(lane.shape, jnp.int32),          # prev_specular
-                     count,
-                     jnp.full(lane.shape, RAY_TMIN * 1e-2, jnp.float32),  # tmin
-                     jnp.full(lane.shape, 1e16, jnp.float32))  # tmax
+            return (ox, oy, oz, dx, dy, dz,
+                    jnp.full(lane.shape, 1.0, jnp.float32),  # throughput rgb
+                    jnp.full(lane.shape, 1.0, jnp.float32),
+                    jnp.full(lane.shape, 1.0, jnp.float32),
+                    fzero, fzero, fzero,                      # radiance rgb
+                    rng,
+                    jnp.ones(lane.shape, jnp.int32),          # active
+                    jnp.ones(lane.shape, jnp.int32),          # prev_specular
+                    count,
+                    jnp.full(lane.shape, RAY_TMIN * 1e-2, jnp.float32),
+                    jnp.full(lane.shape, 1e16, jnp.float32))  # tmin/tmax
 
-            def inst_xform_ray(i, rox, roy, roz, rdx, rdy, rdz):
-                """World ray → instance i's object space (3x4 inverse from
-                the SMEM inst plane). Direction stays UNNORMALIZED so the
-                object-space t equals the world-space t."""
-                c = [inst_ref[i, j] for j in range(12)]
-                return ((c[0] * rox + c[1] * roy + c[2] * roz + c[3],
-                         c[4] * rox + c[5] * roy + c[6] * roz + c[7],
-                         c[8] * rox + c[9] * roy + c[10] * roz + c[11]),
-                        (c[0] * rdx + c[1] * rdy + c[2] * rdz,
-                         c[4] * rdx + c[5] * rdy + c[6] * rdz,
-                         c[8] * rdx + c[9] * rdy + c[10] * rdz))
+        def inst_xform_ray(i, rox, roy, roz, rdx, rdy, rdz):
+            """World ray → instance i's object space (3x4 inverse from
+            the SMEM inst plane). Direction stays UNNORMALIZED so the
+            object-space t equals the world-space t."""
+            c = [inst_ref[i, j] for j in range(12)]
+            return ((c[0] * rox + c[1] * roy + c[2] * roz + c[3],
+                     c[4] * rox + c[5] * roy + c[6] * roz + c[7],
+                     c[8] * rox + c[9] * roy + c[10] * roz + c[11]),
+                    (c[0] * rdx + c[1] * rdy + c[2] * rdz,
+                     c[4] * rdx + c[5] * rdy + c[6] * rdz,
+                     c[8] * rdx + c[9] * rdy + c[10] * rdz))
 
-            def bounce(depth, st):
-                (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_, rng,
-                 active, prev_spec, count, tmin, tmax) = st
+        def bounce(depth, st):
+            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_, rng,
+             active, prev_spec, count, tmin, tmax) = st
 
-                # --- closest hit over SMEM triangles ---
-                neg1 = jnp.full(lane.shape, -1, jnp.int32)
+            # --- closest hit over SMEM triangles ---
+            neg1 = jnp.full(lane.shape, -1, jnp.int32)
 
-                def tri_body_rays(rox, roy, roz, rdx, rdy, rdz,
-                                  sbt_off=None, inst_i=None):
-                    def tri_body(t, carry):
-                        bt, bid, bmid, bnx, bny, bnz, binst = carry
-                        consts = _load_tri(tri_ref, t)
-                        tt, uu, vv, dpz = _tri_test(consts, rox, roy, roz,
-                                                    rdx, rdy, rdz)
-                        ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-                              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                              & (tt > tmin) & (tt < bt))
-                        mid = tri_ref[t, 15]
-                        if sbt_off is not None:
-                            mid = mid + sbt_off
-                        bt = jnp.where(ok, tt, bt)
-                        bid = jnp.where(ok, t, bid)
-                        bmid = jnp.where(ok, mid.astype(jnp.int32), bmid)
-                        bnx = jnp.where(ok, consts[12], bnx)
-                        bny = jnp.where(ok, consts[13], bny)
-                        bnz = jnp.where(ok, consts[14], bnz)
-                        if inst_i is not None:
-                            binst = jnp.where(ok, inst_i, binst)
-                        return bt, bid, bmid, bnx, bny, bnz, binst
-                    return tri_body
+            def tri_body_rays(rox, roy, roz, rdx, rdy, rdz,
+                              sbt_off=None, inst_i=None):
+                def tri_body(t, carry):
+                    bt, bid, bmid, bnx, bny, bnz, binst = carry
+                    consts = _load_tri(tri_ref, t)
+                    tt, uu, vv, dpz = _tri_test(consts, rox, roy, roz,
+                                                rdx, rdy, rdz)
+                    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                          & (tt > tmin) & (tt < bt))
+                    mid = tri_ref[t, 15]
+                    if sbt_off is not None:
+                        mid = mid + sbt_off
+                    bt = jnp.where(ok, tt, bt)
+                    bid = jnp.where(ok, t, bid)
+                    bmid = jnp.where(ok, mid.astype(jnp.int32), bmid)
+                    bnx = jnp.where(ok, consts[12], bnx)
+                    bny = jnp.where(ok, consts[13], bny)
+                    bnz = jnp.where(ok, consts[14], bnz)
+                    if inst_i is not None:
+                        binst = jnp.where(ok, inst_i, binst)
+                    return bt, bid, bmid, bnx, bny, bnz, binst
+                return tri_body
 
-                init = (tmax, neg1, neg1, fzero, fzero, fzero, neg1)
-                if inst_ranges:
-                    carry = init
-                    for i, (lo, hi) in enumerate(inst_ranges):
-                        (rox, roy, roz), (rdx, rdy, rdz) = inst_xform_ray(
-                            i, ox, oy, oz, dx, dy, dz)
-                        body = tri_body_rays(rox, roy, roz, rdx, rdy, rdz,
-                                             sbt_off=inst_ref[i, 12],
-                                             inst_i=i)
-                        if hi - lo <= 64:
-                            for t in range(lo, hi):
-                                carry = body(t, carry)
-                        else:
-                            carry = jax.lax.fori_loop(lo, hi, body, carry)
-                    bt, bid, bmid, gnx, gny, gnz, binst = carry
-                    # winner's OBJECT-space normal back to world by the
-                    # inverse-transpose row rule w_k = sum_j n_j inv[j][k]
-                    # (matches tlas.intersect_instances), then normalize.
-                    for i in range(len(inst_ranges)):
-                        c = [inst_ref[i, j] for j in range(12)]
-                        sel = binst == i
-                        wx = gnx * c[0] + gny * c[4] + gnz * c[8]
-                        wy = gnx * c[1] + gny * c[5] + gnz * c[9]
-                        wz = gnx * c[2] + gny * c[6] + gnz * c[10]
-                        gnx = jnp.where(sel, wx, gnx)
-                        gny = jnp.where(sel, wy, gny)
-                        gnz = jnp.where(sel, wz, gnz)
-                    gnx, gny, gnz = _normalize3(gnx, gny, gnz)
-                # Static unroll for small meshes: removes scf loop control
-                # and lets Mosaic pipeline SMEM scalar loads with vector
-                # work.
-                elif num_tris <= 64:
-                    carry = init
-                    body = tri_body_rays(ox, oy, oz, dx, dy, dz)
-                    for t in range(num_tris):
-                        carry = body(t, carry)
-                    bt, bid, bmid, gnx, gny, gnz, _ = carry
-                else:
-                    bt, bid, bmid, gnx, gny, gnz, _ = jax.lax.fori_loop(
-                        0, num_tris, tri_body_rays(ox, oy, oz, dx, dy, dz),
-                        init)
+            init = (tmax, neg1, neg1, fzero, fzero, fzero, neg1)
+            if inst_ranges:
+                carry = init
+                for i, (lo, hi) in enumerate(inst_ranges):
+                    (rox, roy, roz), (rdx, rdy, rdz) = inst_xform_ray(
+                        i, ox, oy, oz, dx, dy, dz)
+                    body = tri_body_rays(rox, roy, roz, rdx, rdy, rdz,
+                                         sbt_off=inst_ref[i, 12],
+                                         inst_i=i)
+                    if hi - lo <= 64:
+                        for t in range(lo, hi):
+                            carry = body(t, carry)
+                    else:
+                        carry = jax.lax.fori_loop(lo, hi, body, carry)
+                bt, bid, bmid, gnx, gny, gnz, binst = carry
+                # winner's OBJECT-space normal back to world by the
+                # inverse-transpose row rule w_k = sum_j n_j inv[j][k]
+                # (matches tlas.intersect_instances), then normalize.
+                for i in range(len(inst_ranges)):
+                    c = [inst_ref[i, j] for j in range(12)]
+                    sel = binst == i
+                    wx = gnx * c[0] + gny * c[4] + gnz * c[8]
+                    wy = gnx * c[1] + gny * c[5] + gnz * c[9]
+                    wz = gnx * c[2] + gny * c[6] + gnz * c[10]
+                    gnx = jnp.where(sel, wx, gnx)
+                    gny = jnp.where(sel, wy, gny)
+                    gnz = jnp.where(sel, wz, gnz)
+                gnx, gny, gnz = _normalize3(gnx, gny, gnz)
+            # Static unroll for small meshes: removes scf loop control
+            # and lets Mosaic pipeline SMEM scalar loads with vector
+            # work.
+            elif num_tris <= 64:
+                carry = init
+                body = tri_body_rays(ox, oy, oz, dx, dy, dz)
+                for t in range(num_tris):
+                    carry = body(t, carry)
+                bt, bid, bmid, gnx, gny, gnz, _ = carry
+            else:
+                bt, bid, bmid, gnx, gny, gnz, _ = jax.lax.fori_loop(
+                    0, num_tris, tri_body_rays(ox, oy, oz, dx, dy, dz),
+                    init)
 
-                # --- custom prims (static per-kind intersectors) ---
+            # --- custom prims (static per-kind intersectors) ---
+            for p_i, k_i in enumerate(prim_kinds):
+                cands = prim_candidates(p_i, k_i, ox, oy, oz,
+                                        dx, dy, dz)
+                pmid = prim_ref[p_i, 12].astype(jnp.int32)
+                for tt, okg in cands:
+                    ok = okg & (tt > tmin) & (tt < bt)
+                    bt = jnp.where(ok, tt, bt)
+                    bid = jnp.where(ok, num_tris + p_i, bid)
+                    bmid = jnp.where(ok, pmid, bmid)
+            if prim_kinds:
+                # winner-only normal recomputation at the hit point
+                phx = ox + bt * dx
+                phy = oy + bt * dy
+                phz = oz + bt * dz
                 for p_i, k_i in enumerate(prim_kinds):
-                    cands = prim_candidates(p_i, k_i, ox, oy, oz,
-                                            dx, dy, dz)
-                    pmid = prim_ref[p_i, 12].astype(jnp.int32)
-                    for tt, okg in cands:
-                        ok = okg & (tt > tmin) & (tt < bt)
-                        bt = jnp.where(ok, tt, bt)
-                        bid = jnp.where(ok, num_tris + p_i, bid)
-                        bmid = jnp.where(ok, pmid, bmid)
-                if prim_kinds:
-                    # winner-only normal recomputation at the hit point
-                    phx = ox + bt * dx
-                    phy = oy + bt * dy
-                    phz = oz + bt * dz
-                    for p_i, k_i in enumerate(prim_kinds):
-                        pnx, pny, pnz = prim_normal(p_i, k_i, phx, phy, phz)
-                        sel = bid == num_tris + p_i
-                        gnx = jnp.where(sel, pnx, gnx)
-                        gny = jnp.where(sel, pny, gny)
-                        gnz = jnp.where(sel, pnz, gnz)
+                    pnx, pny, pnz = prim_normal(p_i, k_i, phx, phy, phz)
+                    sel = bid == num_tris + p_i
+                    gnx = jnp.where(sel, pnx, gnx)
+                    gny = jnp.where(sel, pny, gny)
+                    gnz = jnp.where(sel, pnz, gnz)
 
-                hit = bid >= 0
-                hit_valid = hit & (active > 0)
+            hit = bid >= 0
+            hit_valid = hit & (active > 0)
 
-                # miss: constant background
-                miss_take = ((active > 0) & ~hit).astype(jnp.float32)
-                rr_ = rr_ + miss_take * tr * miss_r
-                rg_ = rg_ + miss_take * tg * miss_g
-                rb_ = rb_ + miss_take * tb * miss_b
+            # miss: constant background
+            miss_take = ((active > 0) & ~hit).astype(jnp.float32)
+            rr_ = rr_ + miss_take * tr * miss_r
+            rg_ = rg_ + miss_take * tg * miss_g
+            rb_ = rb_ + miss_take * tb * miss_b
 
-                # --- material fetch (K-way select from SMEM) ---
-                kind = fzero
-                alb_r = fzero
-                alb_g = fzero
-                alb_b = fzero
-                em_r = fzero
-                em_g = fzero
-                em_b = fzero
-                metallic = fzero
-                rough = fzero
-                ior = jnp.full(lane.shape, 1.5, jnp.float32)
-                kr_r = fzero
-                kr_g = fzero
-                kr_b = fzero
-                for k in range(num_mats):
-                    sel = bmid == k
-                    kind = jnp.where(sel, mat_tbl_ref[k, 0], kind)
-                    alb_r = jnp.where(sel, mat_tbl_ref[k, 1], alb_r)
-                    alb_g = jnp.where(sel, mat_tbl_ref[k, 2], alb_g)
-                    alb_b = jnp.where(sel, mat_tbl_ref[k, 3], alb_b)
-                    em_r = jnp.where(sel, mat_tbl_ref[k, 4], em_r)
-                    em_g = jnp.where(sel, mat_tbl_ref[k, 5], em_g)
-                    em_b = jnp.where(sel, mat_tbl_ref[k, 6], em_b)
-                    if has_specular or has_pbr:
-                        metallic = jnp.where(sel, mat_tbl_ref[k, 7], metallic)
-                        rough = jnp.where(sel, mat_tbl_ref[k, 12], rough)
-                    if has_specular:
-                        ior = jnp.where(sel, mat_tbl_ref[k, 8], ior)
-                        kr_r = jnp.where(sel, mat_tbl_ref[k, 9], kr_r)
-                        kr_g = jnp.where(sel, mat_tbl_ref[k, 10], kr_g)
-                        kr_b = jnp.where(sel, mat_tbl_ref[k, 11], kr_b)
-
-                # two-sided shading normal
-                flip = jnp.where(_dot3(gnx, gny, gnz, dx, dy, dz) > 0.0, -1.0, 1.0)
-                nx, ny, nz = gnx * flip, gny * flip, gnz * flip
-
-                px = ox + bt * dx
-                py = oy + bt * dy
-                pz = oz + bt * dz
-
-                # emission on primary/specular-previous hits
-                em_take = (hit_valid & (prev_spec > 0)).astype(jnp.float32)
-                rr_ = rr_ + em_take * tr * em_r
-                rg_ = rg_ + em_take * tg * em_g
-                rb_ = rb_ + em_take * tb * em_b
-
+            # --- material fetch (K-way select from SMEM) ---
+            kind = fzero
+            alb_r = fzero
+            alb_g = fzero
+            alb_b = fzero
+            em_r = fzero
+            em_g = fzero
+            em_b = fzero
+            metallic = fzero
+            rough = fzero
+            ior = jnp.full(lane.shape, 1.5, jnp.float32)
+            kr_r = fzero
+            kr_g = fzero
+            kr_b = fzero
+            for k in range(num_mats):
+                sel = bmid == k
+                kind = jnp.where(sel, mat_tbl_ref[k, 0], kind)
+                alb_r = jnp.where(sel, mat_tbl_ref[k, 1], alb_r)
+                alb_g = jnp.where(sel, mat_tbl_ref[k, 2], alb_g)
+                alb_b = jnp.where(sel, mat_tbl_ref[k, 3], alb_b)
+                em_r = jnp.where(sel, mat_tbl_ref[k, 4], em_r)
+                em_g = jnp.where(sel, mat_tbl_ref[k, 5], em_g)
+                em_b = jnp.where(sel, mat_tbl_ref[k, 6], em_b)
+                if has_specular or has_pbr:
+                    metallic = jnp.where(sel, mat_tbl_ref[k, 7], metallic)
+                    rough = jnp.where(sel, mat_tbl_ref[k, 12], rough)
                 if has_specular:
-                    is_glass = kind == glass_kind
-                    # Matches engine.py's mirror classification exactly:
-                    # rough fully-metallic PBR must NOT go down the mirror lane.
-                    is_mirror = ((kind == pbr_kind) & (metallic > 0.99)
-                                 & (rough <= 0.05))
-                    is_specular = is_glass | is_mirror
-                    is_diffuse = ~is_specular
-                else:
-                    false_lane = jnp.zeros(lane.shape, bool)
-                    is_glass = is_mirror = is_specular = false_lane
-                    is_diffuse = ~false_lane
-                if has_pbr:
-                    is_pbr = (kind == pbr_kind) & ~is_mirror
-                else:
-                    is_pbr = jnp.zeros(lane.shape, bool)
+                    ior = jnp.where(sel, mat_tbl_ref[k, 8], ior)
+                    kr_r = jnp.where(sel, mat_tbl_ref[k, 9], kr_r)
+                    kr_g = jnp.where(sel, mat_tbl_ref[k, 10], kr_g)
+                    kr_b = jnp.where(sel, mat_tbl_ref[k, 11], kr_b)
 
-                ta_r, ta_g, ta_b = tr * alb_r, tg * alb_g, tb * alb_b
+            # two-sided shading normal
+            flip = jnp.where(_dot3(gnx, gny, gnz, dx, dy, dz) > 0.0, -1.0, 1.0)
+            nx, ny, nz = gnx * flip, gny * flip, gnz * flip
 
-                # --- NEE: sample light, weight, shadow ray over triangles ---
-                u1, u2, rng = _uniform2(rng)
-                lpx = lcx + u1 * lv1x + u2 * lv2x
-                lpy = lcy + u1 * lv1y + u2 * lv2y
-                lpz = lcz + u1 * lv1z + u2 * lv2z
-                dxl = lpx - px
-                dyl = lpy - py
-                dzl = lpz - pz
-                dist2 = jnp.maximum(_dot3(dxl, dyl, dzl, dxl, dyl, dzl), 1e-12)
-                dist = jnp.sqrt(dist2)
-                inv_dist = 1.0 / dist
-                wix, wiy, wiz = dxl * inv_dist, dyl * inv_dist, dzl * inv_dist
-                n_dl = _dot3(nx, ny, nz, wix, wiy, wiz)
-                ln_dl = jnp.abs(lnx * wix + lny * wiy + lnz * wiz)
+            px = ox + bt * dx
+            py = oy + bt * dy
+            pz = oz + bt * dz
 
-                sh_tmin = jnp.full(lane.shape, RAY_TMIN, jnp.float32)
-                sh_tmax = dist * SHADOW_TMAX_SCALE
+            # emission on primary/specular-previous hits
+            em_take = (hit_valid & (prev_spec > 0)).astype(jnp.float32)
+            rr_ = rr_ + em_take * tr * em_r
+            rg_ = rg_ + em_take * tg * em_g
+            rb_ = rb_ + em_take * tb * em_b
 
-                def sh_body_rays(sox, soy, soz, sdx, sdy, sdz):
-                    def sh_body(t, occ):
-                        consts = _load_tri(tri_ref, t)
-                        tt, uu, vv, dpz = _tri_test(consts, sox, soy, soz,
-                                                    sdx, sdy, sdz)
-                        ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-                              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                              & (tt > sh_tmin) & (tt < sh_tmax))
-                        return jnp.maximum(occ, ok.astype(jnp.int32))
-                    return sh_body
+            if has_specular:
+                is_glass = kind == glass_kind
+                # Matches engine.py's mirror classification exactly:
+                # rough fully-metallic PBR must NOT go down the mirror lane.
+                is_mirror = ((kind == pbr_kind) & (metallic > 0.99)
+                             & (rough <= 0.05))
+                is_specular = is_glass | is_mirror
+                is_diffuse = ~is_specular
+            else:
+                false_lane = jnp.zeros(lane.shape, bool)
+                is_glass = is_mirror = is_specular = false_lane
+                is_diffuse = ~false_lane
+            if has_pbr:
+                is_pbr = (kind == pbr_kind) & ~is_mirror
+            else:
+                is_pbr = jnp.zeros(lane.shape, bool)
 
-                occ = jnp.zeros(lane.shape, jnp.int32)
-                if inst_ranges:
-                    # Shadow ray through each instance's object space; t
-                    # stays in world units (unnormalized direction), so
-                    # the [sh_tmin, sh_tmax) window applies unchanged.
-                    for i, (lo, hi) in enumerate(inst_ranges):
-                        (sox, soy, soz), (sdx, sdy, sdz) = inst_xform_ray(
-                            i, px, py, pz, wix, wiy, wiz)
-                        body = sh_body_rays(sox, soy, soz, sdx, sdy, sdz)
-                        if hi - lo <= 64:
-                            for t in range(lo, hi):
-                                occ = body(t, occ)
-                        else:
-                            occ = jax.lax.fori_loop(lo, hi, body, occ)
-                elif num_tris <= 64:
-                    body = sh_body_rays(px, py, pz, wix, wiy, wiz)
-                    for t in range(num_tris):
-                        occ = body(t, occ)
-                else:
-                    occ = jax.lax.fori_loop(
-                        0, num_tris, sh_body_rays(px, py, pz, wix, wiy, wiz),
-                        occ)
-                for p_i, k_i in enumerate(prim_kinds):
-                    for tt, okg in prim_candidates(p_i, k_i, px, py, pz,
-                                                       wix, wiy, wiz):
-                        ok = okg & (tt > sh_tmin) & (tt < sh_tmax)
-                        occ = jnp.maximum(occ, ok.astype(jnp.int32))
-                w_l = jnp.where((n_dl > 0.0) & (occ == 0),
-                                n_dl * ln_dl * larea
-                                / (jnp.float32(np.pi) * dist2), 0.0)
-                nee_take = (hit_valid & is_diffuse
-                            & ~is_pbr).astype(jnp.float32) * w_l
-                rr_ = rr_ + nee_take * ta_r * lemr
-                rg_ = rg_ + nee_take * ta_g * lemg
-                rb_ = rb_ + nee_take * ta_b * lemb
-                if has_pbr:
-                    # PBR lanes: full-BRDF NEE, T * f * em * nDl*LnDl*A/d^2
-                    # (engine.py _nee_direct_light pbr branch).
-                    nfr, nfg, nfb = _pbr_brdf3(
-                        nx, ny, nz, -dx, -dy, -dz, wix, wiy, wiz,
-                        alb_r, alb_g, alb_b, metallic, rough)
-                    w2 = jnp.where((n_dl > 0.0) & (occ == 0),
-                                   n_dl * ln_dl * larea / dist2, 0.0)
-                    pbr_take = (hit_valid & is_pbr).astype(jnp.float32) * w2
-                    rr_ = rr_ + pbr_take * tr * nfr * lemr
-                    rg_ = rg_ + pbr_take * tg * nfg * lemg
-                    rb_ = rb_ + pbr_take * tb * nfb * lemb
+            ta_r, ta_g, ta_b = tr * alb_r, tg * alb_g, tb * alb_b
 
-                # --- next direction ---
-                u1, u2, rng = _uniform2(rng)
-                cdx, cdy, cdz = _cosine_sample(u1, u2, nx, ny, nz)
-                dn = _dot3(dx, dy, dz, nx, ny, nz)
+            # --- NEE: sample light, weight, shadow ray over triangles ---
+            u1, u2, rng = _uniform2(rng)
+            lpx = lcx + u1 * lv1x + u2 * lv2x
+            lpy = lcy + u1 * lv1y + u2 * lv2y
+            lpz = lcz + u1 * lv1z + u2 * lv2z
+            dxl = lpx - px
+            dyl = lpy - py
+            dzl = lpz - pz
+            dist2 = jnp.maximum(_dot3(dxl, dyl, dzl, dxl, dyl, dzl), 1e-12)
+            dist = jnp.sqrt(dist2)
+            inv_dist = 1.0 / dist
+            wix, wiy, wiz = dxl * inv_dist, dyl * inv_dist, dzl * inv_dist
+            n_dl = _dot3(nx, ny, nz, wix, wiy, wiz)
+            ln_dl = jnp.abs(lnx * wix + lny * wiy + lnz * wiz)
 
-                if has_pbr:
-                    # One-sample MIS between the cosine and GGX lobes —
-                    # identical math AND draw order to the XLA engine.
-                    rclamp = jnp.maximum(rough, 0.05)
-                    u5p, u6p, rng = _uniform2(rng)
-                    hvx, hvy, hvz = _ggx_sample_half(u5p, u6p, nx, ny, nz,
-                                                     rclamp)
-                    dh = _dot3(dx, dy, dz, hvx, hvy, hvz)
-                    ggx, ggy, ggz = _normalize3(dx - 2.0 * dh * hvx,
-                                                dy - 2.0 * dh * hvy,
-                                                dz - 2.0 * dh * hvz)
-                    p_spec = jnp.clip(0.5 * metallic + 0.1, 0.05, 0.95)
-                    u7p, _u8p, rng = _uniform2(rng)
-                    choose_spec = u7p < p_spec
-                    pdx = jnp.where(choose_spec, ggx, cdx)
-                    pdy = jnp.where(choose_spec, ggy, cdy)
-                    pdz = jnp.where(choose_spec, ggz, cdz)
-                    pfr, pfg, pfb = _pbr_brdf3(
-                        nx, ny, nz, -dx, -dy, -dz, pdx, pdy, pdz,
-                        alb_r, alb_g, alb_b, metallic, rclamp)
-                    ppdf = _pbr_pdf3(nx, ny, nz, -dx, -dy, -dz,
-                                     pdx, pdy, pdz, rclamp, p_spec)
-                    n_dl_p = jnp.maximum(_dot3(nx, ny, nz, pdx, pdy, pdz),
-                                         0.0)
-                    pvalid = (n_dl_p > 1e-5) & (ppdf > 1e-7)
-                    pscale = jnp.where(pvalid,
-                                       n_dl_p / jnp.maximum(ppdf, 1e-7),
-                                       0.0)
-                    ptr = tr * pfr * pscale
-                    ptg = tg * pfg * pscale
-                    ptb = tb * pfb * pscale
-                    ipf = is_pbr
-                    cdx = jnp.where(ipf, pdx, cdx)
-                    cdy = jnp.where(ipf, pdy, cdy)
-                    cdz = jnp.where(ipf, pdz, cdz)
+            sh_tmin = jnp.full(lane.shape, RAY_TMIN, jnp.float32)
+            sh_tmax = dist * SHADOW_TMAX_SCALE
 
-                if has_specular:
-                    mrx, mry, mrz = _normalize3(dx - 2.0 * dn * nx,
-                                                dy - 2.0 * dn * ny,
-                                                dz - 2.0 * dn * nz)
+            def sh_body_rays(sox, soy, soz, sdx, sdy, sdz):
+                def sh_body(t, occ):
+                    consts = _load_tri(tri_ref, t)
+                    tt, uu, vv, dpz = _tri_test(consts, sox, soy, soz,
+                                                sdx, sdy, sdz)
+                    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                          & (tt > sh_tmin) & (tt < sh_tmax))
+                    return jnp.maximum(occ, ok.astype(jnp.int32))
+                return sh_body
 
-                    # glass refract/reflect
-                    entering = _dot3(dx, dy, dz, gnx, gny, gnz) < 0.0
-                    eta = jnp.where(entering, 1.0 / ior, ior)
-                    cos_i = jnp.clip(-dn, 0.0, 1.0)
-                    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
-                    refr_ok = sin2_t <= 1.0
-                    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
-                    rfx = eta * dx + (eta * cos_i - cos_t) * nx
-                    rfy = eta * dy + (eta * cos_i - cos_t) * ny
-                    rfz = eta * dz + (eta * cos_i - cos_t) * nz
-                    rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
-                    r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
-                    one_m = 1.0 - cos_i
-                    fres = r0 + (1.0 - r0) * one_m ** 5
-                    u3, _u4, rng = _uniform2(rng)
-                    gl_refl = (~refr_ok) | (u3 < fres)
-                    gdx = jnp.where(gl_refl, mrx, rfx)
-                    gdy = jnp.where(gl_refl, mry, rfy)
-                    gdz = jnp.where(gl_refl, mrz, rfz)
+            occ = jnp.zeros(lane.shape, jnp.int32)
+            if inst_ranges:
+                # Shadow ray through each instance's object space; t
+                # stays in world units (unnormalized direction), so
+                # the [sh_tmin, sh_tmax) window applies unchanged.
+                for i, (lo, hi) in enumerate(inst_ranges):
+                    (sox, soy, soz), (sdx, sdy, sdz) = inst_xform_ray(
+                        i, px, py, pz, wix, wiy, wiz)
+                    body = sh_body_rays(sox, soy, soz, sdx, sdy, sdz)
+                    if hi - lo <= 64:
+                        for t in range(lo, hi):
+                            occ = body(t, occ)
+                    else:
+                        occ = jax.lax.fori_loop(lo, hi, body, occ)
+            elif num_tris <= 64:
+                body = sh_body_rays(px, py, pz, wix, wiy, wiz)
+                for t in range(num_tris):
+                    occ = body(t, occ)
+            else:
+                occ = jax.lax.fori_loop(
+                    0, num_tris, sh_body_rays(px, py, pz, wix, wiy, wiz),
+                    occ)
+            for p_i, k_i in enumerate(prim_kinds):
+                for tt, okg in prim_candidates(p_i, k_i, px, py, pz,
+                                                   wix, wiy, wiz):
+                    ok = okg & (tt > sh_tmin) & (tt < sh_tmax)
+                    occ = jnp.maximum(occ, ok.astype(jnp.int32))
+            w_l = jnp.where((n_dl > 0.0) & (occ == 0),
+                            n_dl * ln_dl * larea
+                            / (jnp.float32(np.pi) * dist2), 0.0)
+            nee_take = (hit_valid & is_diffuse
+                        & ~is_pbr).astype(jnp.float32) * w_l
+            rr_ = rr_ + nee_take * ta_r * lemr
+            rg_ = rg_ + nee_take * ta_g * lemg
+            rb_ = rb_ + nee_take * ta_b * lemb
+            if has_pbr:
+                # PBR lanes: full-BRDF NEE, T * f * em * nDl*LnDl*A/d^2
+                # (engine.py _nee_direct_light pbr branch).
+                nfr, nfg, nfb = _pbr_brdf3(
+                    nx, ny, nz, -dx, -dy, -dz, wix, wiy, wiz,
+                    alb_r, alb_g, alb_b, metallic, rough)
+                w2 = jnp.where((n_dl > 0.0) & (occ == 0),
+                               n_dl * ln_dl * larea / dist2, 0.0)
+                pbr_take = (hit_valid & is_pbr).astype(jnp.float32) * w2
+                rr_ = rr_ + pbr_take * tr * nfr * lemr
+                rg_ = rg_ + pbr_take * tg * nfg * lemg
+                rb_ = rb_ + pbr_take * tb * nfb * lemb
 
-                    ndx = jnp.where(is_glass, gdx,
-                                    jnp.where(is_mirror, mrx, cdx))
-                    ndy = jnp.where(is_glass, gdy,
-                                    jnp.where(is_mirror, mry, cdy))
-                    ndz = jnp.where(is_glass, gdz,
-                                    jnp.where(is_mirror, mrz, cdz))
+            # --- next direction ---
+            u1, u2, rng = _uniform2(rng)
+            cdx, cdy, cdz = _cosine_sample(u1, u2, nx, ny, nz)
+            dn = _dot3(dx, dy, dz, nx, ny, nz)
 
-                    has_kr = (kr_r > 0.0) | (kr_g > 0.0) | (kr_b > 0.0)
-                    sp_r = jnp.where(has_kr, kr_r, alb_r)
-                    sp_g = jnp.where(has_kr, kr_g, alb_g)
-                    sp_b = jnp.where(has_kr, kr_b, alb_b)
-                    ntr = jnp.where(is_specular, tr * sp_r, ta_r)
-                    ntg = jnp.where(is_specular, tg * sp_g, ta_g)
-                    ntb = jnp.where(is_specular, tb * sp_b, ta_b)
-                else:
-                    rng = _advance2(rng)   # keep stream parity (glass draw)
-                    ndx, ndy, ndz = cdx, cdy, cdz
-                    ntr, ntg, ntb = ta_r, ta_g, ta_b
-                if has_pbr:
-                    ntr = jnp.where(is_pbr, ptr, ntr)
-                    ntg = jnp.where(is_pbr, ptg, ntg)
-                    ntb = jnp.where(is_pbr, ptb, ntb)
+            if has_pbr:
+                # One-sample MIS between the cosine and GGX lobes —
+                # identical math AND draw order to the XLA engine.
+                rclamp = jnp.maximum(rough, 0.05)
+                u5p, u6p, rng = _uniform2(rng)
+                hvx, hvy, hvz = _ggx_sample_half(u5p, u6p, nx, ny, nz,
+                                                 rclamp)
+                dh = _dot3(dx, dy, dz, hvx, hvy, hvz)
+                ggx, ggy, ggz = _normalize3(dx - 2.0 * dh * hvx,
+                                            dy - 2.0 * dh * hvy,
+                                            dz - 2.0 * dh * hvz)
+                p_spec = jnp.clip(0.5 * metallic + 0.1, 0.05, 0.95)
+                u7p, _u8p, rng = _uniform2(rng)
+                choose_spec = u7p < p_spec
+                pdx = jnp.where(choose_spec, ggx, cdx)
+                pdy = jnp.where(choose_spec, ggy, cdy)
+                pdz = jnp.where(choose_spec, ggz, cdz)
+                pfr, pfg, pfb = _pbr_brdf3(
+                    nx, ny, nz, -dx, -dy, -dz, pdx, pdy, pdz,
+                    alb_r, alb_g, alb_b, metallic, rclamp)
+                ppdf = _pbr_pdf3(nx, ny, nz, -dx, -dy, -dz,
+                                 pdx, pdy, pdz, rclamp, p_spec)
+                n_dl_p = jnp.maximum(_dot3(nx, ny, nz, pdx, pdy, pdz),
+                                     0.0)
+                pvalid = (n_dl_p > 1e-5) & (ppdf > 1e-7)
+                pscale = jnp.where(pvalid,
+                                   n_dl_p / jnp.maximum(ppdf, 1e-7),
+                                   0.0)
+                ptr = tr * pfr * pscale
+                ptg = tg * pfg * pscale
+                ptb = tb * pfb * pscale
+                ipf = is_pbr
+                cdx = jnp.where(ipf, pdx, cdx)
+                cdy = jnp.where(ipf, pdy, cdy)
+                cdz = jnp.where(ipf, pdz, cdz)
 
-                off = jnp.where(_dot3(ndx, ndy, ndz, nx, ny, nz) >= 0.0,
-                                1.0, -1.0) * jnp.float32(RAY_TMIN)
-                nox = px + nx * off
-                noy = py + ny * off
-                noz = pz + nz * off
+            if has_specular:
+                mrx, mry, mrz = _normalize3(dx - 2.0 * dn * nx,
+                                            dy - 2.0 * dn * ny,
+                                            dz - 2.0 * dn * nz)
 
-                # Russian roulette from depth >= 1
-                u5, _u6, rng = _uniform2(rng)
-                q = jnp.clip(jnp.maximum(ntr, jnp.maximum(ntg, ntb)),
-                             0.05, 1.0)
-                do_rr = depth >= 1
-                # No i1-vector selects (Mosaic can't legalize them): express
-                # the RR gate as boolean algebra instead of jnp.where.
-                survive = ~((u5 >= q) & do_rr)
-                inv_q = jnp.where(do_rr, 1.0 / q, 1.0)
-                ntr = ntr * inv_q
-                ntg = ntg * inv_q
-                ntb = ntb * inv_q
+                # glass refract/reflect
+                entering = _dot3(dx, dy, dz, gnx, gny, gnz) < 0.0
+                eta = jnp.where(entering, 1.0 / ior, ior)
+                cos_i = jnp.clip(-dn, 0.0, 1.0)
+                sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+                refr_ok = sin2_t <= 1.0
+                cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+                rfx = eta * dx + (eta * cos_i - cos_t) * nx
+                rfy = eta * dy + (eta * cos_i - cos_t) * ny
+                rfz = eta * dz + (eta * cos_i - cos_t) * nz
+                rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+                r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+                one_m = 1.0 - cos_i
+                fres = r0 + (1.0 - r0) * one_m ** 5
+                u3, _u4, rng = _uniform2(rng)
+                gl_refl = (~refr_ok) | (u3 < fres)
+                gdx = jnp.where(gl_refl, mrx, rfx)
+                gdy = jnp.where(gl_refl, mry, rfy)
+                gdz = jnp.where(gl_refl, mrz, rfz)
 
-                count = (count + (active > 0).astype(jnp.float32)
-                         + (hit_valid & is_diffuse).astype(jnp.float32))
+                ndx = jnp.where(is_glass, gdx,
+                                jnp.where(is_mirror, mrx, cdx))
+                ndy = jnp.where(is_glass, gdy,
+                                jnp.where(is_mirror, mry, cdy))
+                ndz = jnp.where(is_glass, gdz,
+                                jnp.where(is_mirror, mrz, cdz))
 
-                new_active = (hit_valid & survive).astype(jnp.int32)
-                return (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
-                        rr_, rg_, rb_, rng, new_active,
-                        is_specular.astype(jnp.int32), count,
-                        jnp.full(lane.shape, RAY_TMIN, jnp.float32),
-                        jnp.full(lane.shape, 1e16, jnp.float32))
+                has_kr = (kr_r > 0.0) | (kr_g > 0.0) | (kr_b > 0.0)
+                sp_r = jnp.where(has_kr, kr_r, alb_r)
+                sp_g = jnp.where(has_kr, kr_g, alb_g)
+                sp_b = jnp.where(has_kr, kr_b, alb_b)
+                ntr = jnp.where(is_specular, tr * sp_r, ta_r)
+                ntg = jnp.where(is_specular, tg * sp_g, ta_g)
+                ntb = jnp.where(is_specular, tb * sp_b, ta_b)
+            else:
+                rng = _advance2(rng)   # keep stream parity (glass draw)
+                ndx, ndy, ndz = cdx, cdy, cdz
+                ntr, ntg, ntb = ta_r, ta_g, ta_b
+            if has_pbr:
+                ntr = jnp.where(is_pbr, ptr, ntr)
+                ntg = jnp.where(is_pbr, ptg, ntg)
+                ntb = jnp.where(is_pbr, ptb, ntb)
 
-            st = jax.lax.fori_loop(0, max_depth, bounce, state)
-            return (acc_r + st[9], acc_g + st[10], acc_b + st[11], st[15])
+            off = jnp.where(_dot3(ndx, ndy, ndz, nx, ny, nz) >= 0.0,
+                            1.0, -1.0) * jnp.float32(RAY_TMIN)
+            nox = px + nx * off
+            noy = py + ny * off
+            noz = pz + nz * off
 
-        acc_r, acc_g, acc_b, count = jax.lax.fori_loop(
-            0, spl, sample_body, (fzero, fzero, fzero, fzero))
+            # Russian roulette from depth >= 1
+            u5, _u6, rng = _uniform2(rng)
+            q = jnp.clip(jnp.maximum(ntr, jnp.maximum(ntg, ntb)),
+                         0.05, 1.0)
+            do_rr = depth >= 1
+            # No i1-vector selects (Mosaic can't legalize them): express
+            # the RR gate as boolean algebra instead of jnp.where.
+            survive = ~((u5 >= q) & do_rr)
+            inv_q = jnp.where(do_rr, 1.0 / q, 1.0)
+            ntr = ntr * inv_q
+            ntg = ntg * inv_q
+            ntb = ntb * inv_q
+
+            count = (count + (active > 0).astype(jnp.float32)
+                     + (hit_valid & is_diffuse).astype(jnp.float32))
+
+            # Forced end at the depth cap: the fori semantics ran exactly
+            # max_depth bounces; the regeneration loop ends the path here
+            # instead (identical radiance — nothing accumulates after).
+            new_active = (hit_valid & survive
+                          & (depth < max_depth - 1)).astype(jnp.int32)
+            return (nox, noy, noz, ndx, ndy, ndz, ntr, ntg, ntb,
+                    rr_, rg_, rb_, rng, new_active,
+                    is_specular.astype(jnp.int32), count,
+                    jnp.full(lane.shape, RAY_TMIN, jnp.float32),
+                    jnp.full(lane.shape, 1e16, jnp.float32))
+
+        izero = jnp.zeros(lane.shape, jnp.int32)
+        if regen:
+            # --- path-regeneration loop (persistent paths) ---
+            # Lock-step bounce loops waste ~65% of lanes by depth 4 (dead
+            # paths ride along masked). Instead, ONE while_loop carries
+            # per-lane (sample index, depth): the moment a lane's path ends
+            # (miss, RR kill, or max depth) it accumulates its radiance and
+            # immediately regenerates the camera ray of its NEXT
+            # progressive sample. The RNG stream is a pure function of
+            # (pixel, subframe0 + sample), so every (pixel, sample) value
+            # is bit-identical to the lock-step engine — only the
+            # iteration schedule changes. Total iterations drop from
+            # spl * max_depth to ~spl * E[path length] (+ tail).
+            st0 = raygen_state(izero, fzero)
+
+            def regen_cond(c):
+                return jnp.any(c[0] < spl)
+
+            def regen_body(c):
+                sv, depth, st, acc_r, acc_g, acc_b = c
+                was_active = st[13]
+                st2 = bounce(depth, st)
+                ended = (was_active > 0) & (st2[13] == 0)
+                endf = ended.astype(jnp.float32)
+                acc_r = acc_r + endf * st2[9]
+                acc_g = acc_g + endf * st2[10]
+                acc_b = acc_b + endf * st2[11]
+                sv = sv + ended.astype(jnp.int32)
+                need = ended & (sv < spl)
+                fresh = raygen_state(sv, st2[15])
+                merged = tuple(
+                    old if i == 15 else jnp.where(need, new, old)
+                    for i, (new, old) in enumerate(zip(fresh, st2)))
+                depth = jnp.where(ended, 0, depth + 1)
+                return (sv, depth, merged, acc_r, acc_g, acc_b)
+
+            _, _, st_f, acc_r, acc_g, acc_b = jax.lax.while_loop(
+                regen_cond, regen_body,
+                (izero, izero, st0, fzero, fzero, fzero))
+            count = st_f[15]
+        else:
+            # Lock-step schedule: spl sequential samples of exactly
+            # max_depth bounces each (the original fori form).
+            def sample_body(s, accum):
+                acc_r, acc_g, acc_b, count = accum
+                st = raygen_state(izero + s, count)
+
+                def step(d, stt):
+                    return bounce(izero + d, stt)
+
+                st = jax.lax.fori_loop(0, max_depth, step, st)
+                return (acc_r + st[9], acc_g + st[10], acc_b + st[11],
+                        st[15])
+
+            acc_r, acc_g, acc_b, count = jax.lax.fori_loop(
+                0, spl, sample_body, (fzero, fzero, fzero, fzero))
         rad_r_out[...] = acc_r
         rad_g_out[...] = acc_g
         rad_b_out[...] = acc_b
@@ -937,14 +996,21 @@ def _make_kernel(width, height, full_w, full_h,
     return kernel
 
 
+# Path-regeneration schedule (persistent paths): measured-equal images,
+# fewer bounce iterations. Env-gated until the Mosaic while_loop form is
+# TPU-profiled (vector loop carries are the risk — the cluster kernels
+# deliberately keep vector state in scratch instead).
+_REGEN_DEFAULT = os.environ.get("ORT_FUSED_REGEN", "0") != "0"
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "samples_per_launch",
                               "max_depth", "full_width", "full_height",
-                              "interpret"))
+                              "interpret", "regen"))
 def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
                      subframe, samples_per_launch: int = 1, max_depth: int = 4,
                      y0=0, x0=0, full_width=None, full_height=None,
-                     interpret: bool = False):
+                     interpret: bool = False, regen: bool = None):
     """Render `samples_per_launch` progressive samples fully in-kernel.
 
     Returns (radiance_sum [H, W, 3], rays_traced scalar). Divide by the
@@ -979,7 +1045,9 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
                           has_specular=has_specular,
                           has_pbr=scene.has_pbr,
                           prim_kinds=prim_kinds,
-                          inst_ranges=inst_ranges)
+                          inst_ranges=inst_ranges,
+                          regen=(_REGEN_DEFAULT if regen is None
+                                 else regen))
 
     out_shapes = tuple(jax.ShapeDtypeStruct(blk_shape, jnp.float32)
                        for _ in range(4))

@@ -91,6 +91,23 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(out.accum),
                                    np.asarray(ref.accum), atol=2e-3, rtol=1e-3)
 
+    def test_regen_schedule_matches_lockstep(self, scene):
+        """Path regeneration (persistent paths) must be bit-compatible
+        with the lock-step schedule: per-(pixel,sample) RNG streams are
+        independent, so only the iteration order changes."""
+        w = h = 16
+        cam = cornell_camera(w, h).params()
+        r_lock, c_lock = render_sum_fused(scene, cam, w, h, 3,
+                                          samples_per_launch=2, max_depth=3,
+                                          interpret=True, regen=False)
+        r_regen, c_regen = render_sum_fused(scene, cam, w, h, 3,
+                                            samples_per_launch=2,
+                                            max_depth=3,
+                                            interpret=True, regen=True)
+        assert float(c_lock) == float(c_regen)
+        np.testing.assert_allclose(np.asarray(r_regen), np.asarray(r_lock),
+                                   atol=1e-6)
+
     def test_tiled_offsets_match(self, scene):
         """Row-tile invocation (y0/full dims) must reproduce the full frame's
         rows — the multichip contract."""
