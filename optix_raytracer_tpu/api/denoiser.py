@@ -42,6 +42,28 @@ def _variance_gate(noisy, filtered, variance, lo: float = 0.05,
     return noisy + w[..., None] * (filtered - noisy)
 
 
+def _accumulate_history(current, history, alpha: float = 0.7):
+    """Consistency-gated temporal accumulation (the TEMPORAL model kinds'
+    history reuse, `optix_types.h:1609-1635`): clamp the flow-warped
+    previous output to the current frame's 3x3 neighborhood range, then
+    blend toward it with a weight that falls off as the clamp has to move
+    the history (mis-warp / disocclusion ⇒ weight → 0). A converged
+    history passes the clamp untouched and dominates the result."""
+    import jax
+
+    def window(x, op, init):
+        return jax.lax.reduce_window(x, init, op, (3, 3, 1), (1, 1, 1),
+                                     "SAME")
+
+    nb_min = window(current, jax.lax.min, jnp.inf)
+    nb_max = window(current, jax.lax.max, -jnp.inf)
+    clamped = jnp.clip(history, nb_min, nb_max)
+    moved = jnp.abs(history - clamped)
+    span = jnp.maximum(nb_max - nb_min, 1e-3)
+    w = alpha * jnp.clip(1.0 - moved / span, 0.0, 1.0)
+    return current + w * (clamped - current)
+
+
 class ModelKind:
     LDR = "LDR"
     HDR = "HDR"
@@ -176,6 +198,15 @@ class Denoiser:
                     emission=(None if emission is None
                               else jnp.asarray(emission, jnp.float32)),
                     history=history)
+                # Temporal ACCUMULATION on top of the net: the predicted
+                # kernels filter the noisy input — they can never *copy*
+                # history, so a converged history would be wasted. Blend
+                # toward the warped previous output wherever it is
+                # consistent with the current frame, with the history
+                # neighborhood-clamped to the net output's 3x3 range
+                # (TAA-style anti-ghosting: disoccluded / mis-warped
+                # history collapses to the current frame's local values).
+                out = _accumulate_history(out, history)
             else:
                 out = atrous.denoise_temporal(
                     work, jnp.asarray(previous_output) * scale,
