@@ -1,6 +1,7 @@
 """Denoiser API: the `optixDenoiser*` surface over two backends.
 
-Model kinds (`optix_types.h:1609-1635`): LDR, HDR, AOV, TEMPORAL, UPSCALE2X.
+Model kinds (`optix_types.h:1609-1635`): LDR, HDR, AOV, TEMPORAL,
+TEMPORAL_AOV, UPSCALE2X, TEMPORAL_UPSCALE2X — all seven reference kinds.
 Entry points mirror `optixDenoiserCreate/Setup/Invoke/ComputeIntensity/
 ComputeAverageColor` (`optix_host.h:814-1028`) plus the tiled helper
 (`optix_denoiser_tiling.h:223`).
@@ -64,12 +65,49 @@ def _accumulate_history(current, history, alpha: float = 0.7):
     return current + w * (clamped - current)
 
 
+def _warped_history(previous_output, flow, out_hw):
+    """Flow-warped history at the output resolution. TEMPORAL_UPSCALE2X
+    callers may pass either a full-res previous output (the reference
+    contract) or a render-res one (lifted bilinearly first)."""
+    import jax
+    prev = jnp.asarray(previous_output, jnp.float32)
+    if prev.shape[:2] != tuple(out_hw):
+        prev = jax.image.resize(prev, tuple(out_hw) + prev.shape[2:],
+                                "bilinear")
+    return atrous.warp_by_flow(prev, _lift_flow(flow, out_hw))
+
+
+def _lift_flow(flow, out_hw):
+    """Flow guide at the output resolution: None → zeros; a low-res flow
+    is bilinearly lifted with its vectors scaled by the resolution ratio
+    (TEMPORAL_UPSCALE2X expects output-res flow, `optix_host.h:892`)."""
+    import jax
+    h, w = out_hw
+    if flow is None:
+        return jnp.zeros((h, w, 2), jnp.float32)
+    flow = jnp.asarray(flow, jnp.float32)
+    fh, fw = flow.shape[:2]
+    if (fh, fw) == (h, w):
+        return flow
+    flow = jax.image.resize(flow, (h, w, 2), "bilinear")
+    return flow * jnp.asarray([w / fw, h / fh], jnp.float32)
+
+
 class ModelKind:
+    """The seven reference model kinds (`optix_types.h:1609-1635`); the
+    combined kinds compose the temporal history pipeline with AOV
+    denoising / 2x upscaling."""
     LDR = "LDR"
     HDR = "HDR"
     AOV = "AOV"
     TEMPORAL = "TEMPORAL"
+    TEMPORAL_AOV = "TEMPORAL_AOV"
     UPSCALE2X = "UPSCALE2X"
+    TEMPORAL_UPSCALE2X = "TEMPORAL_UPSCALE2X"
+
+    TEMPORAL_KINDS = (TEMPORAL, TEMPORAL_AOV, TEMPORAL_UPSCALE2X)
+    UPSCALE_KINDS = (UPSCALE2X, TEMPORAL_UPSCALE2X)
+    AOV_KINDS = (AOV, TEMPORAL_AOV)
 
 
 class Denoiser:
@@ -142,9 +180,14 @@ class Denoiser:
         if not self.guide_normal:
             normal = None
 
+        temporal = (self.model_kind in ModelKind.TEMPORAL_KINDS
+                    and previous_output is not None)
+        upscale = self.model_kind in ModelKind.UPSCALE_KINDS
         scale = 1.0
         if self.model_kind in (ModelKind.HDR, ModelKind.TEMPORAL,
-                               ModelKind.UPSCALE2X) and self.backend != "kpcnn":
+                               ModelKind.TEMPORAL_AOV, ModelKind.UPSCALE2X,
+                               ModelKind.TEMPORAL_UPSCALE2X) \
+                and self.backend != "kpcnn":
             # The KPCNN is trained on RAW HDR radiance (tools/
             # train_denoiser.py, log1p loss) — pre-scaling shifts its
             # input off the training distribution and measurably degrades
@@ -154,19 +197,27 @@ class Denoiser:
                 else self.compute_intensity(beauty)
         work = beauty * scale
 
-        if self.model_kind == ModelKind.UPSCALE2X and self.backend == "kpcnn":
+        if upscale and self.backend == "kpcnn":
             up_params = kpcnn.load_params(kpcnn.UPSCALE_WEIGHTS_PATH)
             if up_params is not None:
                 # Trained upscaler path: denoise + 2x-lift in ONE net —
                 # guide layers are FULL-RES (2H, 2W) steering the lifted
                 # low-res radiance; the plain spatial pass is skipped
                 # (its guides would shape-mismatch anyway).
-                return kpcnn.upscale2x_kp(
+                out = kpcnn.upscale2x_kp(
                     up_params, jnp.asarray(beauty, jnp.float32),
                     albedo=None if albedo is None else jnp.asarray(albedo),
                     normal=None if normal is None else jnp.asarray(normal),
                     emission=(None if emission is None
                               else jnp.asarray(emission, jnp.float32)))
+                if temporal:
+                    # TEMPORAL_UPSCALE2X: history is the previous FULL-RES
+                    # output; a low-res flow is lifted (and doubled) to
+                    # output resolution before the warp.
+                    out = _accumulate_history(
+                        out, _warped_history(previous_output, flow,
+                                             out.shape[:2]))
+                return out
 
         core = None
         if self.backend == "kpcnn":
@@ -178,7 +229,7 @@ class Denoiser:
                     kpcnn.denoise_kp(kpcnn.load_params(), b, a, n,
                                      emission=em))
 
-        if self.model_kind == ModelKind.TEMPORAL and previous_output is not None:
+        if temporal and not upscale:
             if flow is None:
                 flow = jnp.zeros(beauty.shape[:2] + (2,), jnp.float32)
             tparams = (kpcnn.load_params(kpcnn.TEMPORAL_WEIGHTS_PATH)
@@ -229,15 +280,18 @@ class Denoiser:
         if blend_factor > 0.0:
             out = (1.0 - blend_factor) * out + blend_factor * beauty
 
-        if self.model_kind == ModelKind.UPSCALE2X:
-            h, w = out.shape[:2]
+        if upscale:
             out = jnp.asarray(out)
             out = jnp.repeat(jnp.repeat(out, 2, 0), 2, 1)
             # soften the nearest-neighbor blocks
             out = 0.25 * (out + jnp.roll(out, 1, 0) + jnp.roll(out, 1, 1)
                           + jnp.roll(out, (1, 1), (0, 1)))
+            if temporal:
+                out = _accumulate_history(
+                    out, _warped_history(previous_output, flow,
+                                         out.shape[:2]))
 
-        if self.model_kind == ModelKind.AOV and aovs:
+        if self.model_kind in ModelKind.AOV_KINDS and aovs:
             den_aovs = {k: self._spatial(jnp.asarray(v) * scale,
                                          albedo, normal, it) / scale
                         for k, v in aovs.items()}

@@ -48,7 +48,8 @@ def main(argv=None):
     fl = None if args.flow is None else np.asarray(load_image(args.flow))
     prev = load(args.prev)
 
-    kind = (ModelKind.UPSCALE2X if args.upscale
+    kind = (ModelKind.TEMPORAL_UPSCALE2X if args.upscale and prev is not None
+            else ModelKind.UPSCALE2X if args.upscale
             else ModelKind.TEMPORAL if prev is not None
             else ModelKind.LDR if args.ldr else ModelKind.HDR)
     den = Denoiser(model_kind=kind, guide_albedo=albedo is not None,

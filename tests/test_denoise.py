@@ -116,6 +116,41 @@ class TestDenoiserApi:
                                aovs={"glossy": noisy * 0.5})
         assert "glossy" in aovs and np.asarray(aovs["glossy"]).shape == noisy.shape
 
+    def test_temporal_aov_mode(self):
+        """TEMPORAL_AOV (`optix_types.h` 0x2326): temporal history on the
+        beauty + denoised AOV dict in one invoke."""
+        rng = np.random.default_rng(9)
+        clean, noisy, albedo, normal = make_noisy_scene(rng, h=32, w=32)
+        den = Denoiser(model_kind=ModelKind.TEMPORAL_AOV).setup(32, 32)
+        out, aovs = den.invoke(
+            noisy, albedo=albedo, normal=normal,
+            flow=np.zeros((32, 32, 2), np.float32), previous_output=clean,
+            aovs={"glossy": noisy * 0.5})
+        assert "glossy" in aovs
+        # converged history pulls the result well below plain spatial
+        spatial, _ = Denoiser(model_kind=ModelKind.AOV).setup(32, 32).invoke(
+            noisy, albedo=albedo, normal=normal, aovs={"glossy": noisy})
+        assert (np.abs(np.asarray(out) - clean).mean()
+                < 0.7 * np.abs(np.asarray(spatial) - clean).mean())
+
+    def test_temporal_upscale2x(self):
+        """TEMPORAL_UPSCALE2X (0x2328): 2x output blended toward the
+        flow-warped previous FULL-RES output."""
+        rng = np.random.default_rng(10)
+        clean, noisy, albedo, normal = make_noisy_scene(rng, h=32, w=32)
+        clean_hi = np.repeat(np.repeat(clean, 2, 0), 2, 1)
+        den = Denoiser(model_kind=ModelKind.TEMPORAL_UPSCALE2X,
+                       guide_albedo=False, guide_normal=False).setup(32, 32)
+        out = np.asarray(den.invoke(
+            noisy, flow=np.zeros((32, 32, 2), np.float32),
+            previous_output=clean_hi))
+        assert out.shape == (64, 64, 3)
+        plain = np.asarray(Denoiser(
+            model_kind=ModelKind.UPSCALE2X, guide_albedo=False,
+            guide_normal=False).setup(32, 32).invoke(noisy))
+        assert (np.abs(out - clean_hi).mean()
+                < np.abs(plain - clean_hi).mean())
+
     def test_blend_factor(self):
         rng = np.random.default_rng(8)
         _, noisy, albedo, normal = make_noisy_scene(rng, h=32, w=32)
