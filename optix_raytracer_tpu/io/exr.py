@@ -536,8 +536,9 @@ def read_exr(path: str, layers: bool = False):
     if data[:4] != _MAGIC:
         raise ValueError(f"{path}: not an EXR file")
     version = struct.unpack_from("<i", data, 4)[0]
-    if version & 0x200 or version & 0x1000:
-        raise NotImplementedError("tiled/multipart EXR not supported")
+    if version & 0x1000:
+        raise NotImplementedError("multipart EXR not supported")
+    tiled = bool(version & 0x200)
 
     pos = 8
     attrs = {}
@@ -576,6 +577,23 @@ def read_exr(path: str, layers: bool = False):
                  for name, pt in chans}
 
     out = {name: np.empty((h, w), np.float32) for name, _ in chans}
+    if tiled:
+        _read_tiles(data, pos, attrs, chans, out, comp_id, w, h)
+    else:
+        _read_scanlines(data, pos, attrs, chans, out, comp_id, lines,
+                        row_bytes, w, h, y0)
+
+    if layers:
+        return out
+    names = [n for n, _ in chans]
+    front = [c for c in ("R", "G", "B", "A") if c in names]
+    rest = sorted(n for n in names if n not in front)
+    stacked = np.stack([out[n] for n in front + rest], axis=-1)
+    return stacked
+
+
+def _read_scanlines(data, pos, attrs, chans, out, comp_id, lines,
+                    row_bytes, w, h, y0):
     n_chunks = -(-h // lines)
     offsets = struct.unpack_from("<%dq" % n_chunks, data, pos)
     scan_bytes = sum(row_bytes.values())
@@ -598,10 +616,68 @@ def read_exr(path: str, layers: bool = False):
                 out[name][y + line] = row.astype(np.float32)
                 p += row_bytes[name]
 
-    if layers:
-        return out
-    names = [n for n, _ in chans]
-    front = [c for c in ("R", "G", "B", "A") if c in names]
-    rest = sorted(n for n in names if n not in front)
-    stacked = np.stack([out[n] for n in front + rest], axis=-1)
-    return stacked
+
+def _tile_counts(w, h, tw, th, mode):
+    """Total chunk count of a tiled part (tinyexr-class coverage): the
+    offset-table length depends on the level mode + rounding mode packed
+    in the tiledesc `mode` byte (OpenEXR tiledesc)."""
+    level_mode = mode & 0xF
+    round_up = (mode >> 4) & 0xF == 1
+
+    def n_levels(d):
+        import math
+        lv = (math.ceil if round_up else math.floor)(
+            math.log2(max(d, 1)))
+        return int(lv) + 1
+
+    def lsize(d, lv):
+        s = -(-d // (1 << lv)) if round_up else d // (1 << lv)
+        return max(1, int(s))
+
+    def ntiles(d, td):
+        return -(-d // td)
+
+    if level_mode == 0:                      # ONE_LEVEL
+        return ntiles(w, tw) * ntiles(h, th)
+    if level_mode == 1:                      # MIPMAP
+        n = n_levels(max(w, h))
+        return sum(ntiles(lsize(w, lv), tw) * ntiles(lsize(h, lv), th)
+                   for lv in range(n))
+    # RIPMAP
+    nx, ny = n_levels(w), n_levels(h)
+    return sum(ntiles(lsize(w, lx), tw) * ntiles(lsize(h, ly), th)
+               for lx in range(nx) for ly in range(ny))
+
+
+def _read_tiles(data, pos, attrs, chans, out, comp_id, w, h):
+    """Tiled single-part body: every chunk carries its own (dx, dy,
+    levelx, levely) header, so levels are identified per chunk and only
+    level (0, 0) fills the output — table ordering never matters."""
+    tw, th_, mode = struct.unpack_from("<IIB", attrs["tiles"], 0)
+    n_chunks = _tile_counts(w, h, tw, th_, mode)
+    offsets = struct.unpack_from("<%dq" % n_chunks, data, pos)
+    for off in offsets:
+        dx, dy, lx, ly, size = struct.unpack_from("<iiiii", data, off)
+        if lx or ly:
+            continue                         # coarser mip/rip level
+        tile_w = min(tw, w - dx * tw)
+        tile_h = min(th_, h - dy * th_)
+        payload = data[off + 20:off + 20 + size]
+        t_row = {name: tile_w * np.dtype(_DTYPES[pt]).itemsize
+                 for name, pt in chans}
+        raw_size = tile_h * sum(t_row.values())
+        if comp_id == _COMP_PIZ:
+            payload = _piz_decompress(
+                payload, raw_size, tile_w, tile_h,
+                [np.dtype(_DTYPES[pt]).itemsize // 2 for _, pt in chans])
+        elif comp_id != _COMP_NONE and size < raw_size:
+            payload = _zip_decompress(payload, raw_size)
+        p = 0
+        for line in range(tile_h):
+            yy = dy * th_ + line
+            for name, pt in chans:
+                dt = _DTYPES[pt]
+                row = np.frombuffer(payload, dt, count=tile_w, offset=p)
+                out[name][yy, dx * tw:dx * tw + tile_w] = \
+                    row.astype(np.float32)
+                p += t_row[name]

@@ -183,3 +183,105 @@ class TestPiz:
                 exr._wav2(p, mx, decode=False)
                 exr._wav2(p, mx, decode=True)
                 np.testing.assert_array_equal(p, d)
+
+
+class TestTiledRead:
+    """Tiled single-part EXR reads (the tinyexr tiled coverage,
+    `SDK/support/tinyexr/`): the writer below follows the OpenEXR
+    tiledesc/chunk spec independently of the reader's parsing."""
+
+    @staticmethod
+    def _write_tiled(path, img, tile=(7, 5), compression="NONE",
+                     level_mode=0, extra_levels=()):
+        import struct
+
+        from optix_raytracer_tpu.io import exr as E
+
+        h, w, nc = img.shape
+        names = ("R", "G", "B")[:nc]
+        pt = E._PT_FLOAT
+        order = sorted(range(nc), key=lambda i: names[i])
+        chlist = b""
+        for i in order:
+            chlist += (names[i].encode() + b"\0" + struct.pack("<i", pt)
+                       + struct.pack("<i", 0) + struct.pack("<ii", 1, 1))
+        chlist += b"\0"
+        comp_id = E._COMP_IDS[compression.upper()]
+        box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+        tw, th = tile
+        header = (E._attr("channels", "chlist", chlist)
+                  + E._attr("compression", "compression", bytes([comp_id]))
+                  + E._attr("dataWindow", "box2i", box)
+                  + E._attr("displayWindow", "box2i", box)
+                  + E._attr("lineOrder", "lineOrder", b"\0")
+                  + E._attr("pixelAspectRatio", "float",
+                            struct.pack("<f", 1.0))
+                  + E._attr("screenWindowCenter", "v2f",
+                            struct.pack("<ff", 0.0, 0.0))
+                  + E._attr("screenWindowWidth", "float",
+                            struct.pack("<f", 1.0))
+                  + E._attr("tiles", "tiledesc",
+                            struct.pack("<IIB", tw, th, level_mode))
+                  + b"\0")
+        head = E._MAGIC + struct.pack("<i", 2 | 0x200) + header
+
+        chunks = []
+        for dy in range(-(-h // th)):
+            for dx in range(-(-w // tw)):
+                sub = img[dy * th:dy * th + th, dx * tw:dx * tw + tw]
+                raw = np.ascontiguousarray(
+                    sub[:, :, order].transpose(0, 2, 1).astype(
+                        np.float32)).tobytes()
+                if comp_id == E._COMP_PIZ:
+                    raw = E._piz_compress(raw, sub.shape[1], sub.shape[0],
+                                          [2] * nc)
+                elif comp_id != E._COMP_NONE:
+                    raw = E._zip_compress(raw)
+                chunks.append((dx, dy, 0, 0, raw))
+        chunks += list(extra_levels)
+
+        first = len(head) + 8 * len(chunks)
+        offsets, pos = [], first
+        for *_ids, payload in chunks:
+            offsets.append(pos)
+            pos += 20 + len(payload)
+        with open(path, "wb") as f:
+            f.write(head)
+            f.write(struct.pack("<%dq" % len(chunks), *offsets))
+            for dx, dy, lx, ly, payload in chunks:
+                f.write(struct.pack("<iiiii", dx, dy, lx, ly,
+                                    len(payload)))
+                f.write(payload)
+
+    @pytest.mark.parametrize("comp", ["NONE", "ZIP", "PIZ"])
+    def test_one_level_tiled(self, tmp_path, comp):
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 4, (23, 31, 3)).astype(np.float32)
+        p = str(tmp_path / "t.exr")
+        self._write_tiled(p, img, tile=(7, 5), compression=comp)
+        out = read_exr(p)
+        np.testing.assert_allclose(out, img, atol=1e-6)
+
+    def test_mipmap_reads_level0_only(self, tmp_path):
+        """MIPMAP-mode files: coarser levels are skipped by their chunk
+        headers; the offset-table length accounts for every level."""
+        rng = np.random.default_rng(4)
+        img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        # fake coarser levels: one tile each at level (1,1) and (2,2)...
+        extras = []
+        lw = 16
+        lv = 1
+        while lw > 1:
+            lw = max(1, lw // 2)
+            sub = np.zeros((min(lw, 5), min(lw, 7), 3), np.float32)
+            raw = sub.transpose(0, 2, 1).tobytes()
+            for dy in range(-(-lw // 5)):
+                for dx in range(-(-lw // 7)):
+                    extras.append((dx, dy, lv, lv, raw))
+            lv += 1
+        p = str(tmp_path / "m.exr")
+        # mode byte: MIPMAP (1) + round-down (0 << 4)
+        self._write_tiled(p, img, tile=(7, 5), level_mode=1,
+                          extra_levels=extras)
+        out = read_exr(p)
+        np.testing.assert_allclose(out, img, atol=1e-6)
