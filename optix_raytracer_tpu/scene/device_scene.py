@@ -84,6 +84,16 @@ class DeviceScene:
     # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
     # pass-through in the integrators. Determined at scene-build time.
     features: tuple = struct.field(pytree_node=False, default=())
+    # Static bundle-atlas geometry (not traced): per bundle, a tuple of
+    # (h, w) LOGICAL level sizes. The fused megakernel specializes its
+    # in-kernel texture fetch on these (wavefront/pallas_pt.py); the
+    # traced `bundles` array carries only texel values.
+    bundle_meta: tuple = struct.field(pytree_node=False, default=())
+    # Static per-material texture wiring (not traced): one tuple per
+    # material, (bundle_id, has_base, has_normal, has_mr, has_emissive) —
+    # the MaterialData texture-presence flags (`MaterialData.h:62-103`)
+    # as compile-time facts the megakernel folds into its shading code.
+    mat_tex_flags: tuple = struct.field(pytree_node=False, default=())
 
     @property
     def num_triangles(self):
@@ -289,7 +299,8 @@ def pack_bundles(images, materials):
                 jnp.zeros((0, 1, 4), jnp.int32),
                 jnp.asarray(mat_bundle),
                 jnp.zeros((0, 128), jnp.float32),
-                jnp.zeros((0, 1), jnp.int32))
+                jnp.zeros((0, 1), jnp.int32),
+                ())
 
     chains = []
     for b in bundles:
@@ -349,8 +360,13 @@ def pack_bundles(images, materials):
             r += hl * wl
     quads = (np.concatenate(quad_rows, axis=0) if quad_rows
              else np.zeros((0, 128), np.float32))
+    # Static level geometry per bundle (h, w) — the atlas offsets are a
+    # pure function of these (see mips fill-in above), so the fused
+    # kernel's packer can re-derive them without tracing `mips`.
+    meta = tuple(tuple((lv.shape[0], lv.shape[1]) for lv in chain)
+                 for chain in chains)
     return (jnp.asarray(out), jnp.asarray(mips), jnp.asarray(mat_bundle),
-            jnp.asarray(quads), jnp.asarray(quad_base))
+            jnp.asarray(quads), jnp.asarray(quad_base), meta)
 
 
 def make_device_scene(vertices, indices, tri_mat, materials,
@@ -370,12 +386,25 @@ def make_device_scene(vertices, indices, tri_mat, materials,
     tex, tex_size, tex_mip = pack_textures(list(textures))
     mat_table = (materials if isinstance(materials, MaterialTable)
                  else make_material_table(materials))
+    bundle_meta = ()
+    mat_tex_flags = ()
     if textures is not None and len(list(textures)) and isinstance(
             materials, (list, tuple)):
         (bundles, bundle_mip, mat_bundle,
-         bundle_quads, bundle_quad_base) = pack_bundles(list(textures),
-                                                        materials)
+         bundle_quads, bundle_quad_base, bundle_meta) = pack_bundles(
+            list(textures), materials)
         mat_table = mat_table.replace(bundle=jnp.asarray(mat_bundle))
+
+        def _tid(m, k):
+            g = m.get if isinstance(m, dict) else (
+                lambda kk, d: getattr(m, kk, d))
+            return int(g(k, -1))
+
+        mat_tex_flags = tuple(
+            (int(mat_bundle[k]),
+             _tid(m, "base_tex") >= 0, _tid(m, "normal_tex") >= 0,
+             _tid(m, "mr_tex") >= 0, _tid(m, "emissive_tex") >= 0)
+            for k, m in enumerate(materials))
     else:
         bundles = jnp.zeros((0, 1, 1, 16), jnp.float32)
         bundle_mip = jnp.zeros((0, 1, 4), jnp.int32)
@@ -477,4 +506,6 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         bundle_mip=bundle_mip,
         bundle_quads=bundle_quads,
         bundle_quad_base=bundle_quad_base,
+        bundle_meta=bundle_meta,
+        mat_tex_flags=mat_tex_flags,
     )

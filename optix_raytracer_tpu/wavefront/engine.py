@@ -632,6 +632,23 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
     prims_ok = (scene.prims.num <= MAX_FUSED_PRIMS
                 and all(k in FUSED_PRIM_KINDS
                         for k in scene.prims.kinds_static))
+    from .pallas_pt import TEX_MAX_TABLE_BYTES, TEX_MAX_TRIS, tex_static
+    if scene.has_textures:
+        # Textured scenes ride the megakernel's in-kernel texture unit
+        # when the static bundle wiring exists, the mesh fits the
+        # winner-select unroll budget, and the bf16 mip table fits VMEM.
+        cfg = tex_static(scene)
+        tex_ok = (cfg is not None
+                  and not scene.has_instances
+                  and scene.geom.num_triangles <= TEX_MAX_TRIS
+                  and cfg[2] * cfg[3] * 2 <= TEX_MAX_TABLE_BYTES)
+        if not tex_ok:
+            return False
+    # Smooth-mesh shading normals interpolate in-kernel via the same
+    # winner-select plane — bounded by the same unroll budget.
+    if scene.geom.smooth and not scene.has_instances \
+            and scene.geom.num_triangles > TEX_MAX_TRIS:
+        return False
     if scene.has_instances:
         # Instanced scenes stay on the megakernel when the per-ray work
         # (sum of instance triangle ranges) fits the SMEM-path budget —
@@ -647,7 +664,6 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
     return (jax.default_backend() in bf._TPU_PLATFORMS
             and prims_ok
             and inst_ok
-            and not scene.has_textures
             and not scene.has_cutouts
             and not scene.has_volume
             and not scene.has_motion

@@ -271,8 +271,9 @@ def pack_light(light) -> jnp.ndarray:
     ]).reshape(1, 16).astype(jnp.float32)
 
 
-def pack_camera(cam_params, miss_color) -> jnp.ndarray:
-    """Camera dict → [2, 16] f32."""
+def pack_camera(cam_params, miss_color, pixel_spread=0.0) -> jnp.ndarray:
+    """Camera dict → [2, 16] f32. Row1 col5 carries the per-pixel ray-cone
+    spread (engine.render_sample's pixel_spread) for in-kernel mip LOD."""
     row0 = jnp.concatenate([
         cam_params["eye"], cam_params["U"], cam_params["V"], cam_params["W"],
         cam_params["aperture"][None], cam_params["focal_distance"][None],
@@ -280,8 +281,114 @@ def pack_camera(cam_params, miss_color) -> jnp.ndarray:
         jnp.zeros((1,), jnp.float32)])
     row1 = jnp.concatenate([
         cam_params["ortho_half"], jnp.asarray(miss_color, jnp.float32),
-        jnp.zeros((11,), jnp.float32)])
+        jnp.reshape(jnp.asarray(pixel_spread, jnp.float32), (1,)),
+        jnp.zeros((10,), jnp.float32)])
     return jnp.stack([row0, row1]).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel texture machinery (the TPU texture unit): the material BUNDLE
+# mip pyramid is packed into ONE row-major table whose rows are (bundle,
+# level, y) scanlines — a bilinear tap column pair lives at cols
+# [x*16 : x*16+16] of rows base(b,l)+y / +y+1 (the +1 border row/col from
+# pack_bundles means taps never wrap). The kernel fetches by folding the
+# whole trilinear filter into TWO sparse weight matrices (4 nonzeros per
+# lane each) and contracting them with the table on the MXU — the TPU
+# replacement for `cudaTextureObject_t` hardware filtering
+# (`SDK/cuda/whitted.cu:160-168`; filtering precision is bf16, i.e. finer
+# than the 8-bit fixed-point weights of GPU texture units).
+# ---------------------------------------------------------------------------
+
+TEX_MAX_TRIS = 64          # static-unroll budget of the winner-attribute
+                           # selects; larger textured meshes run the XLA
+                           # engine (and real meshes go the cluster path)
+TEX_MAX_TABLE_BYTES = 8 * 2 ** 20   # bf16 table VMEM budget
+# Filtering precision: bf16 taps/weights ride the MXU fast path (finer
+# than GPU texture units' 8-bit fixed-point weights); ORT_TEX_F32=1
+# switches the whole filter to f32 for exactness checks (≈4x slower).
+# Read per trace so tests can flip it; the table operand's dtype change
+# forces the retrace.
+def _tex_dtype():
+    return (jnp.float32 if os.environ.get("ORT_TEX_F32", "0") != "0"
+            else jnp.bfloat16)
+
+
+def tex_layout(bundle_meta):
+    """Static table geometry from DeviceScene.bundle_meta: per (bundle,
+    level) row bases into the packed table, padded column/row counts."""
+    bases = []
+    r = 0
+    for levels in bundle_meta:
+        lb = []
+        for (h, w) in levels:
+            lb.append(r)
+            r += h + 1
+        bases.append(tuple(lb))
+    cols = max((w + 1) * 16 for levels in bundle_meta for (h, w) in levels)
+    cols = -(-cols // LANES) * LANES
+    r_pad = -(-r // LANES) * LANES
+    return tuple(bases), r_pad, cols
+
+
+def pack_tex_table(scene) -> jnp.ndarray:
+    """bundles atlas → transposed kernel table [C, R_pad] bf16 (rows of the
+    logical table are (b, level, y) scanlines of (w+1)*16 channel-
+    interleaved texels; transposed so the kernel's per-128-lane fetch
+    matmul contracts table rows against lane weight columns)."""
+    meta = scene.bundle_meta
+    bases, r_pad, cols = tex_layout(meta)
+    max_w = max(m[0][1] for m in meta) + 1
+    rows = []
+    for b, levels in enumerate(meta):
+        y = 0
+        for li, (h, w) in enumerate(levels):
+            if li == 0:
+                yo, xo = 0, 0
+            else:
+                yo, xo = y, max_w
+                y += h + 1
+            win = scene.bundles[b, yo:yo + h + 1, xo:xo + w + 1, :]
+            row = win.reshape(h + 1, (w + 1) * 16)
+            rows.append(jnp.pad(row, ((0, 0), (0, cols - row.shape[1]))))
+    tbl = jnp.concatenate(rows, axis=0)
+    tbl = jnp.pad(tbl, ((0, r_pad - tbl.shape[0]), (0, 0)))
+    return tbl.T.astype(_tex_dtype())
+
+
+def tex_static(scene) -> tuple:
+    """Hashable static config the kernel specializes on: (bases, r_pad,
+    cols, per-bundle (dim0, chain), per-material (bundle, has_base,
+    has_nm, has_mr, has_em))."""
+    meta = scene.bundle_meta
+    if not meta or not scene.mat_tex_flags:
+        return None
+    bases, r_pad, cols = tex_layout(meta)
+    hw = tuple(tuple(lv) for lv in meta)
+    binfo = tuple((float(max(m[0][0], m[0][1])), len(m)) for m in meta)
+    return (bases, hw, r_pad, cols, binfo, tuple(scene.mat_tex_flags))
+
+
+def pack_shade2(scene) -> jnp.ndarray:
+    """Per-triangle shading-attribute SMEM plane [M, 32] for the fused
+    kernel's winner selects: uv0(0:2) duv1(2:4) duv2(4:6) uv_density(6)
+    tangent(7:10) corner n0(10:13) n1-n0(13:16) n2-n0(16:19) — the
+    shade_plane data (accel/geometry.py) in delta form so interpolation
+    is 2 FMAs per component."""
+    g = scene.geom
+    m = max(g.num_triangles, 1)
+    out = jnp.zeros((m, 32), jnp.float32)
+    if g.num_triangles:
+        cuv = g.corner_uv
+        cn = g.corner_normal
+        out = out.at[:, 0:2].set(cuv[:, 0])
+        out = out.at[:, 2:4].set(cuv[:, 1] - cuv[:, 0])
+        out = out.at[:, 4:6].set(cuv[:, 2] - cuv[:, 0])
+        out = out.at[:, 6].set(g.uv_density)
+        out = out.at[:, 7:10].set(g.tangent)
+        out = out.at[:, 10:13].set(cn[:, 0])
+        out = out.at[:, 13:16].set(cn[:, 1] - cn[:, 0])
+        out = out.at[:, 16:19].set(cn[:, 2] - cn[:, 0])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +398,7 @@ def pack_camera(cam_params, miss_color) -> jnp.ndarray:
 def _make_kernel(width, height, full_w, full_h,
                  num_tris, num_mats, max_depth, spl, has_specular=True,
                  has_pbr=False, prim_kinds=(), inst_ranges=(),
-                 regen=False):
+                 regen=False, tex_cfg=None, smooth=False):
     """has_specular=False (no glass/mirror materials in the scene — a static
     scene feature) drops the reflect/refract/fresnel block from the bounce,
     ~10% fewer VPU ops on diffuse-only scenes like the Cornell benchmark.
@@ -312,9 +419,22 @@ def _make_kernel(width, height, full_w, full_h,
     world by the inverse-transpose rule — the IAS pipeline of
     `Scene.cpp:1134-1213` kept inside the megakernel."""
     glass_kind, pbr_kind = 2.0, 1.0  # shade.materials GLASS / PBR tags
+    want_attrs = bool(tex_cfg) or smooth
 
-    def kernel(tri_ref, prim_ref, inst_ref, mat_tbl_ref, light_ref, cam_ref,
-               misc_ref, rad_r_out, rad_g_out, rad_b_out, count_out):
+    def kernel(*refs):
+        (tri_ref, prim_ref, inst_ref, mat_tbl_ref, light_ref, cam_ref,
+         misc_ref) = refs[:7]
+        i = 7
+        shade2_ref = texT_ref = facc_s = b16_s = None
+        if want_attrs:
+            shade2_ref = refs[i]
+            i += 1
+        if tex_cfg:
+            texT_ref = refs[i]
+            i += 1
+        rad_r_out, rad_g_out, rad_b_out, count_out = refs[i:i + 4]
+        if tex_cfg:
+            facc_s, b16_s = refs[i + 4:i + 6]
         pid = pl.program_id(0)
         subframe0 = misc_ref[0, 0]
         y0 = misc_ref[0, 1]
@@ -338,6 +458,7 @@ def _make_kernel(width, height, full_w, full_h,
         is_ortho = cam_ref[0, 14] > 0.0
         ohx, ohy = cam_ref[1, 0], cam_ref[1, 1]
         miss_r, miss_g, miss_b = cam_ref[1, 2], cam_ref[1, 3], cam_ref[1, 4]
+        pixel_spread = cam_ref[1, 5]     # ray-cone spread for mip LOD
 
         lcx, lcy, lcz = light_ref[0, 0], light_ref[0, 1], light_ref[0, 2]
         lv1x, lv1y, lv1z = light_ref[0, 3], light_ref[0, 4], light_ref[0, 5]
@@ -550,7 +671,8 @@ def _make_kernel(width, height, full_w, full_h,
                     jnp.ones(lane.shape, jnp.int32),          # prev_specular
                     count,
                     jnp.full(lane.shape, RAY_TMIN * 1e-2, jnp.float32),
-                    jnp.full(lane.shape, 1e16, jnp.float32))  # tmin/tmax
+                    jnp.full(lane.shape, 1e16, jnp.float32)   # tmin/tmax
+                    ) + ((fzero,) if tex_cfg else ())         # path_len
 
         def inst_xform_ray(i, rox, roy, roz, rdx, rdy, rdz):
             """World ray → instance i's object space (3x4 inverse from
@@ -564,9 +686,116 @@ def _make_kernel(width, height, full_w, full_h,
                      c[4] * rdx + c[5] * rdy + c[6] * rdz,
                      c[8] * rdx + c[9] * rdy + c[10] * rdz))
 
+        def fetch_bundle16(uvx, uvy, b_lane, tscale, valid):
+            """In-kernel trilinear material-bundle fetch: for each 128-lane
+            sublane group and each of the two mip passes, the bilinear
+            filter (row taps x trilinear level weight) is folded into a
+            4-nonzeros-per-lane weight matrix contracted with the bf16
+            mip table on the MXU; the column (x) taps fold on the VPU.
+            Loop bounds come from the group's valid-lane footprint, so
+            coherent primaries touch 1-2 row chunks x a few column
+            segments of the table while scattered bounce lanes (whose ray
+            cones select coarse mips) stay cheap by construction. Fills
+            b16_s [16, 8, 128] with the engine's sample_bundle channels."""
+            bases, hw, r_pad, cols, binfo, _mf = tex_cfg
+            b16_s[...] = jnp.zeros((16, SUBLANES, LANES), jnp.float32)
+            big = jnp.int32(1 << 30)
+            for g in range(SUBLANES):
+                va = valid[g:g + 1, :]
+                vaf = va.astype(jnp.float32)
+                u = jnp.where(va, uvx[g:g + 1, :], 0.0)
+                v_ = jnp.where(va, uvy[g:g + 1, :], 0.0)
+                ts = jnp.where(va, tscale[g:g + 1, :], 0.0)
+                bsafe = jnp.maximum(b_lane[g:g + 1, :], 0)
+                dim0 = jnp.ones_like(u)
+                chain = jnp.ones_like(u)
+                for bi, (d0, cl) in enumerate(binfo):
+                    selb = bsafe == bi
+                    dim0 = jnp.where(selb, jnp.float32(d0), dim0)
+                    chain = jnp.where(selb, jnp.float32(cl), chain)
+                # ray-cone LOD (engine sample_bundle parity)
+                lod = jnp.log2(jnp.maximum(ts * dim0, 1.0))
+                lod = jnp.clip(lod, 0.0, chain - 1.0)
+                l0f = jnp.floor(lod)
+                f = lod - l0f
+                l1f = jnp.minimum(l0f + 1.0, chain - 1.0)
+                passes = ((l0f.astype(jnp.int32), 1.0 - f),
+                          (l1f.astype(jnp.int32), f))
+                for lv, lw in passes:
+                    base = jnp.zeros_like(bsafe)
+                    hh = jnp.ones_like(u)
+                    ww = jnp.ones_like(u)
+                    for bi, levels in enumerate(hw):
+                        for li in range(len(levels)):
+                            sel = (bsafe == bi) & (lv == li)
+                            base = jnp.where(sel,
+                                             jnp.int32(bases[bi][li]), base)
+                            hh = jnp.where(sel,
+                                           jnp.float32(levels[li][0]), hh)
+                            ww = jnp.where(sel,
+                                           jnp.float32(levels[li][1]), ww)
+                    # wrap addressing, texel centers at +0.5 (texture.py)
+                    uu = u - jnp.floor(u)
+                    vv = v_ - jnp.floor(v_)
+                    x = uu * ww - 0.5
+                    y = vv * hh - 0.5
+                    x0f = jnp.floor(x)
+                    y0f = jnp.floor(y)
+                    fx = x - x0f
+                    fy = y - y0f
+                    # base-corner wrap; the +1 border row/col covers the
+                    # far taps without wrapping
+                    xi = (x0f + jnp.where(x0f < 0.0, ww, 0.0)
+                          ).astype(jnp.int32)
+                    yi = (y0f + jnp.where(y0f < 0.0, hh, 0.0)
+                          ).astype(jnp.int32)
+                    row0 = base + yi
+                    row1 = row0 + 1
+                    wy0 = (1.0 - fy) * lw * vaf
+                    wy1 = fy * lw * vaf
+                    rc0 = jnp.min(jnp.where(va, row0 >> 7, big))
+                    rc1 = jnp.max(jnp.where(va, row1 >> 7, -1))
+                    xs0 = jnp.min(jnp.where(va, xi >> 3, big))
+                    xs1 = jnp.max(jnp.where(va, (xi + 1) >> 3, -1))
+
+                    def xseg_body(xs, c_, row0=row0, row1=row1, wy0=wy0,
+                                  wy1=wy1, xi=xi, fx=fx, rc0=rc0, rc1=rc1,
+                                  g=g):
+                        facc_s[...] = jnp.zeros((LANES, LANES), jnp.float32)
+
+                        def rc_body(rc, c2_):
+                            rid = (jax.lax.broadcasted_iota(
+                                jnp.int32, (LANES, LANES), 0) + rc * LANES)
+                            wt = ((rid == row0) * wy0 + (rid == row1) * wy1)
+                            tb = texT_ref[pl.ds(xs * LANES, LANES),
+                                          pl.ds(rc * LANES, LANES)]
+                            facc_s[...] += jax.lax.dot_general(
+                                tb, wt.astype(_tex_dtype()),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                            return c2_
+
+                        jax.lax.fori_loop(rc0, rc1 + 1, rc_body, 0)
+                        jloc = jax.lax.broadcasted_iota(
+                            jnp.int32, (LANES, LANES), 0) >> 4
+                        x_here = xs * 8 + jloc
+                        xw = ((x_here == xi) * (1.0 - fx)
+                              + (x_here == xi + 1) * fx)
+                        prod = facc_s[...] * xw
+                        part = jnp.sum(prod.reshape(8, 16, LANES), axis=0)
+                        b16_s[:, g, :] += part
+                        return c_
+
+                    jax.lax.fori_loop(xs0, xs1 + 1, xseg_body, 0)
+
         def bounce(depth, st):
-            (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_, rng,
-             active, prev_spec, count, tmin, tmax) = st
+            if tex_cfg:
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_, rng,
+                 active, prev_spec, count, tmin, tmax, path_len) = st
+            else:
+                (ox, oy, oz, dx, dy, dz, tr, tg, tb, rr_, rg_, rb_, rng,
+                 active, prev_spec, count, tmin, tmax) = st
+                path_len = None
 
             # --- closest hit over SMEM triangles ---
             neg1 = jnp.full(lane.shape, -1, jnp.int32)
@@ -574,7 +803,8 @@ def _make_kernel(width, height, full_w, full_h,
             def tri_body_rays(rox, roy, roz, rdx, rdy, rdz,
                               sbt_off=None, inst_i=None):
                 def tri_body(t, carry):
-                    bt, bid, bmid, bnx, bny, bnz, binst = carry
+                    (bt, bid, bmid, bnx, bny, bnz, binst,
+                     buu, bvv) = carry
                     consts = _load_tri(tri_ref, t)
                     tt, uu, vv, dpz = _tri_test(consts, rox, roy, roz,
                                                 rdx, rdy, rdz)
@@ -592,10 +822,15 @@ def _make_kernel(width, height, full_w, full_h,
                     bnz = jnp.where(ok, consts[14], bnz)
                     if inst_i is not None:
                         binst = jnp.where(ok, inst_i, binst)
-                    return bt, bid, bmid, bnx, bny, bnz, binst
+                    if want_attrs:
+                        # winner barycentrics for uv/normal interpolation
+                        buu = jnp.where(ok, uu, buu)
+                        bvv = jnp.where(ok, vv, bvv)
+                    return bt, bid, bmid, bnx, bny, bnz, binst, buu, bvv
                 return tri_body
 
-            init = (tmax, neg1, neg1, fzero, fzero, fzero, neg1)
+            init = (tmax, neg1, neg1, fzero, fzero, fzero, neg1,
+                    fzero, fzero)
             if inst_ranges:
                 carry = init
                 for i, (lo, hi) in enumerate(inst_ranges):
@@ -609,7 +844,7 @@ def _make_kernel(width, height, full_w, full_h,
                             carry = body(t, carry)
                     else:
                         carry = jax.lax.fori_loop(lo, hi, body, carry)
-                bt, bid, bmid, gnx, gny, gnz, binst = carry
+                (bt, bid, bmid, gnx, gny, gnz, binst, buu, bvv) = carry
                 # winner's OBJECT-space normal back to world by the
                 # inverse-transpose row rule w_k = sum_j n_j inv[j][k]
                 # (matches tlas.intersect_instances), then normalize.
@@ -631,9 +866,10 @@ def _make_kernel(width, height, full_w, full_h,
                 body = tri_body_rays(ox, oy, oz, dx, dy, dz)
                 for t in range(num_tris):
                     carry = body(t, carry)
-                bt, bid, bmid, gnx, gny, gnz, _ = carry
+                (bt, bid, bmid, gnx, gny, gnz, _, buu, bvv) = carry
             else:
-                bt, bid, bmid, gnx, gny, gnz, _ = jax.lax.fori_loop(
+                (bt, bid, bmid, gnx, gny, gnz, _,
+                 buu, bvv) = jax.lax.fori_loop(
                     0, num_tris, tri_body_rays(ox, oy, oz, dx, dy, dz),
                     init)
 
@@ -699,6 +935,97 @@ def _make_kernel(width, height, full_w, full_h,
                     kr_r = jnp.where(sel, mat_tbl_ref[k, 9], kr_r)
                     kr_g = jnp.where(sel, mat_tbl_ref[k, 10], kr_g)
                     kr_b = jnp.where(sel, mat_tbl_ref[k, 11], kr_b)
+
+            if want_attrs:
+                # --- winner per-triangle shading attributes (engine
+                # shading_frame parity): static-unrolled selects over the
+                # shade2 SMEM plane keyed on the winning triangle id.
+                is_tri = hit & (bid < num_tris)
+                fone = jnp.full(lane.shape, 1.0, jnp.float32)
+                a_cols = list(range(0, 10)) if tex_cfg else []
+                if smooth:
+                    a_cols += list(range(10, 19))
+                attr = {c: fzero for c in a_cols}
+                for t in range(num_tris):
+                    selt = bid == t
+                    for c in a_cols:
+                        attr[c] = jnp.where(selt, shade2_ref[t, c], attr[c])
+                if smooth:
+                    # interpolated vertex normal; degenerate → face normal
+                    snx = attr[10] + buu * attr[13] + bvv * attr[16]
+                    sny = attr[11] + buu * attr[14] + bvv * attr[17]
+                    snz = attr[12] + buu * attr[15] + bvv * attr[18]
+                    ln2 = _dot3(snx, sny, snz, snx, sny, snz)
+                    ok_n = is_tri & (ln2 > 1e-12)
+                    inv = jax.lax.rsqrt(jnp.maximum(ln2, 1e-20))
+                    gnx = jnp.where(ok_n, snx * inv, gnx)
+                    gny = jnp.where(ok_n, sny * inv, gny)
+                    gnz = jnp.where(ok_n, snz * inv, gnz)
+            if tex_cfg:
+                # --- in-kernel textures (whitted.cu:160-168 sampleTexture
+                # folded into the megakernel) ---
+                uvx = attr[0] + buu * attr[2] + bvv * attr[4]
+                uvy = attr[1] + buu * attr[3] + bvv * attr[5]
+                # ray-cone mip LOD: footprint = spread x path length,
+                # texels via the triangle's uv density (engine parity)
+                cone = pixel_spread * (path_len
+                                       + jnp.where(hit_valid, bt, fzero))
+                tsc = jnp.where(is_tri, cone * attr[6], 0.0)
+                false_l = jnp.zeros(lane.shape, bool)
+                b_lane = jnp.full(lane.shape, -1, jnp.int32)
+                m_base = m_nm = m_mr = m_em = false_l
+                for k, fl in enumerate(tex_cfg[5]):
+                    selk = bmid == k
+                    if fl[0] >= 0:
+                        b_lane = jnp.where(selk, jnp.int32(fl[0]), b_lane)
+                    if fl[1]:
+                        m_base = m_base | selk
+                    if fl[2]:
+                        m_nm = m_nm | selk
+                    if fl[3]:
+                        m_mr = m_mr | selk
+                    if fl[4]:
+                        m_em = m_em | selk
+                f_valid = is_tri & (b_lane >= 0)
+                fetch_bundle16(uvx, uvy,
+                               jnp.where(f_valid, b_lane, -1), tsc, f_valid)
+                ch = [b16_s[c] for c in range(16)]
+                ab_m = is_tri & m_base
+                alb_r = jnp.where(ab_m, alb_r * ch[0], alb_r)
+                alb_g = jnp.where(ab_m, alb_g * ch[1], alb_g)
+                alb_b = jnp.where(ab_m, alb_b * ch[2], alb_b)
+                mr_m = is_tri & m_mr
+                rough = jnp.where(mr_m, rough * ch[10], rough)
+                metallic = jnp.where(mr_m, metallic * ch[11], metallic)
+                em_m = is_tri & m_em
+                em_r = jnp.where(em_m, em_r * ch[7], em_r)
+                em_g = jnp.where(em_m, em_g * ch[8], em_g)
+                em_b = jnp.where(em_m, em_b * ch[9], em_b)
+                nm_m = is_tri & m_nm
+                if any(fl[2] for fl in tex_cfg[5]):
+                    # tangent-space normal map: TBN from the uv-aligned
+                    # tangent Gram-Schmidt'd against the shading normal
+                    nmx = ch[4] * 2.0 - 1.0
+                    nmy = ch[5] * 2.0 - 1.0
+                    nmz = ch[6] * 2.0 - 1.0
+                    tdn = _dot3(attr[7], attr[8], attr[9], gnx, gny, gnz)
+                    t_x = attr[7] - gnx * tdn
+                    t_y = attr[8] - gny * tdn
+                    t_z = attr[9] - gnz * tdn
+                    tl = jnp.sqrt(jnp.maximum(
+                        _dot3(t_x, t_y, t_z, t_x, t_y, t_z), 1e-20))
+                    t_x, t_y, t_z = t_x / jnp.maximum(tl, 1e-8), \
+                        t_y / jnp.maximum(tl, 1e-8), t_z / jnp.maximum(tl, 1e-8)
+                    b_x = gny * t_z - gnz * t_y
+                    b_y = gnz * t_x - gnx * t_z
+                    b_z = gnx * t_y - gny * t_x
+                    mnx, mny, mnz = _normalize3(
+                        t_x * nmx + b_x * nmy + gnx * nmz,
+                        t_y * nmx + b_y * nmy + gny * nmz,
+                        t_z * nmx + b_z * nmy + gnz * nmz)
+                    gnx = jnp.where(nm_m, mnx, gnx)
+                    gny = jnp.where(nm_m, mny, gny)
+                    gnz = jnp.where(nm_m, mnz, gnz)
 
             # two-sided shading normal
             flip = jnp.where(_dot3(gnx, gny, gnz, dx, dy, dz) > 0.0, -1.0, 1.0)
@@ -930,7 +1257,9 @@ def _make_kernel(width, height, full_w, full_h,
                     rr_, rg_, rb_, rng, new_active,
                     is_specular.astype(jnp.int32), count,
                     jnp.full(lane.shape, RAY_TMIN, jnp.float32),
-                    jnp.full(lane.shape, 1e16, jnp.float32))
+                    jnp.full(lane.shape, 1e16, jnp.float32)
+                    ) + (((path_len + jnp.where(hit_valid, bt, fzero)),)
+                         if tex_cfg else ())
 
         izero = jnp.zeros(lane.shape, jnp.int32)
         if regen:
@@ -1028,7 +1357,11 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
         scene.tri_mat.astype(jnp.float32))
     mat_tbl = pack_materials(scene.materials)
     light = pack_light(scene.area_light)
-    cam = pack_camera(cam_params, scene.miss_color)
+    # ray-cone pixel spread for in-kernel mip LOD (engine.render_sample)
+    spread = (2.0 * jnp.linalg.norm(cam_params["V"])
+              / (full_h * jnp.maximum(jnp.linalg.norm(cam_params["W"]),
+                                      1e-8)))
+    cam = pack_camera(cam_params, scene.miss_color, pixel_spread=spread)
     misc = jnp.stack([jnp.asarray(subframe, jnp.int32),
                       jnp.asarray(y0, jnp.int32),
                       jnp.asarray(x0, jnp.int32),
@@ -1039,6 +1372,8 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
     prim_plane = pack_prims(scene.prims)
     inst_ranges = fused_inst_ranges(scene)
     inst_plane = pack_instances(scene.instances)
+    tex_cfg = tex_static(scene) if scene.has_textures else None
+    smooth = scene.geom.smooth and not inst_ranges
     kernel = _make_kernel(width, height, full_w, full_h,
                           scene.geom.num_triangles, scene.materials.num,
                           max_depth, samples_per_launch,
@@ -1047,7 +1382,21 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
                           prim_kinds=prim_kinds,
                           inst_ranges=inst_ranges,
                           regen=(_REGEN_DEFAULT if regen is None
-                                 else regen))
+                                 else regen),
+                          tex_cfg=tex_cfg, smooth=smooth)
+
+    operands = [tri_consts, prim_plane, inst_plane, mat_tbl, light, cam,
+                misc]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7
+    scratch_shapes = []
+    if tex_cfg or smooth:
+        operands.append(pack_shade2(scene))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if tex_cfg:
+        operands.append(pack_tex_table(scene))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch_shapes = [pltpu.VMEM((LANES, LANES), jnp.float32),
+                          pltpu.VMEM((16, SUBLANES, LANES), jnp.float32)]
 
     out_shapes = tuple(jax.ShapeDtypeStruct(blk_shape, jnp.float32)
                        for _ in range(4))
@@ -1056,11 +1405,12 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
     rad_r, rad_g, rad_b, count = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7,
+        in_specs=in_specs,
         out_specs=(blockspec,) * 4,
         out_shape=out_shapes,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(tri_consts, prim_plane, inst_plane, mat_tbl, light, cam, misc)
+    )(*operands)
 
     rad = jnp.stack([rad_r.reshape(n_padded)[:n],
                      rad_g.reshape(n_padded)[:n],
