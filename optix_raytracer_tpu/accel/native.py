@@ -50,6 +50,9 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float)] * 3 + [ctypes.c_int32] + [
                 ctypes.POINTER(ctypes.c_float)] * 2 + [
                 ctypes.POINTER(ctypes.c_int32)] * 2
+            lib.ort_build_bvh_sah_mt.restype = ctypes.c_int32
+            lib.ort_build_bvh_sah_mt.argtypes = (
+                lib.ort_build_bvh_sah.argtypes + [ctypes.c_int32])
             lib.ort_bvh_sah_cost.restype = ctypes.c_float
             lib.ort_bvh_sah_cost.argtypes = [
                 ctypes.POINTER(ctypes.c_float),
@@ -80,9 +83,21 @@ def _iptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
-def build_bvh_sah(geom) -> Optional["LBVH"]:
+def _build_threads() -> int:
+    """Worker count for the parallel subtree phase (ORT_NATIVE_THREADS
+    overrides; output is byte-identical for any value)."""
+    env = os.environ.get("ORT_NATIVE_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
+
+
+def build_bvh_sah(geom, num_threads: Optional[int] = None) \
+        -> Optional["LBVH"]:
     """Build a threaded SAH BVH on the host → accel.lbvh.LBVH, or None when
-    the native library is unavailable."""
+    the native library is unavailable. Large builds run the deferred-
+    subtree phase across `num_threads` workers (default: all cores) —
+    deterministic, byte-identical to the serial build."""
     lib = _load()
     if lib is None:
         return None
@@ -105,9 +120,10 @@ def build_bvh_sah(geom) -> Optional["LBVH"]:
     node_skip = np.empty(num_nodes, np.int32)
     node_prim = np.empty(num_nodes, np.int32)
 
-    written = lib.ort_build_bvh_sah(
+    written = lib.ort_build_bvh_sah_mt(
         _fptr(tri_lo), _fptr(tri_hi), _fptr(centroid), n,
-        _fptr(node_lo), _fptr(node_hi), _iptr(node_skip), _iptr(node_prim))
+        _fptr(node_lo), _fptr(node_hi), _iptr(node_skip), _iptr(node_prim),
+        _build_threads() if num_threads is None else num_threads)
     if written != num_nodes:
         return None
     return LBVH(node_lo=jnp.asarray(node_lo), node_hi=jnp.asarray(node_hi),

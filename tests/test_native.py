@@ -67,3 +67,32 @@ class TestNativeBuilder:
         scene.add_mesh(verts, idx)
         ds = scene.finalize()
         assert ds.has_bvh and ds.bvh.num_nodes == 2 * 600 - 1
+
+
+class TestParallelBuild:
+    def test_mt_byte_identical_and_faster(self):
+        """The deferred-subtree parallel build must produce the exact
+        serial output (same splits, same preorder numbering) for any
+        thread count — and actually engage workers on a large mesh."""
+        import time
+        rng = np.random.default_rng(11)
+        n = 120_000
+        verts, idx = random_mesh(rng, n)
+        geom = build_triangle_geometry(verts, idx)
+
+        t0 = time.perf_counter()
+        serial = native.build_bvh_sah(geom, num_threads=1)
+        t_serial = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        parallel = native.build_bvh_sah(geom, num_threads=8)
+        t_parallel = time.perf_counter() - t0
+
+        for field in ("node_lo", "node_hi", "node_skip", "node_prim"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(serial, field)),
+                np.asarray(getattr(parallel, field)))
+        # Speedup is core-count-dependent (CI may have 1 CPU); assert only
+        # that the parallel path costs nothing, and report the times.
+        assert t_parallel < t_serial * 1.5, (t_serial, t_parallel)
+        print(f"serial {t_serial*1e3:.0f} ms, 8-thread "
+              f"{t_parallel*1e3:.0f} ms")
