@@ -446,8 +446,17 @@ def main():
     bench_s = {}
 
     def timed(name, fn):
+        # A sub-bench failure (e.g. a Mosaic lowering regression in one
+        # kernel) must not zero the whole bench record: report -1 for the
+        # failed metric and keep going.
         t = time.time()
-        r = fn()
+        try:
+            r = fn()
+        except Exception as e:
+            import traceback
+            print(f"# bench '{name}' FAILED: {e!r}", flush=True)
+            traceback.print_exc()
+            r = {} if name in ("large_mesh", "stream", "mega") else -1.0
         bench_s[name] = round(time.time() - t, 1)
         return r
 

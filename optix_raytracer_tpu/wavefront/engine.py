@@ -637,8 +637,11 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
         # Textured scenes ride the megakernel's in-kernel texture unit
         # when the static bundle wiring exists, the mesh fits the
         # winner-select unroll budget, and the bf16 mip table fits VMEM.
+        # ORT_FUSED_TEX=0 is the kill-switch back to the XLA engine.
+        import os
         cfg = tex_static(scene)
-        tex_ok = (cfg is not None
+        tex_ok = (os.environ.get("ORT_FUSED_TEX", "1") != "0"
+                  and cfg is not None
                   and not scene.has_instances
                   and scene.geom.num_triangles <= TEX_MAX_TRIS
                   and cfg[2] * cfg[3] * 2 <= TEX_MAX_TABLE_BYTES)
