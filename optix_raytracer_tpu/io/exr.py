@@ -525,22 +525,8 @@ def write_exr(path: str, image: np.ndarray, channels=None,
             f.write(payload)
 
 
-def read_exr(path: str, layers: bool = False):
-    """Read an uncompressed single-part scanline EXR.
-
-    Returns float32 [H, W, C] with channels ordered R,G,B,A,(rest alpha-
-    betical) — or, with layers=True, a dict {channel_name: [H, W] f32}.
-    """
-    with open(path, "rb") as f:
-        data = f.read()
-    if data[:4] != _MAGIC:
-        raise ValueError(f"{path}: not an EXR file")
-    version = struct.unpack_from("<i", data, 4)[0]
-    if version & 0x1000:
-        raise NotImplementedError("multipart EXR not supported")
-    tiled = bool(version & 0x200)
-
-    pos = 8
+def _parse_header(data, pos):
+    """One header (attribute list) starting at `pos` → (attrs, end_pos)."""
     attrs = {}
     while True:
         end = data.index(b"\0", pos)
@@ -554,6 +540,72 @@ def read_exr(path: str, layers: bool = False):
         pos += 4
         attrs[name] = data[pos:pos + size]
         pos += size
+    return attrs, pos
+
+
+def read_exr_parts(path: str) -> list:
+    """Part names of a (possibly multipart) EXR, in file order."""
+    with open(path, "rb") as f:
+        data = f.read(1 << 20)
+    if data[:4] != _MAGIC:
+        raise ValueError(f"{path}: not an EXR file")
+    version = struct.unpack_from("<i", data, 4)[0]
+    if not version & 0x1000:
+        return [""]
+    names, pos = [], 8
+    while data[pos] != 0:
+        attrs, pos = _parse_header(data, pos)
+        names.append(attrs.get("name", b"").rstrip(b"\0").decode())
+    return names
+
+
+def read_exr(path: str, layers: bool = False, part=0):
+    """Read a single- or multi-part scanline/tiled EXR
+    (NONE/ZIPS/ZIP/PIZ compression; deep parts unsupported).
+
+    part: index or name of the part to read (multipart files,
+    `read_exr_parts` lists them). Returns float32 [H, W, C] with channels
+    ordered R,G,B,A,(rest alphabetical) — or, with layers=True, a dict
+    {channel_name: [H, W] f32}.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != _MAGIC:
+        raise ValueError(f"{path}: not an EXR file")
+    version = struct.unpack_from("<i", data, 4)[0]
+    multipart = bool(version & 0x1000)
+
+    pos = 8
+    if multipart:
+        # header sequence (terminated by an empty header), then one
+        # offset table per part in order; chunks carry a leading part
+        # number which the readers skip via `lead`.
+        headers = []
+        while data[pos] != 0:
+            attrs_i, pos = _parse_header(data, pos)
+            headers.append(attrs_i)
+        pos += 1
+        if isinstance(part, str):
+            names = [a.get("name", b"").rstrip(b"\0").decode()
+                     for a in headers]
+            part = names.index(part)
+        for i, attrs_i in enumerate(headers):
+            n_chunks = struct.unpack_from(
+                "<i", attrs_i["chunkCount"], 0)[0]
+            if i == part:
+                attrs = attrs_i
+                table_pos = pos
+            pos += 8 * n_chunks
+        ptype = attrs.get("type", b"scanlineimage").rstrip(b"\0")
+        if ptype not in (b"scanlineimage", b"tiledimage"):
+            raise NotImplementedError(f"deep EXR part {ptype!r}")
+        tiled = ptype == b"tiledimage"
+        pos = table_pos
+        lead = 4                       # chunk part-number prefix
+    else:
+        attrs, pos = _parse_header(data, pos)
+        tiled = bool(version & 0x200)
+        lead = 0
 
     comp_id = attrs["compression"][0]
     if comp_id not in _LINES_PER_CHUNK:
@@ -578,10 +630,10 @@ def read_exr(path: str, layers: bool = False):
 
     out = {name: np.empty((h, w), np.float32) for name, _ in chans}
     if tiled:
-        _read_tiles(data, pos, attrs, chans, out, comp_id, w, h)
+        _read_tiles(data, pos, attrs, chans, out, comp_id, w, h, lead)
     else:
         _read_scanlines(data, pos, attrs, chans, out, comp_id, lines,
-                        row_bytes, w, h, y0)
+                        row_bytes, w, h, y0, lead)
 
     if layers:
         return out
@@ -593,11 +645,12 @@ def read_exr(path: str, layers: bool = False):
 
 
 def _read_scanlines(data, pos, attrs, chans, out, comp_id, lines,
-                    row_bytes, w, h, y0):
+                    row_bytes, w, h, y0, lead=0):
     n_chunks = -(-h // lines)
     offsets = struct.unpack_from("<%dq" % n_chunks, data, pos)
     scan_bytes = sum(row_bytes.values())
     for off in offsets:
+        off += lead                      # multipart: skip the part number
         y, size = struct.unpack_from("<ii", data, off)
         y -= y0
         n_lines = min(lines, h - y)
@@ -649,7 +702,7 @@ def _tile_counts(w, h, tw, th, mode):
                for lx in range(nx) for ly in range(ny))
 
 
-def _read_tiles(data, pos, attrs, chans, out, comp_id, w, h):
+def _read_tiles(data, pos, attrs, chans, out, comp_id, w, h, lead=0):
     """Tiled single-part body: every chunk carries its own (dx, dy,
     levelx, levely) header, so levels are identified per chunk and only
     level (0, 0) fills the output — table ordering never matters."""
@@ -657,6 +710,7 @@ def _read_tiles(data, pos, attrs, chans, out, comp_id, w, h):
     n_chunks = _tile_counts(w, h, tw, th_, mode)
     offsets = struct.unpack_from("<%dq" % n_chunks, data, pos)
     for off in offsets:
+        off += lead                      # multipart: skip the part number
         dx, dy, lx, ly, size = struct.unpack_from("<iiiii", data, off)
         if lx or ly:
             continue                         # coarser mip/rip level

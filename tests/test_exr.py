@@ -285,3 +285,86 @@ class TestTiledRead:
                           extra_levels=extras)
         out = read_exr(p)
         np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+class TestMultipart:
+    """Multipart EXR (version bit 0x1000): header sequence + per-part
+    offset tables + part-numbered chunks."""
+
+    @staticmethod
+    def _write_multipart(path, parts):
+        """parts: list of (name, img [H,W,3] f32). Scanline ZIP parts."""
+        import struct
+
+        from optix_raytracer_tpu.io import exr as E
+
+        headers = b""
+        bodies = []          # per part: list of (payload) scanline chunks
+        for pname, img in parts:
+            h, w, nc = img.shape
+            names = ("R", "G", "B")[:nc]
+            order = sorted(range(nc), key=lambda i: names[i])
+            chlist = b""
+            for i in order:
+                chlist += (names[i].encode() + b"\0"
+                           + struct.pack("<i", E._PT_FLOAT)
+                           + struct.pack("<i", 0) + struct.pack("<ii", 1, 1))
+            chlist += b"\0"
+            box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+            lines = E._LINES_PER_CHUNK[E._COMP_ZIP]
+            n_chunks = -(-h // lines)
+            header = (E._attr("channels", "chlist", chlist)
+                      + E._attr("compression", "compression",
+                                bytes([E._COMP_ZIP]))
+                      + E._attr("dataWindow", "box2i", box)
+                      + E._attr("displayWindow", "box2i", box)
+                      + E._attr("lineOrder", "lineOrder", b"\0")
+                      + E._attr("pixelAspectRatio", "float",
+                                struct.pack("<f", 1.0))
+                      + E._attr("screenWindowCenter", "v2f",
+                                struct.pack("<ff", 0.0, 0.0))
+                      + E._attr("screenWindowWidth", "float",
+                                struct.pack("<f", 1.0))
+                      + E._attr("name", "string", pname.encode())
+                      + E._attr("type", "string", b"scanlineimage")
+                      + E._attr("chunkCount", "int",
+                                struct.pack("<i", n_chunks))
+                      + b"\0")
+            headers += header
+            rows = img[:, :, order].transpose(0, 2, 1).astype(np.float32)
+            chunks = []
+            for y in range(0, h, lines):
+                raw = np.ascontiguousarray(rows[y:y + lines]).tobytes()
+                chunks.append((y, E._zip_compress(raw)))
+            bodies.append(chunks)
+
+        head = E._MAGIC + struct.pack("<i", 2 | 0x1000) + headers + b"\0"
+        total_chunks = sum(len(c) for c in bodies)
+        pos = len(head) + 8 * total_chunks
+        tables = []
+        chunk_bytes = b""
+        for pi, chunks in enumerate(bodies):
+            offs = []
+            for y, payload in chunks:
+                offs.append(pos)
+                rec = struct.pack("<iii", pi, y, len(payload)) + payload
+                chunk_bytes += rec
+                pos += len(rec)
+            tables.append(offs)
+        with open(path, "wb") as f:
+            f.write(head)
+            for offs in tables:
+                f.write(struct.pack("<%dq" % len(offs), *offs))
+            f.write(chunk_bytes)
+
+    def test_two_part_read(self, tmp_path):
+        from optix_raytracer_tpu.io.exr import read_exr, read_exr_parts
+        rng = np.random.default_rng(5)
+        beauty = rng.uniform(0, 4, (21, 17, 3)).astype(np.float32)
+        albedo = rng.uniform(0, 1, (21, 17, 3)).astype(np.float32)
+        p = str(tmp_path / "mp.exr")
+        self._write_multipart(p, [("beauty", beauty), ("albedo", albedo)])
+        assert read_exr_parts(p) == ["beauty", "albedo"]
+        np.testing.assert_allclose(read_exr(p, part=0), beauty, atol=1e-6)
+        np.testing.assert_allclose(read_exr(p, part="albedo"), albedo,
+                                   atol=1e-6)
