@@ -368,3 +368,65 @@ class TestMultipart:
         np.testing.assert_allclose(read_exr(p, part=0), beauty, atol=1e-6)
         np.testing.assert_allclose(read_exr(p, part="albedo"), albedo,
                                    atol=1e-6)
+
+
+class TestDenoiserSequences:
+    """optixDenoiser frame-sequence parity: '+' placeholder substitution
+    (`optixDenoiser.cpp:75-103` getFrameFilename) and per-frame temporal
+    chaining (each output feeds the next frame's history)."""
+
+    def test_frame_filename(self):
+        from optix_raytracer_tpu.apps.denoiser import frame_filename
+        assert frame_filename("b-++++.exr", 7) == "b-0007.exr"
+        assert frame_filename("b-++++.exr", 123) == "b-0123.exr"
+        assert frame_filename("static.exr", 5) == "static.exr"
+        assert frame_filename("b-++.exr", -1) == "b-++.exr"
+        with pytest.raises(ValueError):
+            frame_filename("b-++.exr", 1234)
+
+    def test_sequence_run(self, tmp_path):
+        from optix_raytracer_tpu.apps import denoiser as app
+        rng = np.random.default_rng(2)
+        clean = np.zeros((24, 24, 3), np.float32)
+        clean[:, :12] = (0.8, 0.3, 0.2)
+        clean[:, 12:] = (0.1, 0.6, 0.9)
+        for f in (3, 4, 5):
+            noisy = np.maximum(
+                clean + rng.normal(0, 0.3, clean.shape).astype(np.float32),
+                0.0)
+            write_exr(str(tmp_path / f"b-++.exr").replace("++", f"{f:02d}"),
+                      noisy, pixel_type="FLOAT")
+        out_pat = str(tmp_path / "d-++.exr")
+        app.main([str(tmp_path / "b-++.exr"), "-o", out_pat,
+                  "--Frames", "3-5", "-i", "2"])
+        outs = [read_exr(str(tmp_path / f"d-{f:02d}.exr"))
+                for f in (3, 4, 5)]
+        errs = [np.abs(o - clean).mean() for o in outs]
+        # '+' substitution produced all three frames, each denoised well
+        # below the raw noise level (E|N(0,.3)| ~ 0.24)
+        assert all(np.isfinite(o).all() for o in outs)
+        assert max(errs) < 0.12
+
+    def test_flow_only_mode(self, tmp_path):
+        from optix_raytracer_tpu.apps import denoiser as app
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        b = str(tmp_path / "b.exr")
+        o = str(tmp_path / "o.exr")
+        write_exr(b, img, pixel_type="FLOAT")
+        app.main([b, "-o", o, "-z"])
+        np.testing.assert_allclose(read_exr(o), img, atol=2e-3)  # half out
+
+    def test_aov_mode_writes_aovs(self, tmp_path):
+        from optix_raytracer_tpu.apps import denoiser as app
+        import os
+        rng = np.random.default_rng(4)
+        img = rng.uniform(0, 1, (16, 16, 3)).astype(np.float32)
+        b = str(tmp_path / "b.exr")
+        av = str(tmp_path / "glossy.exr")
+        o = str(tmp_path / "out.exr")
+        write_exr(b, img)
+        write_exr(av, img * 0.5)
+        app.main([b, "-A", av, "-o", o, "-i", "2"])
+        assert read_exr(o).shape == img.shape
+        assert read_exr(str(tmp_path / "aov_out.exr")).shape == img.shape
