@@ -782,7 +782,12 @@ def _make_kernel(width, height, full_w, full_h,
                         xw = ((x_here == xi) * (1.0 - fx)
                               + (x_here == xi + 1) * fx)
                         prod = facc_s[...] * xw
-                        part = jnp.sum(prod.reshape(8, 16, LANES), axis=0)
+                        # fold the 8 texel groups: strided slice-adds (a
+                        # (8,16,128) reshape-reduce is the same cost but
+                        # a riskier Mosaic relayout)
+                        part = prod[0:16, :]
+                        for j in range(1, 8):
+                            part = part + prod[j * 16:(j + 1) * 16, :]
                         b16_s[:, g, :] += part
                         return c_
 
