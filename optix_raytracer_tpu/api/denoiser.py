@@ -77,6 +77,17 @@ def _warped_history(previous_output, flow, out_hw):
     return atrous.warp_by_flow(prev, _lift_flow(flow, out_hw))
 
 
+def _attach_alpha(out, alpha):
+    """Re-attach the (possibly denoised) alpha plane, lifting it to the
+    output resolution for the upscale kinds."""
+    import jax
+    if alpha is None:
+        return out
+    if alpha.shape[:2] != out.shape[:2]:
+        alpha = jax.image.resize(alpha, out.shape[:2], "bilinear")
+    return jnp.concatenate([out, alpha[..., None]], axis=-1)
+
+
 def _lift_flow(flow, out_hw):
     """Flow guide at the output resolution: None → zeros; a low-res flow
     is bilinearly lifted with its vectors scaled by the resolution ratio
@@ -110,14 +121,21 @@ class ModelKind:
     AOV_KINDS = (AOV, TEMPORAL_AOV)
 
 
+class AlphaMode:
+    """`OptixDenoiserAlphaMode` (`optix_types.h:1640-1643`)."""
+    COPY = "COPY"          # alpha passes through untouched
+    DENOISE = "DENOISE"    # alpha is filtered like a radiance channel
+
+
 class Denoiser:
     def __init__(self, context=None, model_kind: str = ModelKind.HDR,
                  guide_albedo: bool = True, guide_normal: bool = True,
-                 backend: str = "auto"):
+                 backend: str = "auto", alpha_mode: str = AlphaMode.COPY):
         self.context = context
         self.model_kind = model_kind
         self.guide_albedo = guide_albedo
         self.guide_normal = guide_normal
+        self.alpha_mode = alpha_mode
         if backend == "auto":
             backend = "kpcnn" if kpcnn.has_weights() else "atrous"
         if backend == "kpcnn" and kpcnn.load_params() is None:
@@ -175,6 +193,24 @@ class Denoiser:
         assert self._setup is not None, "call setup() first (optixDenoiserSetup)"
         it = self._setup["iterations"]
         beauty = jnp.asarray(beauty, jnp.float32)
+        alpha = None
+        if beauty.shape[-1] == 4:
+            # OptixDenoiserAlphaMode: COPY passes the input alpha through;
+            # DENOISE filters it like a radiance channel (same guides).
+            alpha = beauty[..., 3]
+            beauty = beauty[..., :3]
+            if self.alpha_mode == AlphaMode.DENOISE:
+                a3 = jnp.repeat(alpha[..., None], 3, axis=-1)
+                alpha = atrous.denoise(
+                    a3, albedo=(None if not self.guide_albedo or albedo is None
+                                else jnp.asarray(albedo, jnp.float32)[..., :3]),
+                    normal=(None if not self.guide_normal or normal is None
+                            else jnp.asarray(normal, jnp.float32)[..., :3]),
+                    iterations=it)[..., 0]
+        if albedo is not None:
+            albedo = jnp.asarray(albedo, jnp.float32)[..., :3]
+        if normal is not None:
+            normal = jnp.asarray(normal, jnp.float32)[..., :3]
         if not self.guide_albedo:
             albedo = None
         if not self.guide_normal:
@@ -215,9 +251,9 @@ class Denoiser:
                     # output; a low-res flow is lifted (and doubled) to
                     # output resolution before the warp.
                     out = _accumulate_history(
-                        out, _warped_history(previous_output, flow,
-                                             out.shape[:2]))
-                return out
+                        out, _warped_history(
+                            previous_output, flow, out.shape[:2]))
+                return _attach_alpha(out, alpha)
 
         core = None
         if self.backend == "kpcnn":
@@ -291,6 +327,7 @@ class Denoiser:
                     out, _warped_history(previous_output, flow,
                                          out.shape[:2]))
 
+        out = _attach_alpha(out, alpha)
         if self.model_kind in ModelKind.AOV_KINDS and aovs:
             den_aovs = {k: self._spatial(jnp.asarray(v) * scale,
                                          albedo, normal, it) / scale

@@ -378,3 +378,39 @@ class TestTemporalSequence:
         noisy_e, t_e, f_e = lmse(noisy), lmse(out_t), lmse(out_f)
         assert t_e < f_e, (t_e, f_e)
         assert t_e < 0.5 * noisy_e, (t_e, noisy_e)
+
+
+class TestAlphaModes:
+    """OptixDenoiserAlphaMode (`optix_types.h:1640-1643`): COPY passes the
+    input alpha through bit-exactly; DENOISE filters it."""
+
+    def test_copy_and_denoise(self):
+        from optix_raytracer_tpu.api.denoiser import AlphaMode
+        rng = np.random.default_rng(12)
+        clean, noisy, albedo, normal = make_noisy_scene(rng, h=32, w=32)
+        a_clean = np.zeros((32, 32), np.float32)
+        a_clean[:, 16:] = 1.0
+        a_noisy = (a_clean + rng.normal(0, 0.15, (32, 32))).astype(np.float32)
+        rgba = np.concatenate([noisy, a_noisy[..., None].astype(np.float32)],
+                              axis=-1)
+        d_copy = Denoiser(alpha_mode=AlphaMode.COPY).setup(32, 32)
+        out = np.asarray(d_copy.invoke(rgba, albedo=albedo, normal=normal))
+        assert out.shape == (32, 32, 4)
+        np.testing.assert_array_equal(out[..., 3], rgba[..., 3])
+        d_dn = Denoiser(alpha_mode=AlphaMode.DENOISE).setup(32, 32)
+        out2 = np.asarray(d_dn.invoke(rgba, albedo=albedo, normal=normal))
+        assert (np.abs(out2[..., 3] - a_clean).mean()
+                < np.abs(a_noisy - a_clean).mean())
+
+    def test_alpha_through_upscale(self):
+        from optix_raytracer_tpu.api.denoiser import AlphaMode
+        rng = np.random.default_rng(13)
+        _, noisy, _, _ = make_noisy_scene(rng, h=16, w=16)
+        rgba = np.concatenate(
+            [noisy, np.ones((16, 16, 1), np.float32)], axis=-1)
+        den = Denoiser(model_kind=ModelKind.UPSCALE2X, guide_albedo=False,
+                       guide_normal=False,
+                       alpha_mode=AlphaMode.COPY).setup(16, 16)
+        out = np.asarray(den.invoke(rgba))
+        assert out.shape == (32, 32, 4)
+        np.testing.assert_allclose(out[..., 3], 1.0, atol=1e-5)
