@@ -85,12 +85,17 @@ def _up(x):
     return x.reshape(n, h * 2, w * 2, c)
 
 
-def init_params(rng, cin: int = 10) -> dict:
+def init_params(rng, cin: int = 10, out_alpha: bool = False) -> dict:
     """He-initialized parameter pytree (dict of arrays).
 
     cin: input feature channels — 10 spatial (log-irradiance 3, albedo 3,
     normal 3, local variance 1), 13 for the temporal variant (+3 of
-    reprojected-history log-irradiance)."""
+    reprojected-history log-irradiance).
+    out_alpha: one extra output channel — a per-pixel PREDICTED history
+    blend (sigmoid): the temporal-KPCN design where the net itself
+    decides how much converged history to copy vs how much filtered
+    current frame to keep (the reference's TEMPORAL kinds' stability
+    mechanism). Inference detects it from the out-conv width."""
     params = {}
     keys = jax.random.split(rng, 16)
     ki = iter(keys)
@@ -111,12 +116,13 @@ def init_params(rng, cin: int = 10) -> dict:
     for (name, ch), skip in zip(_DEC, skips):
         add(name, prev + skip, ch)
         prev = ch
-    add("out", prev, _KK, k=3)
+    add("out", prev, _KK + int(out_alpha), k=3)
     return params
 
 
 def apply_net(params, feats):
-    """feats [N, H, W, 10] → per-pixel kernel logits [N, H, W, 25]."""
+    """feats [N, H, W, 10|13] → per-pixel kernel logits [N, H, W, 25]
+    (+1 history-blend logit when the out conv carries it)."""
     x = _conv(params, "in0", feats)
     skips = []
     for i, (name, _) in enumerate(_ENC):
@@ -215,7 +221,15 @@ def denoise_kp(params, beauty, albedo=None, normal=None, emission=None,
     feats, irr = _features(beauty_p, albedo_p, normal_p,
                            history=history_p)
     logits = apply_net(params, feats)
-    filtered = apply_kernel(logits, irr)
+    filtered = apply_kernel(logits[..., :_KK], irr)
+    if history_p is not None and logits.shape[-1] > _KK:
+        # predicted history blend (temporal-KPCN): the net outputs a
+        # per-pixel sigmoid weight copying the reprojected history's
+        # demodulated irradiance — converged history ⇒ α→1, disocclusion
+        # or mis-warp ⇒ α→0 (it sees both streams in its inputs).
+        alpha = jax.nn.sigmoid(logits[..., _KK:_KK + 1])
+        hist_irr = jnp.maximum(history_p, 0.0) / (albedo_p + _EPS)
+        filtered = filtered + alpha * (hist_irr - filtered)
     out = filtered * (albedo_p + _EPS)                   # remodulate
     out = out[:, :h, :w]
     if emission is not None:

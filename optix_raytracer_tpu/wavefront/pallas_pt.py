@@ -946,7 +946,6 @@ def _make_kernel(width, height, full_w, full_h,
                 # shading_frame parity): static-unrolled selects over the
                 # shade2 SMEM plane keyed on the winning triangle id.
                 is_tri = hit & (bid < num_tris)
-                fone = jnp.full(lane.shape, 1.0, jnp.float32)
                 a_cols = list(range(0, 10)) if tex_cfg else []
                 if smooth:
                     a_cols += list(range(10, 19))

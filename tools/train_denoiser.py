@@ -277,7 +277,7 @@ def load_dataset():
 
 def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
           seed: int = 0, val_frac: float = 0.1, upscale: bool = False,
-          temporal: bool = False):
+          temporal: bool = False, alpha_out: bool = False):
     """upscale=True trains the UPSCALE2X weights: the input is the noisy
     image box-downsampled 2x then bilinear-lifted back (simulating a
     half-res render), guides stay full-res; saved to kpcnn_up2x.npz."""
@@ -300,8 +300,28 @@ def train(steps: int = 4000, batch: int = 8, lr: float = 1e-3,
 
     rng = np.random.default_rng(seed)
     params = kpcnn.init_params(jax.random.PRNGKey(seed),
-                               cin=13 if temporal else 10)
-    if temporal and kpcnn.has_weights():
+                               cin=13 if temporal else 10,
+                               out_alpha=alpha_out and temporal)
+    if alpha_out and temporal and kpcnn.has_temporal_weights():
+        # Warm start the predicted-alpha net from the trained temporal
+        # net: every layer copies; the new blend-logit output channel
+        # starts at zero weights with bias -2 (alpha ~= 0.12), so step 0
+        # is close to the trained temporal filter.
+        base = kpcnn.load_params(kpcnn.TEMPORAL_WEIGHTS_PATH)
+        for k, v in base.items():
+            v = np.asarray(v)
+            if k == "out_w":
+                w = np.zeros_like(np.asarray(params[k]))
+                w[..., :v.shape[-1]] = v
+                params[k] = jnp.asarray(w)
+            elif k == "out_b":
+                b = np.full(params[k].shape, -2.0, np.float32)
+                b[:v.shape[0]] = v
+                params[k] = jnp.asarray(b)
+            else:
+                params[k] = jnp.asarray(v)
+        print("warm-started alpha net from", kpcnn.TEMPORAL_WEIGHTS_PATH)
+    elif temporal and kpcnn.has_weights():
         # Warm start from the trained spatial net: copy every layer and
         # zero-pad in0_w's 3 new history channels. At step 0 the temporal
         # net then EQUALS the spatial net, so training can only improve on
@@ -414,6 +434,9 @@ def main(argv=None):
     ap.add_argument("--temporal", action="store_true",
                     help="train the temporal weights (kpcnn_temporal.npz; "
                          "needs --add-history first)")
+    ap.add_argument("--alpha-out", action="store_true",
+                    help="temporal net with a PREDICTED history-blend "
+                         "output channel (temporal-KPCN style)")
     ap.add_argument("--add-history", action="store_true",
                     help="render+warp previous frames into the dataset")
     ap.add_argument("--seed", type=int, default=0)
@@ -428,7 +451,7 @@ def main(argv=None):
                        clean_spp=args.clean_spp)
     if not args.render_only:
         train(steps=args.steps, seed=args.seed, upscale=args.upscale,
-              temporal=args.temporal)
+              temporal=args.temporal, alpha_out=args.alpha_out)
 
 
 if __name__ == "__main__":
