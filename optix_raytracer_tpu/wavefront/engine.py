@@ -632,26 +632,22 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
     prims_ok = (scene.prims.num <= MAX_FUSED_PRIMS
                 and all(k in FUSED_PRIM_KINDS
                         for k in scene.prims.kinds_static))
-    from .pallas_pt import TEX_MAX_TABLE_BYTES, TEX_MAX_TRIS, tex_static
+    from .pallas_pt import TEX_MAX_TABLE_BYTES, tex_static
     if scene.has_textures:
         # Textured scenes ride the megakernel's in-kernel texture unit
-        # when the static bundle wiring exists, the mesh fits the
-        # winner-select unroll budget, and the bf16 mip table fits VMEM.
-        # ORT_FUSED_TEX=0 is the kill-switch back to the XLA engine.
+        # when the static bundle wiring exists and the bf16 mip table
+        # fits VMEM (winner attributes come from static-unrolled selects
+        # on small meshes, a one-hot MXU fetch past that, up to the
+        # SMEM-path triangle budget). ORT_FUSED_TEX=0 is the kill-switch
+        # back to the XLA engine.
         import os
         cfg = tex_static(scene)
         tex_ok = (os.environ.get("ORT_FUSED_TEX", "1") != "0"
                   and cfg is not None
                   and not scene.has_instances
-                  and scene.geom.num_triangles <= TEX_MAX_TRIS
                   and cfg[2] * cfg[3] * 2 <= TEX_MAX_TABLE_BYTES)
         if not tex_ok:
             return False
-    # Smooth-mesh shading normals interpolate in-kernel via the same
-    # winner-select plane — bounded by the same unroll budget.
-    if scene.geom.smooth and not scene.has_instances \
-            and scene.geom.num_triangles > TEX_MAX_TRIS:
-        return False
     if scene.has_instances:
         # Instanced scenes stay on the megakernel when the per-ray work
         # (sum of instance triangle ranges) fits the SMEM-path budget —

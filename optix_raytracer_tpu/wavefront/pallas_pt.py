@@ -420,12 +420,17 @@ def _make_kernel(width, height, full_w, full_h,
     `Scene.cpp:1134-1213` kept inside the megakernel."""
     glass_kind, pbr_kind = 2.0, 1.0  # shade.materials GLASS / PBR tags
     want_attrs = bool(tex_cfg) or smooth
+    # Winner-attribute strategy: small meshes statically unroll selects
+    # over the SMEM plane; past the unroll budget the winner row comes
+    # from a one-hot MXU contraction against the transposed VMEM plane
+    # (HIGHEST precision: single-term one-hot sums are f32-exact).
+    attr_onehot = want_attrs and num_tris > TEX_MAX_TRIS
 
     def kernel(*refs):
         (tri_ref, prim_ref, inst_ref, mat_tbl_ref, light_ref, cam_ref,
          misc_ref) = refs[:7]
         i = 7
-        shade2_ref = texT_ref = facc_s = b16_s = None
+        shade2_ref = texT_ref = facc_s = b16_s = attr_s = None
         if want_attrs:
             shade2_ref = refs[i]
             i += 1
@@ -433,8 +438,15 @@ def _make_kernel(width, height, full_w, full_h,
             texT_ref = refs[i]
             i += 1
         rad_r_out, rad_g_out, rad_b_out, count_out = refs[i:i + 4]
+        i += 4
+        if tex_cfg or attr_onehot:
+            facc_s = refs[i]
+            i += 1
         if tex_cfg:
-            facc_s, b16_s = refs[i + 4:i + 6]
+            b16_s = refs[i]
+            i += 1
+        if attr_onehot:
+            attr_s = refs[i]
         pid = pl.program_id(0)
         subframe0 = misc_ref[0, 0]
         y0 = misc_ref[0, 1]
@@ -943,17 +955,48 @@ def _make_kernel(width, height, full_w, full_h,
 
             if want_attrs:
                 # --- winner per-triangle shading attributes (engine
-                # shading_frame parity): static-unrolled selects over the
-                # shade2 SMEM plane keyed on the winning triangle id.
+                # shading_frame parity) ---
                 is_tri = hit & (bid < num_tris)
                 a_cols = list(range(0, 10)) if tex_cfg else []
                 if smooth:
                     a_cols += list(range(10, 19))
-                attr = {c: fzero for c in a_cols}
-                for t in range(num_tris):
-                    selt = bid == t
-                    for c in a_cols:
-                        attr[c] = jnp.where(selt, shade2_ref[t, c], attr[c])
+                if not attr_onehot:
+                    # static-unrolled selects over the SMEM plane
+                    attr = {c: fzero for c in a_cols}
+                    for t in range(num_tris):
+                        selt = bid == t
+                        for c in a_cols:
+                            attr[c] = jnp.where(selt, shade2_ref[t, c],
+                                                attr[c])
+                else:
+                    # one-hot MXU winner fetch: per 128-lane group, chunk
+                    # the transposed [32→128, M_pad] attribute plane and
+                    # contract with (row == winning id) one-hots — bounds
+                    # from the group's live id footprint.
+                    big_i = jnp.int32(1 << 30)
+                    m_chunks = shade2_ref.shape[1] // LANES
+                    for g in range(SUBLANES):
+                        vag = is_tri[g:g + 1, :]
+                        bidg = jnp.where(vag, bid[g:g + 1, :], -1)
+                        c0 = jnp.min(jnp.where(vag, bidg >> 7, big_i))
+                        c1 = jnp.max(bidg >> 7)
+                        facc_s[...] = jnp.zeros((LANES, LANES),
+                                                jnp.float32)
+
+                        def a_chunk(ck, c_, bidg=bidg):
+                            rid = (jax.lax.broadcasted_iota(
+                                jnp.int32, (LANES, LANES), 0) + ck * LANES)
+                            wt = (rid == bidg).astype(jnp.float32)
+                            tb = shade2_ref[:, pl.ds(ck * LANES, LANES)]
+                            facc_s[...] += jax.lax.dot_general(
+                                tb, wt, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                            return c_
+
+                        jax.lax.fori_loop(c0, c1 + 1, a_chunk, 0)
+                        attr_s[:, g, :] = facc_s[0:32, :]
+                    attr = {c: attr_s[c] for c in a_cols}
                 if smooth:
                     # interpolated vertex normal; degenerate → face normal
                     snx = attr[10] + buu * attr[13] + bvv * attr[16]
@@ -1393,14 +1436,31 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
                 misc]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7
     scratch_shapes = []
+    attr_onehot = ((tex_cfg or smooth)
+                   and scene.geom.num_triangles > TEX_MAX_TRIS)
     if tex_cfg or smooth:
-        operands.append(pack_shade2(scene))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        s2 = pack_shade2(scene)
+        if attr_onehot:
+            # transposed [128, M_pad] plane for the one-hot winner fetch
+            m_pad = -(-s2.shape[0] // LANES) * LANES
+            s2t = jnp.zeros((LANES, m_pad), jnp.float32)
+            s2t = s2t.at[:32, :s2.shape[0]].set(s2.T)
+            operands.append(s2t)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        else:
+            operands.append(s2)
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     if tex_cfg:
         operands.append(pack_tex_table(scene))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        scratch_shapes = [pltpu.VMEM((LANES, LANES), jnp.float32),
-                          pltpu.VMEM((16, SUBLANES, LANES), jnp.float32)]
+    if tex_cfg or attr_onehot:
+        scratch_shapes.append(pltpu.VMEM((LANES, LANES), jnp.float32))
+    if tex_cfg:
+        scratch_shapes.append(
+            pltpu.VMEM((16, SUBLANES, LANES), jnp.float32))
+    if attr_onehot:
+        scratch_shapes.append(
+            pltpu.VMEM((32, SUBLANES, LANES), jnp.float32))
 
     out_shapes = tuple(jax.ShapeDtypeStruct(blk_shape, jnp.float32)
                        for _ in range(4))

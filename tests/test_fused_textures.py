@@ -134,23 +134,64 @@ class TestFusedTextures:
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
     def test_use_fused_gating(self, monkeypatch):
-        """Textured scenes ride the megakernel only within the static
-        budgets; oversized meshes and missing static wiring fall back."""
+        """Textured scenes ride the megakernel within the static budgets
+        (one-hot winner fetch covers the whole SMEM-path range); meshes
+        past the SMEM budget fall back to the engine + cluster path."""
         from optix_raytracer_tpu.accel import bruteforce as bf
+        from optix_raytracer_tpu.accel.pallas_bf import MAX_SMEM_TRIS
         from optix_raytracer_tpu.wavefront.engine import _use_fused
         monkeypatch.setattr(bf, "_TPU_PLATFORMS", ("cpu", "tpu", "axon"))
         scene = _textured_scene()
         assert tex_static(scene) is not None
         assert _use_fused(scene, "auto")
-        # oversized textured mesh → engine
-        rng = np.random.default_rng(0)
-        n = TEX_MAX_TRIS + 8
-        verts = rng.normal(0, 1, (3 * n, 3)).astype(np.float32)
-        idx = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
-        uvs = rng.uniform(0, 1, (3 * n, 2)).astype(np.float32)
-        tex = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
-        big = make_device_scene(
+
+        def make_n(n):
+            rng = np.random.default_rng(0)
+            verts = rng.normal(0, 1, (3 * n, 3)).astype(np.float32)
+            idx = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+            uvs = rng.uniform(0, 1, (3 * n, 2)).astype(np.float32)
+            tex = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+            return make_device_scene(
+                verts, idx, np.zeros(n, np.int32),
+                [{"kind": mat.DIFFUSE, "base_color": (1, 1, 1),
+                  "base_tex": 0}], uvs=uvs, textures=[tex])
+
+        assert _use_fused(make_n(TEX_MAX_TRIS + 8), "auto")   # one-hot path
+        assert not _use_fused(make_n(MAX_SMEM_TRIS + 8), "auto")
+
+    def test_onehot_winner_fetch_exact_f32(self, monkeypatch):
+        """Past the unroll budget the winner attributes come from the
+        one-hot MXU fetch — still engine-exact under f32 filtering."""
+        monkeypatch.setenv("ORT_TEX_F32", "1")
+        rng = np.random.default_rng(1)
+        n = TEX_MAX_TRIS + 40
+        # a jittered triangle fan around the light so hits are plentiful
+        ang = np.linspace(0, 2 * np.pi, n + 1)
+        verts = []
+        idx = []
+        for i in range(n):
+            a0, a1 = ang[i], ang[i + 1]
+            verts += [[0, 0, 0],
+                      [2 * np.cos(a0), 0.1 * rng.uniform(), 2 * np.sin(a0)],
+                      [2 * np.cos(a1), 0.1 * rng.uniform(), 2 * np.sin(a1)]]
+            idx.append([3 * i, 3 * i + 1, 3 * i + 2])
+        verts = np.asarray(verts, np.float32)
+        idx = np.asarray(idx, np.int32)
+        uvs = rng.uniform(0, 2, (3 * n, 2)).astype(np.float32)
+        tex = rng.uniform(0.1, 0.9, (16, 16, 3)).astype(np.float32)
+        light = ParallelogramLight.make((-1.0, 3.0, -1.0), (2, 0, 0),
+                                        (0, 0, 2), (8.0, 8.0, 8.0))
+        scene = make_device_scene(
             verts, idx, np.zeros(n, np.int32),
             [{"kind": mat.DIFFUSE, "base_color": (1, 1, 1),
-              "base_tex": 0}], uvs=uvs, textures=[tex])
-        assert not _use_fused(big, "auto")
+              "base_tex": 0}], uvs=uvs, textures=[tex], area_light=light)
+        cam = Camera(eye=(0, 2.5, -4.0), lookat=(0, 0, 0), up=(0, 1, 0),
+                     fov_y=50.0, aspect=1.0).params()
+        ref, re_ = render_sample(scene, cam, W, H, 0, max_depth=2,
+                                 chunk_size=None)
+        out, rf_ = render_sum_fused(scene, cam, W, H, 0,
+                                    samples_per_launch=1, max_depth=2,
+                                    interpret=True)
+        assert float(re_) == float(rf_)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3)
