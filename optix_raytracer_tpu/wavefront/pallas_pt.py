@@ -1419,7 +1419,10 @@ def render_sum_fused(scene: DeviceScene, cam_params, width: int, height: int,
     prim_plane = pack_prims(scene.prims)
     inst_ranges = fused_inst_ranges(scene)
     inst_plane = pack_instances(scene.instances)
-    tex_cfg = tex_static(scene) if scene.has_textures else None
+    # Instanced scenes keep attrs off: the shade2 plane is object-space
+    # (the engine path handles instanced texturing/smoothing).
+    tex_cfg = (tex_static(scene)
+               if scene.has_textures and not inst_ranges else None)
     smooth = scene.geom.smooth and not inst_ranges
     kernel = _make_kernel(width, height, full_w, full_h,
                           scene.geom.num_triangles, scene.materials.num,
