@@ -193,6 +193,11 @@ class Denoiser:
         assert self._setup is not None, "call setup() first (optixDenoiserSetup)"
         it = self._setup["iterations"]
         beauty = jnp.asarray(beauty, jnp.float32)
+        if previous_output is not None:
+            # a previous invoke() output may carry the re-attached alpha —
+            # history blending is RGB-only
+            previous_output = jnp.asarray(previous_output,
+                                          jnp.float32)[..., :3]
         alpha = None
         if beauty.shape[-1] == 4:
             # OptixDenoiserAlphaMode: COPY passes the input alpha through;

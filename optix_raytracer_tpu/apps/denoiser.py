@@ -75,6 +75,11 @@ def main(argv=None):
     if args.Frames:
         first, last = (int(x) for x in args.Frames.split("-"))
         frames = list(range(first, last + 1))
+        if len(frames) > 1 and re.search(r"\++", args.out) is None:
+            raise SystemExit(
+                f"--Frames {args.Frames} with -o {args.out!r}: the output "
+                "name needs a '+' frame placeholder, or every frame would "
+                "overwrite the same file")
     else:
         frames = [-1]
 

@@ -546,7 +546,7 @@ def _parse_header(data, pos):
 def read_exr_parts(path: str) -> list:
     """Part names of a (possibly multipart) EXR, in file order."""
     with open(path, "rb") as f:
-        data = f.read(1 << 20)
+        data = f.read()
     if data[:4] != _MAGIC:
         raise ValueError(f"{path}: not an EXR file")
     version = struct.unpack_from("<i", data, 4)[0]
@@ -589,6 +589,8 @@ def read_exr(path: str, layers: bool = False, part=0):
             names = [a.get("name", b"").rstrip(b"\0").decode()
                      for a in headers]
             part = names.index(part)
+        if not 0 <= part < len(headers):
+            raise ValueError(f"part {part} of a {len(headers)}-part file")
         for i, attrs_i in enumerate(headers):
             n_chunks = struct.unpack_from(
                 "<i", attrs_i["chunkCount"], 0)[0]

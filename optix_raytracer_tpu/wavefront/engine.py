@@ -641,11 +641,13 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
         # SMEM-path triangle budget). ORT_FUSED_TEX=0 is the kill-switch
         # back to the XLA engine.
         import os
+        from .pallas_pt import _tex_dtype
         cfg = tex_static(scene)
+        itemsize = jnp.dtype(_tex_dtype()).itemsize
         tex_ok = (os.environ.get("ORT_FUSED_TEX", "1") != "0"
                   and cfg is not None
                   and not scene.has_instances
-                  and cfg[2] * cfg[3] * 2 <= TEX_MAX_TABLE_BYTES)
+                  and cfg[2] * cfg[3] * itemsize <= TEX_MAX_TABLE_BYTES)
         if not tex_ok:
             return False
     if scene.has_instances:

@@ -699,76 +699,83 @@ def _make_kernel(width, height, full_w, full_h,
                      c[8] * rdx + c[9] * rdy + c[10] * rdz))
 
         def fetch_bundle16(uvx, uvy, b_lane, tscale, valid):
-            """In-kernel trilinear material-bundle fetch: for each 128-lane
-            sublane group and each of the two mip passes, the bilinear
-            filter (row taps x trilinear level weight) is folded into a
-            4-nonzeros-per-lane weight matrix contracted with the bf16
-            mip table on the MXU; the column (x) taps fold on the VPU.
-            Loop bounds come from the group's valid-lane footprint, so
-            coherent primaries touch 1-2 row chunks x a few column
-            segments of the table while scattered bounce lanes (whose ray
-            cones select coarse mips) stay cheap by construction. Fills
-            b16_s [16, 8, 128] with the engine's sample_bundle channels."""
+            """In-kernel trilinear material-bundle fetch: per mip pass, the
+            bilinear row taps x trilinear level weight fold into a sparse
+            weight matrix contracted with the bf16 mip table on the MXU;
+            the column (x) taps fold on the VPU. All per-lane math (LOD,
+            level constants, taps, weights) runs once on the full
+            (SUBLANES, LANES) tile; only the matmul stage iterates per
+            128-lane sublane group, with loop bounds from that group's
+            valid-lane footprint — coherent primaries touch a few tiles of
+            the finest level while scattered bounce lanes stay cheap
+            because their ray cones select coarse mips. Fills b16_s
+            [16, SUBLANES, LANES] with sample_bundle's channels."""
             bases, hw, r_pad, cols, binfo, _mf = tex_cfg
             b16_s[...] = jnp.zeros((16, SUBLANES, LANES), jnp.float32)
             big = jnp.int32(1 << 30)
-            for g in range(SUBLANES):
-                va = valid[g:g + 1, :]
-                vaf = va.astype(jnp.float32)
-                u = jnp.where(va, uvx[g:g + 1, :], 0.0)
-                v_ = jnp.where(va, uvy[g:g + 1, :], 0.0)
-                ts = jnp.where(va, tscale[g:g + 1, :], 0.0)
-                bsafe = jnp.maximum(b_lane[g:g + 1, :], 0)
-                dim0 = jnp.ones_like(u)
-                chain = jnp.ones_like(u)
-                for bi, (d0, cl) in enumerate(binfo):
-                    selb = bsafe == bi
-                    dim0 = jnp.where(selb, jnp.float32(d0), dim0)
-                    chain = jnp.where(selb, jnp.float32(cl), chain)
-                # ray-cone LOD (engine sample_bundle parity)
-                lod = jnp.log2(jnp.maximum(ts * dim0, 1.0))
-                lod = jnp.clip(lod, 0.0, chain - 1.0)
-                l0f = jnp.floor(lod)
-                f = lod - l0f
-                l1f = jnp.minimum(l0f + 1.0, chain - 1.0)
-                passes = ((l0f.astype(jnp.int32), 1.0 - f),
-                          (l1f.astype(jnp.int32), f))
-                for lv, lw in passes:
-                    base = jnp.zeros_like(bsafe)
-                    hh = jnp.ones_like(u)
-                    ww = jnp.ones_like(u)
-                    for bi, levels in enumerate(hw):
-                        for li in range(len(levels)):
-                            sel = (bsafe == bi) & (lv == li)
-                            base = jnp.where(sel,
-                                             jnp.int32(bases[bi][li]), base)
-                            hh = jnp.where(sel,
-                                           jnp.float32(levels[li][0]), hh)
-                            ww = jnp.where(sel,
-                                           jnp.float32(levels[li][1]), ww)
-                    # wrap addressing, texel centers at +0.5 (texture.py)
-                    uu = u - jnp.floor(u)
-                    vv = v_ - jnp.floor(v_)
-                    x = uu * ww - 0.5
-                    y = vv * hh - 0.5
-                    x0f = jnp.floor(x)
-                    y0f = jnp.floor(y)
-                    fx = x - x0f
-                    fy = y - y0f
-                    # base-corner wrap; the +1 border row/col covers the
-                    # far taps without wrapping
-                    xi = (x0f + jnp.where(x0f < 0.0, ww, 0.0)
-                          ).astype(jnp.int32)
-                    yi = (y0f + jnp.where(y0f < 0.0, hh, 0.0)
-                          ).astype(jnp.int32)
-                    row0 = base + yi
-                    row1 = row0 + 1
-                    wy0 = (1.0 - fy) * lw * vaf
-                    wy1 = fy * lw * vaf
-                    rc0 = jnp.min(jnp.where(va, row0 >> 7, big))
-                    rc1 = jnp.max(jnp.where(va, row1 >> 7, -1))
-                    xs0 = jnp.min(jnp.where(va, xi >> 3, big))
-                    xs1 = jnp.max(jnp.where(va, (xi + 1) >> 3, -1))
+            vaf_t = valid.astype(jnp.float32)
+            u_t = jnp.where(valid, uvx, 0.0)
+            v_t = jnp.where(valid, uvy, 0.0)
+            ts_t = jnp.where(valid, tscale, 0.0)
+            bsafe = jnp.maximum(b_lane, 0)
+            dim0 = jnp.ones(lane.shape, jnp.float32)
+            chain = jnp.ones(lane.shape, jnp.float32)
+            for bi, (d0, cl) in enumerate(binfo):
+                selb = bsafe == bi
+                dim0 = jnp.where(selb, jnp.float32(d0), dim0)
+                chain = jnp.where(selb, jnp.float32(cl), chain)
+            # ray-cone LOD (engine sample_bundle parity)
+            lod = jnp.log2(jnp.maximum(ts_t * dim0, 1.0))
+            lod = jnp.clip(lod, 0.0, chain - 1.0)
+            l0f = jnp.floor(lod)
+            f = lod - l0f
+            l1f = jnp.minimum(l0f + 1.0, chain - 1.0)
+            for lv, lw in ((l0f.astype(jnp.int32), 1.0 - f),
+                           (l1f.astype(jnp.int32), f)):
+                base = jnp.zeros(lane.shape, jnp.int32)
+                hh = jnp.ones(lane.shape, jnp.float32)
+                ww = jnp.ones(lane.shape, jnp.float32)
+                for bi, levels in enumerate(hw):
+                    for li in range(len(levels)):
+                        sel = (bsafe == bi) & (lv == li)
+                        base = jnp.where(sel, jnp.int32(bases[bi][li]),
+                                         base)
+                        hh = jnp.where(sel, jnp.float32(levels[li][0]), hh)
+                        ww = jnp.where(sel, jnp.float32(levels[li][1]), ww)
+                # wrap addressing, texel centers at +0.5 (texture.py)
+                uu = u_t - jnp.floor(u_t)
+                vv = v_t - jnp.floor(v_t)
+                x = uu * ww - 0.5
+                y = vv * hh - 0.5
+                x0f = jnp.floor(x)
+                y0f = jnp.floor(y)
+                fx_t = x - x0f
+                fy = y - y0f
+                # base-corner wrap; the +1 border row/col covers the far
+                # taps without wrapping
+                xi_t = (x0f + jnp.where(x0f < 0.0, ww, 0.0)
+                        ).astype(jnp.int32)
+                yi = (y0f + jnp.where(y0f < 0.0, hh, 0.0)).astype(jnp.int32)
+                row0_t = base + yi
+                row1_t = row0_t + 1
+                wy0_t = (1.0 - fy) * lw * vaf_t
+                wy1_t = fy * lw * vaf_t
+                rcs_t = jnp.where(valid, row0_t >> 7, big)
+                rce_t = jnp.where(valid, row1_t >> 7, -1)
+                xss_t = jnp.where(valid, xi_t >> 3, big)
+                xse_t = jnp.where(valid, (xi_t + 1) >> 3, -1)
+
+                for g in range(SUBLANES):
+                    row0 = row0_t[g:g + 1, :]
+                    row1 = row1_t[g:g + 1, :]
+                    wy0 = wy0_t[g:g + 1, :]
+                    wy1 = wy1_t[g:g + 1, :]
+                    xi = xi_t[g:g + 1, :]
+                    fx = fx_t[g:g + 1, :]
+                    rc0 = jnp.min(rcs_t[g:g + 1, :])
+                    rc1 = jnp.max(rce_t[g:g + 1, :])
+                    xs0 = jnp.min(xss_t[g:g + 1, :])
+                    xs1 = jnp.max(xse_t[g:g + 1, :])
 
                     def xseg_body(xs, c_, row0=row0, row1=row1, wy0=wy0,
                                   wy1=wy1, xi=xi, fx=fx, rc0=rc0, rc1=rc1,
@@ -974,7 +981,6 @@ def _make_kernel(width, height, full_w, full_h,
                     # contract with (row == winning id) one-hots — bounds
                     # from the group's live id footprint.
                     big_i = jnp.int32(1 << 30)
-                    m_chunks = shade2_ref.shape[1] // LANES
                     for g in range(SUBLANES):
                         vag = is_tri[g:g + 1, :]
                         bidg = jnp.where(vag, bid[g:g + 1, :], -1)

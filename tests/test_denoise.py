@@ -414,3 +414,21 @@ class TestAlphaModes:
         out = np.asarray(den.invoke(rgba))
         assert out.shape == (32, 32, 4)
         np.testing.assert_allclose(out[..., 3], 1.0, atol=1e-5)
+
+    def test_temporal_feedback_with_alpha(self):
+        """A previous invoke() output (which may carry the re-attached
+        alpha) must feed back as temporal history without shape errors."""
+        from optix_raytracer_tpu.api.denoiser import AlphaMode
+        rng = np.random.default_rng(14)
+        clean, noisy, albedo, normal = make_noisy_scene(rng, h=32, w=32)
+        rgba = np.concatenate(
+            [noisy, np.ones((32, 32, 1), np.float32)], axis=-1)
+        den = Denoiser(model_kind=ModelKind.TEMPORAL,
+                       alpha_mode=AlphaMode.COPY).setup(32, 32)
+        prev = den.invoke(rgba, albedo=albedo, normal=normal)
+        assert np.asarray(prev).shape == (32, 32, 4)
+        out = den.invoke(rgba, albedo=albedo, normal=normal,
+                         flow=np.zeros((32, 32, 2), np.float32),
+                         previous_output=prev)
+        assert np.asarray(out).shape == (32, 32, 4)
+        assert np.isfinite(np.asarray(out)).all()

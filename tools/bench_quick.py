@@ -47,15 +47,8 @@ def probe_regen():
 
 
 def probe_textured():
-    import jax.numpy as jnp
-
-    from optix_raytracer_tpu.core import film as film_mod
-    from optix_raytracer_tpu.wavefront.engine import render_accumulate
     sys.path.insert(0, ".")
     import bench
-    scene, cam = None, None
-    # reuse the bench's scene builder by calling through its module-level
-    # helper path: bench_textured builds and times internally
     t0 = time.time()
     v = bench.bench_textured()
     print(f"textured: {v} Mrays/s (total {time.time() - t0:.1f}s)")
