@@ -290,14 +290,13 @@ class Denoiser:
                     emission=(None if emission is None
                               else jnp.asarray(emission, jnp.float32)),
                     history=history)
-                # Temporal ACCUMULATION on top of the net: the predicted
-                # kernels filter the noisy input — they can never *copy*
-                # history, so a converged history would be wasted. Blend
-                # toward the warped previous output wherever it is
-                # consistent with the current frame, with the history
-                # neighborhood-clamped to the net output's 3x3 range
-                # (TAA-style anti-ghosting: disoccluded / mis-warped
-                # history collapses to the current frame's local values).
+                # Temporal ACCUMULATION on top of the net: 26-channel
+                # weights blend a learned per-pixel alpha in-net
+                # (kpcnn.denoise_kp), but the training histories are
+                # realistic (noisy, reprojected), so the learned alpha is
+                # conservative; the consistency-gated clamp blend below
+                # additionally exploits CONVERGED histories, which only
+                # exist at inference. Both are anti-ghosting-safe.
                 out = _accumulate_history(out, history)
             else:
                 out = atrous.denoise_temporal(
