@@ -43,7 +43,8 @@ def _variance_gate(noisy, filtered, variance, lo: float = 0.05,
     return noisy + w[..., None] * (filtered - noisy)
 
 
-def _accumulate_history(current, history, alpha: float = 0.7):
+def _accumulate_history(current, history, alpha: float = 0.7,
+                        trust=None):
     """Consistency-gated temporal accumulation (the TEMPORAL model kinds'
     history reuse, `optix_types.h:1609-1635`): clamp the flow-warped
     previous output to the current frame's 3x3 neighborhood range, then
@@ -62,6 +63,13 @@ def _accumulate_history(current, history, alpha: float = 0.7):
     moved = jnp.abs(history - clamped)
     span = jnp.maximum(nb_max - nb_min, 1e-3)
     w = alpha * jnp.clip(1.0 - moved / span, 0.0, 1.0)
+    if trust is not None:
+        # flowTrustworthiness guide (`optixDenoiser.cpp` -T): per-pixel
+        # confidence in the flow scales how much history may blend in.
+        t = jnp.asarray(trust, jnp.float32)
+        if t.ndim == 3:
+            t = t[..., 0]
+        w = w * jnp.clip(t, 0.0, 1.0)[..., None]
     return current + w * (clamped - current)
 
 
@@ -176,7 +184,7 @@ class Denoiser:
     def invoke(self, beauty, albedo=None, normal=None, flow=None,
                previous_output=None, intensity=None,
                blend_factor: float = 0.0, aovs: Optional[dict] = None,
-               emission=None, variance=None):
+               emission=None, variance=None, flow_trust=None):
         """optixDenoiserInvoke. Returns the denoised image (and a dict of
         denoised AOVs in AOV mode).
 
@@ -257,7 +265,8 @@ class Denoiser:
                     # output resolution before the warp.
                     out = _accumulate_history(
                         out, _warped_history(
-                            previous_output, flow, out.shape[:2]))
+                            previous_output, flow, out.shape[:2]),
+                        trust=flow_trust)
                 return _attach_alpha(out, alpha)
 
         core = None
@@ -297,7 +306,8 @@ class Denoiser:
                 # conservative; the consistency-gated clamp blend below
                 # additionally exploits CONVERGED histories, which only
                 # exist at inference. Both are anti-ghosting-safe.
-                out = _accumulate_history(out, history)
+                out = _accumulate_history(out, history,
+                                           trust=flow_trust)
             else:
                 out = atrous.denoise_temporal(
                     work, jnp.asarray(previous_output) * scale,
@@ -329,7 +339,8 @@ class Denoiser:
             if temporal:
                 out = _accumulate_history(
                     out, _warped_history(previous_output, flow,
-                                         out.shape[:2]))
+                                         out.shape[:2]),
+                    trust=flow_trust)
 
         out = _attach_alpha(out, alpha)
         if self.model_kind in ModelKind.AOV_KINDS and aovs:

@@ -57,6 +57,10 @@ def main(argv=None):
                    help="previous output (temporal)")
     p.add_argument("-A", "--AOV", action="append", default=[],
                    dest="aovs", help="AOV layer to co-denoise (repeatable)")
+    p.add_argument("-S", action="append", default=[], dest="spec_aovs",
+                   help="specular AOV layer (co-denoised like -A)")
+    p.add_argument("-T", default=None, dest="flow_trust",
+                   help="flowTrustworthiness layer (temporal confidence)")
     p.add_argument("--Frames", default=None, metavar="FIRST-LAST",
                    help="frame sequence: '+' runs in filenames take the "
                         "frame number; each frame's output feeds the next "
@@ -98,7 +102,9 @@ def main(argv=None):
         fl = (None if args.flow is None
               else np.asarray(load_image(frame_filename(args.flow, frame))))
         aov_imgs = {path: _load(frame_filename(path, frame))
-                    for path in args.aovs}
+                    for path in args.aovs + args.spec_aovs}
+        trust = (_load(frame_filename(args.flow_trust, frame))
+                 if args.flow_trust else None)
 
         if args.flow_only:
             # -z: warp the input by the flow and write it — the
@@ -126,7 +132,7 @@ def main(argv=None):
                       tile=args.tile or 256, iterations=args.iterations)
             res = den.invoke(beauty, albedo=albedo, normal=normal, flow=fl,
                              previous_output=prev, blend_factor=args.blend,
-                             aovs=aov_imgs or None)
+                             aovs=aov_imgs or None, flow_trust=trust)
             den_aovs = {}
             if isinstance(res, tuple):
                 res, den_aovs = res
@@ -135,7 +141,8 @@ def main(argv=None):
             import os
             for idx, (path, img) in enumerate(den_aovs.items()):
                 d, base = os.path.split(args.out)
-                tag = "aov" if len(args.aovs) == 1 else f"aov{idx}"
+                n_aov = len(args.aovs) + len(args.spec_aovs)
+                tag = "aov" if n_aov == 1 else f"aov{idx}"
                 aov_out = frame_filename(
                     os.path.join(d, f"{tag}_{base}"), frame)
                 save_image(aov_out, np.asarray(img) * 2.0 ** args.exposure)
