@@ -195,3 +195,18 @@ class TestFusedTextures:
         assert float(re_) == float(rf_)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-3)
+
+    def test_regen_with_textures_bit_equal(self):
+        """Path regeneration must stay bit-compatible with the lock-step
+        schedule when the state tuple carries path_len (ray-cone LOD)."""
+        scene = _textured_scene()
+        cam = _cam()
+        lock, cl = render_sum_fused(scene, cam, W, H, 3,
+                                    samples_per_launch=2, max_depth=2,
+                                    interpret=True, regen=False)
+        reg, cr = render_sum_fused(scene, cam, W, H, 3,
+                                   samples_per_launch=2, max_depth=2,
+                                   interpret=True, regen=True)
+        assert float(cl) == float(cr)
+        np.testing.assert_allclose(np.asarray(reg), np.asarray(lock),
+                                   atol=1e-6)
