@@ -244,17 +244,25 @@ def bench_textured():
                               area_light=light)
     cam = Camera(eye=(0, 1.5, -4.5), lookat=(0, 0.6, 0), up=(0, 1, 0),
                  fov_y=40.0, aspect=WIDTH / HEIGHT).params()
-    film = film_mod.Film.create(HEIGHT, WIDTH)
-    film, rays = render_accumulate(scene, cam, film, WIDTH, HEIGHT,
-                                   samples_per_launch=4, max_depth=3,
-                                   chunk_size=None)
-    float(jnp.sum(film.accum))
-    t0 = time.time()
-    film, rays = render_accumulate(scene, cam, film, WIDTH, HEIGHT,
-                                   samples_per_launch=4, max_depth=3,
-                                   chunk_size=None)
-    float(jnp.sum(film.accum))
-    return round(float(rays) / (time.time() - t0) / 1e6, 1)
+
+    def run(impl):
+        film = film_mod.Film.create(HEIGHT, WIDTH)
+        film, rays = render_accumulate(scene, cam, film, WIDTH, HEIGHT,
+                                       samples_per_launch=4, max_depth=3,
+                                       chunk_size=None, impl=impl)
+        float(jnp.sum(film.accum))
+        t0 = time.time()
+        film, rays = render_accumulate(scene, cam, film, WIDTH, HEIGHT,
+                                       samples_per_launch=4, max_depth=3,
+                                       chunk_size=None, impl=impl)
+        float(jnp.sum(film.accum))
+        return round(float(rays) / (time.time() - t0) / 1e6, 1)
+
+    # "auto" rides the in-kernel texture unit on TPU; the XLA number is
+    # recorded alongside so the fused speedup stays visible.
+    fused = run("auto")
+    xla = run("xla")
+    return {"textured_mrays": fused, "textured_xla_mrays": xla}
 
 
 def bench_knot_pathtrace():
@@ -465,7 +473,9 @@ def main():
     large["cornell_instanced_mrays"] = timed("instanced",
                                              bench_instanced_cornell)
     large["whitted_prims_mrays"] = timed("whitted", bench_whitted_prims)
-    large["textured_mrays"] = timed("textured", bench_textured)
+    tex_res = timed("textured", bench_textured)
+    large.update(tex_res if isinstance(tex_res, dict)
+                 else {"textured_mrays": tex_res})
     large["knot25k_pathtrace_mrays"] = timed("knot_pt",
                                              bench_knot_pathtrace)
     large.update(timed("stream", bench_stream_mesh))
