@@ -403,7 +403,35 @@ def bench_pbr_cornell():
     return round(float(rays) / (time.time() - t0) / 1e6, 1)
 
 
+def _probe_device(timeout_s: float = 600.0) -> bool:
+    """True when a device op completes within the timeout. The remote-TPU
+    tunnel can be down (infrastructure-side); jax then BLOCKS forever in
+    backend init — a bench that hangs is worse than one that reports the
+    outage, so the probe runs in a daemon thread and we give up cleanly."""
+    import threading
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+        float(jnp.sum(jnp.ones((8,))))
+        ok.append(jax.devices()[0])
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "cornell_pathtrace_1080p", "value": -1.0,
+            "unit": "Mrays/s/chip", "vs_baseline": -1.0,
+            "extra": {"error": "device unreachable (TPU tunnel down?): "
+                               "no device op completed within 600s"},
+        }))
+        return
     import jax
     try:
         # Persistent XLA/Mosaic compile cache: the fused whitted-prims
