@@ -725,7 +725,15 @@ def _sc_tables(cl: ClusterSet):
 
 def _member_cross(a, ab):
     """Exact slab test of one supercluster's member-cluster AABBs (6, 128)
-    against a sub-block's packed rays (SUB, 8) → bool (SUB, 128)."""
+    against a sub-block's packed rays (SUB, 8) → bool (SUB, 128).
+
+    KEEP IN LOCKSTEP with _exact_cull_kernel's inline slab test (same
+    pseudo-inverse epsilon, ±1e12 degenerate fill, window-overlap rule):
+    the cull and this member pre-test must agree on which clusters a ray
+    crosses, or streamed superclusters would skip clusters the walk
+    expects. Not factored into one helper because the two kernels carry
+    different operand layouts ((SUB,8) rows here vs column planes there)
+    and both are Mosaic-hot."""
     tmin, tmax = a[:, 6:7], a[:, 7:8]
     live = tmax > tmin
     tn = jnp.full((SUB, LANES), -_BIG, jnp.float32)

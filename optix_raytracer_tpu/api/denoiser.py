@@ -38,8 +38,11 @@ def _variance_gate(noisy, filtered, variance, lo: float = 0.05,
     stderr = jnp.sqrt(jnp.maximum(lum(variance), 0.0))
     rel = stderr / (lum(noisy) + 1e-2)
     w = jnp.clip((rel - lo) / (hi - lo), 0.0, 1.0)
-    w = jax.lax.reduce_window(w, 0.0, jax.lax.add, (3, 3), (1, 1),
-                              "SAME") / 9.0
+    # box smooth normalized by the VALID tap count so border pixels are
+    # not biased toward "converged"
+    box = lambda x: jax.lax.reduce_window(x, 0.0, jax.lax.add, (3, 3),
+                                          (1, 1), "SAME")
+    w = box(w) / box(jnp.ones_like(w))
     return noisy + w[..., None] * (filtered - noisy)
 
 

@@ -65,14 +65,16 @@ class Film:
                     subframe=self.subframe + 1, sq=sq, launches=launches)
 
     def variance_of_mean(self):
-        """Per-pixel stderr² of `accum` (None when tracking is off):
-        Var(estimates) / L over L equal-spp launches — the sample-variance
-        noise estimate production denoisers gate on."""
+        """Per-pixel stderr² of `accum` (None when tracking is off) over L
+        equal-spp estimates: `sq - accum²` is the BIASED variance v_b
+        (second moment minus squared mean), the unbiased sample variance
+        is v_b·L/(L-1), and Var(mean) = s²/L — so the two L factors cancel
+        to v_b/(L-1)."""
         if self.sq is None:
             return None
         L = self.launches.astype(jnp.float32)
         var_est = jnp.maximum(self.sq - self.accum * self.accum, 0.0)
-        return var_est / jnp.maximum(L - 1.0, 1.0) / jnp.maximum(L, 1.0)
+        return var_est / jnp.maximum(L - 1.0, 1.0)
 
     def reset(self):
         """Camera moved / resized → restart accumulation

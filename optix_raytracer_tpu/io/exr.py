@@ -265,6 +265,12 @@ def _huf_decompress(block: bytes, n_out: int) -> np.ndarray:
         if sym == iM:                      # run-length marker
             run = br.get(8)
             bits_left -= 8
+            if n == 0 or n + run > n_out:
+                # matches hufUncompress's bounds checks: a run needs a
+                # previous symbol to repeat and must fit the output —
+                # malformed chunks must not leak uninitialized memory or
+                # truncate silently
+                raise ValueError("PIZ: bad huf run length")
             out[n:n + run] = out[n - 1]
             n += run
         else:

@@ -115,7 +115,11 @@ def sample_bundle(bundles, bundle_mip, bundle_id, uv, texel_scale=None,
         matmul — a per-lane XLA gather costs ~15 ms per 2M lanes even
         from a 4-entry table, and sample_bundle needs ~7 such lookups
         (mip entries, chain lengths, quad bases); one-hot matmuls make
-        them ~1 ms each. Exact: one 1.0 x v term per row."""
+        them ~1 ms each. Exact: one 1.0 x v term per row. Past 128 rows
+        the [N, k] one-hot's HBM cost beats the gather it replaces
+        (materials.gather uses the same cutoff), so fall back."""
+        if k > 128:
+            return plane[idx]
         sh = idx.shape
         onehot = (idx.reshape(-1)[:, None]
                   == jnp.arange(k)[None, :]).astype(jnp.float32)

@@ -572,9 +572,13 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         state = jax.lax.fori_loop(1, max_depth, sorted_bounce, state)
         rad = state["radiance"]
         out = jax.lax.sort(
-            (state["pix"], rad[:, 0], rad[:, 1], rad[:, 2]),
+            (state["pix"], rad[:, 0], rad[:, 1], rad[:, 2], state["rng"]),
             dimension=0, num_keys=1)
-        state["radiance"] = jnp.stack(out[1:], axis=1)
+        state["radiance"] = jnp.stack(out[1:4], axis=1)
+        # the returned per-ray rng must be in PIXEL order too — a caller
+        # resuming per-pixel streams would otherwise seed pixel i with
+        # pixel j's state on cluster scenes only
+        state["rng"] = out[4]
     else:
         state = jax.lax.fori_loop(
             0, max_depth, functools.partial(bounce, coherent=True), state)
@@ -671,6 +675,25 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
             and scene.geom.num_triangles <= MAX_SMEM_TRIS)
 
 
+def _merge_launch(film, rad_sum, samples_per_launch):
+    """Merge one launch's radiance SUM into the film: progressive-mean
+    accumulation plus ONE per-launch variance-tracker estimate — the
+    single statistics convention shared by the fused and XLA paths (a
+    checkpoint written by either resumes correctly on the other)."""
+    from ..core.film import Film
+    prev_n = film.subframe.astype(jnp.float32)
+    new_n = jnp.float32(samples_per_launch)
+    accum = (film.accum * prev_n + rad_sum) / (prev_n + new_n)
+    sq, launches = film.sq, film.launches
+    if sq is not None:
+        est = rad_sum / new_n
+        tl = 1.0 / (launches.astype(jnp.float32) + 1.0)
+        sq = sq + (est * est - sq) * tl
+        launches = launches + 1
+    return Film(accum=accum, subframe=film.subframe + samples_per_launch,
+                sq=sq, launches=launches)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "samples_per_launch",
                                     "max_depth", "chunk_size", "full_width",
@@ -698,31 +721,23 @@ def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
             samples_per_launch=samples_per_launch, max_depth=max_depth,
             y0=y0, full_width=full_width, full_height=full_height,
             interpret=(impl == "fused_interpret"))
-        prev_n = film.subframe.astype(jnp.float32)
-        new_n = jnp.float32(samples_per_launch)
-        accum = (film.accum * prev_n + rad_sum) / (prev_n + new_n)
-        sq, launches = film.sq, film.launches
-        if sq is not None:
-            # per-launch estimate for the variance tracker (film.py)
-            est = rad_sum / new_n
-            tl = 1.0 / (launches.astype(jnp.float32) + 1.0)
-            sq = sq + (est * est - sq) * tl
-            launches = launches + 1
-        from ..core.film import Film
-        return Film(accum=accum,
-                    subframe=film.subframe + samples_per_launch,
-                    sq=sq, launches=launches), rays
+        return _merge_launch(film, rad_sum, samples_per_launch), rays
 
     def body(i, carry):
-        film, count = carry
+        rad_sum, count = carry
         radiance, rays_traced = render_sample(
-            scene, cam_params, width, height, film.subframe,
+            scene, cam_params, width, height, film.subframe + i,
             max_depth=max_depth, chunk_size=chunk_size, y0=y0,
             full_width=full_width, full_height=full_height)
-        return film.accumulate(radiance), count + rays_traced
+        return rad_sum + radiance, count + rays_traced
 
-    return jax.lax.fori_loop(0, samples_per_launch, body,
-                             (film, jnp.zeros((), jnp.float32)))
+    rad_sum, count = jax.lax.fori_loop(
+        0, samples_per_launch,
+        body, (jnp.zeros_like(film.accum), jnp.zeros((), jnp.float32)))
+    # Identical Film math to the fused path above: ONE per-launch
+    # variance-tracker estimate, so checkpoints resumed across
+    # impl="xla"/fused record compatible statistics.
+    return _merge_launch(film, rad_sum, samples_per_launch), count
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "chunk_size"))
