@@ -9,7 +9,7 @@ APPS = [
     "raycasting", "cutouts", "console", "dynamic_geometry",
     "dynamic_materials", "multigpu", "denoiser", "curves", "hair", "ribbons",
     "simple_motion_blur", "motion_geometry", "volume_viewer",
-    "opacity_micromap", "displaced_micromesh", "viewer",
+    "opacity_micromap", "displaced_micromesh", "viewer", "optical_flow",
 ]
 
 

@@ -432,3 +432,58 @@ class TestAlphaModes:
                          previous_output=prev)
         assert np.asarray(out).shape == (32, 32, 4)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestOpticalFlowApp:
+    """optixOpticalFlow CLI contract: frames in → 3-channel flow EXR out
+    (flow in channels 0-1, channel 2 zero — optixOpticalFlow.cpp:205-209)."""
+
+    def _frames(self, tmp_path, dx=3, dy=-2):
+        from optix_raytracer_tpu.io.exr import write_exr
+        rng = np.random.default_rng(11)
+        a = rng.uniform(0.0, 1.0, (48, 64, 3)).astype(np.float32)
+        b = np.roll(a, (dy, dx), axis=(0, 1))
+        pa, pb = str(tmp_path / "f0.exr"), str(tmp_path / "f1.exr")
+        write_exr(pa, a)
+        write_exr(pb, b)
+        return pa, pb
+
+    def test_two_frames(self, tmp_path):
+        from optix_raytracer_tpu.apps import optical_flow as app
+        from optix_raytracer_tpu.io.exr import read_exr
+        pa, pb = self._frames(tmp_path)
+        out = str(tmp_path / "flow.exr")
+        app.main([pa, pb, "-o", out])
+        fl = np.asarray(read_exr(out))
+        assert fl.shape == (48, 64, 3)
+        assert np.all(fl[..., 2] == 0.0)
+        # interior flow recovers the dominant (dx, dy) = (3, -2) shift
+        inner = fl[12:36, 16:48]
+        assert abs(np.median(inner[..., 0]) - 3.0) <= 1.0
+        assert abs(np.median(inner[..., 1]) - (-2.0)) <= 1.0
+
+    def test_frame_sequence(self, tmp_path):
+        from optix_raytracer_tpu.apps import optical_flow as app
+        from optix_raytracer_tpu.io.exr import read_exr, write_exr
+        rng = np.random.default_rng(5)
+        a = rng.uniform(0.0, 1.0, (32, 32, 3)).astype(np.float32)
+        for i in range(3):
+            write_exr(str(tmp_path / f"f-{i:02d}.exr"),
+                      np.roll(a, i * 2, axis=1))
+        out_pat = str(tmp_path / "flow-++.exr")
+        app.main([str(tmp_path / "f-++.exr"), "-o", out_pat,
+                  "--Frames", "0-2"])
+        for i in range(2):
+            fl = np.asarray(read_exr(str(tmp_path / f"flow-{i:02d}.exr")))
+            assert fl.shape == (32, 32, 3)
+            assert np.isfinite(fl).all()
+
+    def test_size_mismatch_rejected(self, tmp_path):
+        from optix_raytracer_tpu.apps import optical_flow as app
+        from optix_raytracer_tpu.io.exr import write_exr
+        pa = str(tmp_path / "a.exr")
+        pb = str(tmp_path / "b.exr")
+        write_exr(pa, np.zeros((16, 16, 3), np.float32))
+        write_exr(pb, np.zeros((16, 24, 3), np.float32))
+        with pytest.raises(SystemExit):
+            app.main([pa, pb, "-o", str(tmp_path / "o.exr")])
