@@ -401,3 +401,59 @@ class TestNumpyOracle:
                                      np.asarray(rays.direction, np.float64),
                                      1e-3, 4.0)
         np.testing.assert_array_equal(occ, np.isfinite(ot))
+
+
+class TestGroupGatedWalk:
+    """Walk-side 32-ray group gating (exact-cull crossing bits packed into
+    the list entries' high bits): a clear bit proves no ray of the group
+    crosses the cluster AABB, so gating must be a pure work-skip — hits
+    bit-match the ungated walk and the XLA brute force on scattered rays."""
+
+    def test_bitmatch_vs_ungated_and_xla(self, mesh):
+        geom, tri_mat, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(5), 1100)
+        ref = bf.intersect_closest(geom, rays, tri_mat=tri_mat, impl="xla",
+                                   chunk_size=None)
+        off = cl.closest_hit(cs, rays, interpret=True, exact=True,
+                             group_walk=False)
+        on = cl.closest_hit(cs, rays, interpret=True, exact=True,
+                            group_walk=True)
+        for field in ("prim_id", "mat_id"):
+            np.testing.assert_array_equal(getattr(on, field),
+                                          getattr(off, field))
+            np.testing.assert_array_equal(getattr(on, field),
+                                          getattr(ref, field))
+        np.testing.assert_array_equal(on.t, off.t)
+        np.testing.assert_array_equal(on.uv, off.uv)
+        np.testing.assert_array_equal(on.normal, off.normal)
+
+    def test_sorted_walk_gated(self, mesh):
+        geom, tri_mat, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(9), 700)
+        ref = bf.intersect_closest(geom, rays, tri_mat=tri_mat, impl="xla",
+                                   chunk_size=None)
+        on = cl.closest_hit_sorted(cs, rays, interpret=True,
+                                   group_walk=True)
+        np.testing.assert_array_equal(on.prim_id, ref.prim_id)
+        hit = np.asarray(ref.valid)
+        np.testing.assert_allclose(np.asarray(on.t)[hit],
+                                   np.asarray(ref.t)[hit], rtol=5e-5)
+
+    def test_mixed_liveness_gated(self, mesh):
+        """Dead lanes (empty windows) inside a block must stay misses and
+        must not suppress live lanes' hits under gating."""
+        geom, tri_mat, cs, _ = mesh
+        rng = np.random.default_rng(13)
+        rays = make_rays(rng, 900)
+        import jax.numpy as jnp
+        dead = jnp.asarray(rng.random(900) < 0.5)
+        rays = Rays(origin=rays.origin, direction=rays.direction,
+                    tmin=rays.tmin,
+                    tmax=jnp.where(dead, 0.0, rays.tmax))
+        off = cl.closest_hit(cs, rays, interpret=True, exact=True,
+                             group_walk=False)
+        on = cl.closest_hit(cs, rays, interpret=True, exact=True,
+                            group_walk=True)
+        np.testing.assert_array_equal(on.prim_id, off.prim_id)
+        np.testing.assert_array_equal(on.t, off.t)
+        assert not np.asarray(on.prim_id)[np.asarray(dead)].max() >= 0

@@ -70,9 +70,49 @@ def probe_anyhit():
     print(f"large_mesh: {v} (total {time.time() - t0:.1f}s)")
 
 
+def probe_groupwalk():
+    """A/B the walk's 32-ray group gating on a scattered bounce-like
+    wavefront (the exact-cull + sorted path the engine's bounces take).
+    Flip ORT_GROUP_WALK's default in clusters._group_walk_default when ON
+    wins here."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.accel import clusters as cl, native
+    from optix_raytracer_tpu.accel.geometry import build_triangle_geometry
+    from optix_raytracer_tpu.core.rays import Rays
+    from optix_raytracer_tpu.scene.builtins import trefoil_mesh
+
+    verts, idx, normals = trefoil_mesh(200, 63)
+    geom = build_triangle_geometry(verts, idx, normals=normals)
+    cs = cl.build_clusters(geom, jnp.zeros((geom.num_triangles,), jnp.int32),
+                           order=native.sah_leaf_order(geom))
+    n = 1 << 21
+    rng = np.random.default_rng(0)
+    # bounce-like: origins on a shell around the knot, cosine-ish dirs
+    o = rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    live = rng.random(n) < 0.6          # mixed-liveness like depth 2
+    rays = Rays(origin=jnp.asarray(o), direction=jnp.asarray(d),
+                tmin=jnp.full((n,), 1e-3, jnp.float32),
+                tmax=jnp.where(jnp.asarray(live), 1e16, 0.0).astype(
+                    jnp.float32))
+    for gw in (False, True):
+        h = cl.closest_hit_sorted(cs, rays, group_walk=gw)
+        _sync(h.t)
+        t0 = time.time()
+        for _ in range(3):
+            h = cl.closest_hit_sorted(cs, rays, group_walk=gw)
+        _sync(h.t)
+        dt = (time.time() - t0) / 3
+        print(f"groupwalk={'ON ' if gw else 'OFF'}: "
+              f"{n / dt / 1e6:.1f} Mrays/s ({dt * 1e3:.0f} ms)")
+
+
 PROBES = {"cornell": probe_cornell, "regen": probe_regen,
           "textured": probe_textured, "knot": probe_knot,
-          "anyhit": probe_anyhit}
+          "anyhit": probe_anyhit, "groupwalk": probe_groupwalk}
 
 
 def main():

@@ -30,6 +30,11 @@ run regen 2400 python tools/bench_quick.py cornell regen
 # 3. Knot per-stage profile -> next traversal lever
 run profile_knot 2400 python tools/profile_knot.py
 
+# 3b. Group-gated walk A/B (flip _group_walk_default when ON wins, then
+#     rerun the knot numbers with ORT_GROUP_WALK=1)
+run groupwalk 2400 python tools/bench_quick.py groupwalk
+run knot_gated 2400 env ORT_GROUP_WALK=1 python tools/bench_quick.py knot
+
 [ "${1:-}" = quick ] && exit 0
 
 # 4. Full bench, twice: second run validates warm-cache compile < 120s
