@@ -667,7 +667,7 @@ def _any_kernel_stream(count_ref, list_ref, tnear_ref, comp_hbm, rays_ref,
 
 
 def _any_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
-                occ_out):
+                occ_out, occ_s, *, group_gate: bool = False):
     for g in range(GROUPS):
         count = count_ref[0, g, 0]
         cols = slice(g * SUB, (g + 1) * SUB)
@@ -682,26 +682,41 @@ def _any_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
             # Dead lanes (empty window) start "resolved" so the
             # all-occluded early exit only tracks live rays.
             dead = (a[:, 7:8] <= a[:, 6:7]).astype(jnp.int32)  # (SUB, 1)
+            occ_s[...] = dead
+
+            def test_rows(blk, r0, nrows):
+                rows = slice(r0, r0 + nrows)
+                tt, uu, vv, dpz = _pair_test(blk, ox[rows], oy[rows],
+                                             oz[rows], dx[rows], dy[rows],
+                                             dz[rows])
+                ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt > tmin[rows]) & (tt < tmax[rows]))
+                occ_s[rows] = jnp.maximum(
+                    occ_s[rows],
+                    jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True))
 
             def test(entry):
                 blk = comp_ref[pl.ds(entry & 0xFFFF, 1)][0]
-                tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
-                ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-                      & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                      & (tt > tmin) & (tt < tmax))
-                return jnp.max(ok.astype(jnp.int32), axis=1, keepdims=True)
+                if group_gate:
+                    gm = jax.lax.shift_right_logical(entry, 16)
+                    for g8 in range(SUB // GROUP_ROWS):
+                        bit = jax.lax.shift_right_logical(gm, g8) & 1
+
+                        @pl.when(bit > 0)
+                        def _(g8=g8):
+                            test_rows(blk, g8 * GROUP_ROWS, GROUP_ROWS)
+                else:
+                    test_rows(blk, 0, SUB)
 
             tmax_col = a[:, 7:8]
 
-            def body(state):
-                k, occ = state
-                occ = jnp.maximum(occ, test(list_ref[0, g, k]))
-                occ = jnp.maximum(
-                    occ, test(list_ref[0, g, jnp.minimum(k + 1, c_pad - 1)]))
-                return k + 2, occ
+            def body(k):
+                test(list_ref[0, g, k])
+                test(list_ref[0, g, jnp.minimum(k + 1, c_pad - 1)])
+                return k + 2
 
-            def cond(state):
-                k, occ = state
+            def cond(k):
                 tn = tnear_ref[0, g, jnp.minimum(k, c_pad - 1)]
                 # Exit once every live ray is occluded, or no remaining
                 # cluster can reach a still-unoccluded ray's window: the
@@ -710,12 +725,13 @@ def _any_kernel(count_ref, list_ref, tnear_ref, comp_ref, rays_ref,
                 # unoccluded shadow rays stop at the light, not the scene —
                 # the terminate-on-first-hit role of the reference's
                 # occlusion rays (`optixPathTracer.cu:394-400`).
+                occ = occ_s[...]
                 bound = jnp.max(jnp.where(occ > 0, 0.0, tmax_col))
                 return (k < count) & (jnp.min(occ) == 0) & (tn <= bound)
 
-            _, occ = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), dead))
-            occ_out[0:1, cols] = jnp.transpose(occ * (1 - dead), (1, 0))
+            jax.lax.while_loop(cond, body, jnp.int32(0))
+            occ_out[0:1, cols] = jnp.transpose(
+                occ_s[...] * (1 - dead), (1, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -1217,14 +1233,16 @@ def closest_hit_sorted(cl: ClusterSet, rays: Rays, interpret: bool = False,
     return _hits_from_rows(back[:n, :8], back[:n, 8] > 0.0, rays.tmax)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def any_hit_sorted(cl: ClusterSet, rays: Rays, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "group_walk"))
+def any_hit_sorted(cl: ClusterSet, rays: Rays, interpret: bool = False,
+                   group_walk=None):
     """any_hit with a coherence pre-sort (scattered shadow/AO rays)."""
     n = rays.tmin.shape[0]
     n_padded = -(-n // SUPER) * SUPER
     packed = _pack_rays(rays, n_padded)
     perm = _sorted_perm(cl, rays, n_padded)
-    occ = _any_core(cl, packed[perm], interpret, exact=True)
+    occ = _any_core(cl, packed[perm], interpret, exact=True,
+                    group_walk=group_walk)
     return occ[jnp.argsort(perm)][:n] != 0
 
 
@@ -1258,7 +1276,8 @@ def traversal_stats(cl: ClusterSet, rays: Rays, interpret: bool = False):
     }
 
 
-def _any_core(cl: ClusterSet, packed, interpret, exact=False):
+def _any_core(cl: ClusterSet, packed, interpret, exact=False,
+              group_walk=None):
     """Cull + occlusion walk over packed rays → i32 [n_padded] (0/1),
     empty-block live-masking already applied."""
     n_padded = packed.shape[0]
@@ -1292,9 +1311,12 @@ def _any_core(cl: ClusterSet, packed, interpret, exact=False):
                        pltpu.VMEM((NBUF, 32, LANES), jnp.float32),
                        pltpu.SemaphoreType.DMA((NBUF,))]
         else:
-            kernel = _any_kernel
+            if group_walk is None:
+                group_walk = _group_walk_default()
+            kernel = functools.partial(_any_kernel,
+                                       group_gate=exact and group_walk)
             comp_spec = [pl.BlockSpec(memory_space=pltpu.VMEM)]
-            scratch = []
+            scratch = [pltpu.VMEM((SUB, 1), jnp.int32)]
     smem3 = pl.BlockSpec((1, GROUPS, c_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
@@ -1316,9 +1338,10 @@ def _any_core(cl: ClusterSet, packed, interpret, exact=False):
     return jnp.where(live, occ[0], 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+@functools.partial(jax.jit, static_argnames=("interpret", "exact",
+                                             "group_walk"))
 def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
-            exact: bool = False):
+            exact: bool = False, group_walk=None):
     """Occlusion query through the cluster structure → bool [N].
 
     Pass exact=True for scattered or mixed-liveness wavefronts (NEE
@@ -1327,4 +1350,5 @@ def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
     n = rays.tmin.shape[0]
     n_padded = -(-n // SUPER) * SUPER
     packed = _pack_rays(rays, n_padded)
-    return _any_core(cl, packed, interpret, exact=exact)[:n] != 0
+    return _any_core(cl, packed, interpret, exact=exact,
+                     group_walk=group_walk)[:n] != 0

@@ -457,3 +457,30 @@ class TestGroupGatedWalk:
         np.testing.assert_array_equal(on.prim_id, off.prim_id)
         np.testing.assert_array_equal(on.t, off.t)
         assert not np.asarray(on.prim_id)[np.asarray(dead)].max() >= 0
+
+    def test_anyhit_gated_bitmatch(self, mesh):
+        """Occlusion walk under group gating must agree with the ungated
+        walk and the XLA brute force on a mixed-liveness NEE-like
+        wavefront (dead lanes report unoccluded)."""
+        geom, tri_mat, cs, _ = mesh
+        rng = np.random.default_rng(21)
+        rays = make_rays(rng, 1000, tmax=8.0)
+        import jax.numpy as jnp
+        dead = jnp.asarray(rng.random(1000) < 0.4)
+        rays = Rays(origin=rays.origin, direction=rays.direction,
+                    tmin=rays.tmin, tmax=jnp.where(dead, 0.0, rays.tmax))
+        ref = bf.intersect_any(geom, rays, chunk_size=None)
+        off = cl.any_hit(cs, rays, interpret=True, exact=True,
+                         group_walk=False)
+        on = cl.any_hit(cs, rays, interpret=True, exact=True,
+                        group_walk=True)
+        np.testing.assert_array_equal(np.asarray(on), np.asarray(off))
+        np.testing.assert_array_equal(np.asarray(on), np.asarray(ref))
+        assert not np.asarray(on)[np.asarray(dead)].any()
+
+    def test_anyhit_sorted_gated(self, mesh):
+        geom, _, cs, _ = mesh
+        rays = make_rays(np.random.default_rng(23), 800, tmax=10.0)
+        ref = bf.intersect_any(geom, rays, chunk_size=None)
+        on = cl.any_hit_sorted(cs, rays, interpret=True, group_walk=True)
+        np.testing.assert_array_equal(np.asarray(on), np.asarray(ref))
