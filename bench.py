@@ -268,7 +268,14 @@ def bench_textured():
 def bench_knot_pathtrace():
     """Full path trace of the 25k-tri knot through the engine (depth 3):
     exercises the bounce-coherence sort + dead-lane block culling — the
-    honest end-to-end large-mesh number, incoherent bounces included."""
+    honest end-to-end large-mesh number, incoherent bounces included.
+
+    Times the walk with group gating OFF and ON (ORT_GROUP_WALK — the
+    round-3 lock-step-waste lever, measured 0.44x pair-test work on the
+    bounce wavefront) and reports the best; a gated-path failure (e.g. a
+    Mosaic rejection on a new toolchain) falls back to the ungated
+    number instead of zeroing the metric."""
+    import os
     import numpy as np
     import jax.numpy as jnp
     from optix_raytracer_tpu.core import film as film_mod
@@ -282,18 +289,43 @@ def bench_knot_pathtrace():
                               [{"kind": 0, "base_color": (0.7, 0.6, 0.5)}],
                               normals=normals)
     cam = knot_camera(w, h).params()
-    film = film_mod.Film.create(h, w)
-    film, rays = render_accumulate(scene, cam, film, w, h,
-                                   samples_per_launch=1, max_depth=3,
-                                   chunk_size=None)
-    float(jnp.sum(film.accum))
-    t0 = time.time()
-    for _ in range(2):
+
+    def run(gated):
+        # The gate is read at trace time inside the cluster kernels; a
+        # fresh env value + cleared caches retraces the engine.
+        os.environ["ORT_GROUP_WALK"] = "1" if gated else "0"
+        import jax
+        jax.clear_caches()
+        film = film_mod.Film.create(h, w)
         film, rays = render_accumulate(scene, cam, film, w, h,
                                        samples_per_launch=1, max_depth=3,
                                        chunk_size=None)
-    float(jnp.sum(film.accum))
-    return round(2 * float(rays) / (time.time() - t0) / 1e6, 1)
+        float(jnp.sum(film.accum))
+        t0 = time.time()
+        for _ in range(2):
+            film, rays = render_accumulate(scene, cam, film, w, h,
+                                           samples_per_launch=1, max_depth=3,
+                                           chunk_size=None)
+        float(jnp.sum(film.accum))
+        return round(2 * float(rays) / (time.time() - t0) / 1e6, 1)
+
+    prev = os.environ.get("ORT_GROUP_WALK")
+    try:
+        ungated = run(False)
+        try:
+            gated = run(True)
+        except Exception as e:
+            print(f"# gated knot walk FAILED ({e!r}); ungated only",
+                  flush=True)
+            gated = -1.0
+    finally:
+        if prev is None:
+            os.environ.pop("ORT_GROUP_WALK", None)
+        else:
+            os.environ["ORT_GROUP_WALK"] = prev
+    return {"knot25k_pathtrace_mrays": max(ungated, gated),
+            "knot25k_pathtrace_ungated_mrays": ungated,
+            "knot25k_pathtrace_gated_mrays": gated}
 
 
 def bench_mega_mesh():
@@ -504,8 +536,9 @@ def main():
     tex_res = timed("textured", bench_textured)
     large.update(tex_res if isinstance(tex_res, dict)
                  else {"textured_mrays": tex_res})
-    large["knot25k_pathtrace_mrays"] = timed("knot_pt",
-                                             bench_knot_pathtrace)
+    knot_pt = timed("knot_pt", bench_knot_pathtrace)
+    large.update(knot_pt if isinstance(knot_pt, dict)
+                 else {"knot25k_pathtrace_mrays": knot_pt})
     large.update(timed("stream", bench_stream_mesh))
     large.update(timed("mega", bench_mega_mesh))
     large["bench_seconds"] = bench_s
