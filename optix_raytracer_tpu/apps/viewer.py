@@ -163,6 +163,90 @@ def run_interactive(viewer: TracerViewer, out: str):
         plt.pause(0.01)
 
 
+def ansi_frame(img: np.ndarray, cols: int = 80) -> str:
+    """uint8 RGB(A) [H, W, C] → ANSI truecolor half-block string.
+
+    Each character cell shows two vertical pixels (▀ with foreground =
+    upper row, background = lower row) — the terminal analogue of the
+    GLDisplay fullscreen-quad blit (`sutil/GLDisplay.cpp:93-122`),
+    working over any SSH session with a 24-bit-color terminal."""
+    h, w = img.shape[:2]
+    cols = max(2, min(cols, w))
+    rows = max(2, int(round(cols * h / w / 2)) * 2)
+    ys = (np.arange(rows) * (h / rows)).astype(np.int64)
+    xs = (np.arange(cols) * (w / cols)).astype(np.int64)
+    small = img[ys][:, xs, :3].astype(np.int64)
+    top, bot = small[0::2], small[1::2]
+    lines = []
+    for r in range(top.shape[0]):
+        parts = []
+        for c in range(cols):
+            tr, tg, tb = top[r, c]
+            br, bg, bb = bot[r, c]
+            parts.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                         f"\x1b[48;2;{br};{bg};{bb}m▀")
+        lines.append("".join(parts) + "\x1b[0m")
+    return "\n".join(lines)
+
+
+def run_ansi(viewer: TracerViewer, out: str, max_frames: int = 0,
+             cols: int = 80, read_keys=None, write=None):
+    """Live ANSI-terminal render loop: blit each progressive frame as
+    truecolor half-blocks, polling single-key input (WASDQE move, arrows
+    orbit via h/j/k/l, +/- spf, space save, q quit). `read_keys`/`write`
+    are injectable for tests; the defaults use raw stdin + stdout."""
+    import sys
+
+    restore = None
+    if read_keys is None:
+        import select
+        import termios
+        import tty
+        fd = sys.stdin.fileno()
+        old = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+        restore = lambda: termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+        def read_keys():
+            keys = []
+            while select.select([sys.stdin], [], [], 0)[0]:
+                keys.append(sys.stdin.read(1))
+            return keys
+
+    if write is None:
+        write = sys.stdout.write
+    arrows = {"h": "left", "l": "right", "k": "up", "j": "down"}
+    frames = 0
+    try:
+        write("\x1b[2J")                      # clear once
+        while max_frames == 0 or frames < max_frames:
+            quit_ = False
+            for k in read_keys():
+                if k == "q":
+                    quit_ = True
+                elif k == " ":
+                    save_image(out or "render.png", viewer.step())
+                    continue
+                else:
+                    viewer.key(arrows.get(k, k))
+            if quit_:
+                break
+            img = viewer.step()
+            write("\x1b[H" + ansi_frame(img, cols)
+                  + f"\n\x1b[0K{int(viewer.film.subframe)} spp | spf "
+                    f"{viewer.spf} | fov {viewer.camera.fov_y:.0f} | "
+                    f"{viewer.timers.report()}\n"
+                    "\x1b[0KWASDQE move | hjkl orbit | +/- spf | "
+                    "space save | q quit\n")
+            frames += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if restore is not None:
+            restore()
+    return frames
+
+
 _SERVE_PAGE = """<!doctype html><html><head><title>optix_raytracer_tpu</title>
 <style>body{background:#111;color:#ccc;font-family:monospace;text-align:center}
 img{image-rendering:pixelated;margin-top:12px}</style></head><body>
@@ -310,6 +394,10 @@ def main(argv=None):
                    metavar="PORT",
                    help="serve a live browser view over HTTP (headless "
                         "hosts; default port 8000)")
+    p.add_argument("--ansi", type=int, nargs="?", const=100, default=None,
+                   metavar="COLS",
+                   help="live truecolor render in this terminal (any SSH "
+                        "session; default 100 columns)")
     p.add_argument("--checkpoint", default=None,
                    help="write render state here on exit")
     p.add_argument("--resume", default=None, help="resume from a checkpoint")
@@ -331,6 +419,8 @@ def main(argv=None):
         run_interactive(viewer, args.file)
     elif args.serve is not None:
         run_server(viewer, args.serve, args.file)
+    elif args.ansi is not None:
+        run_ansi(viewer, args.file, cols=args.ansi)
     else:
         run_headless(viewer, args.frames, args.file)
 

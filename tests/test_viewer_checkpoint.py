@@ -256,3 +256,35 @@ class TestViewerServer:
                          spf_log2=0, max_depth=2)
         n = run_server(v, port=0, out="", max_frames=3)
         assert n == 3 and int(v.film.subframe) == 3
+
+
+class TestViewerAnsi:
+    """--ansi terminal blit: truecolor half-block frames + key handling
+    through the injectable-IO loop."""
+
+    def test_ansi_frame_colors(self):
+        from optix_raytracer_tpu.apps.viewer import ansi_frame
+        img = np.zeros((8, 16, 3), np.uint8)
+        img[:4] = (255, 0, 0)      # top half red
+        img[4:] = (0, 0, 255)      # bottom half blue
+        s = ansi_frame(img, cols=16)
+        lines = s.split("\n")
+        assert len(lines) == 4 and all("▀" in ln for ln in lines)
+        assert "\x1b[38;2;255;0;0m" in lines[0]    # red upper pixels
+        assert "\x1b[48;2;0;0;255m" in lines[-1]   # blue lower pixels
+        assert lines[0].endswith("\x1b[0m")
+
+    def test_run_ansi_loop_and_keys(self, scene):
+        from optix_raytracer_tpu.apps.viewer import TracerViewer, run_ansi
+        from optix_raytracer_tpu.scene.builtins import cornell_camera
+        viewer = TracerViewer(scene, cornell_camera(16, 16), 16, 16,
+                              spf_log2=0, max_depth=2)
+        outputs = []
+        keys = [["+"], ["w"], ["q"]]
+        frames = run_ansi(viewer, out=None, max_frames=10, cols=16,
+                          read_keys=lambda: keys.pop(0) if keys else [],
+                          write=outputs.append)
+        assert frames == 2          # third poll sees 'q' before rendering
+        assert viewer.spf_log2 == 1             # '+' handled
+        blits = [o for o in outputs if "▀" in o]
+        assert len(blits) == 2 and "spp" in blits[0]
