@@ -459,15 +459,11 @@ def _attr(name: str, typ: str, data: bytes) -> bytes:
             + struct.pack("<i", len(data)) + data)
 
 
-def write_exr(path: str, image: np.ndarray, channels=None,
-              pixel_type: str = "HALF", compression: str = "ZIP") -> None:
-    """Write [H, W] / [H, W, C] float data as a scanline EXR.
-
-    channels: names for the last axis; defaults to ("Y",), ("R","G","B") or
-    ("R","G","B","A") by arity. pixel_type: "HALF" or "FLOAT".
-    compression: "ZIP" (default; zlib, 16 scanlines per chunk), "ZIPS"
-    (zlib, 1 scanline) or "NONE".
-    """
+def _build_part(image, channels, pixel_type, compression, name=None):
+    """One scanline part → (header_bytes_without_terminator, chunks) with
+    chunks = [(y, payload)]. Shared by write_exr and write_exr_multipart
+    (multipart parts additionally carry name/type/chunkCount attributes,
+    required by the OpenEXR 2.0 multipart header rules)."""
     image = np.asarray(image, np.float32)
     if image.ndim == 2:
         image = image[..., None]
@@ -490,6 +486,8 @@ def write_exr(path: str, image: np.ndarray, channels=None,
     chlist += b"\0"
 
     comp_id = _COMP_IDS[compression.upper()]
+    lines = _LINES_PER_CHUNK[comp_id]
+    n_chunks = -(-h // lines)
     box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
     header = (_attr("channels", "chlist", chlist)
               + _attr("compression", "compression", bytes([comp_id]))
@@ -500,12 +498,11 @@ def write_exr(path: str, image: np.ndarray, channels=None,
               + _attr("screenWindowCenter", "v2f",
                       struct.pack("<ff", 0.0, 0.0))
               + _attr("screenWindowWidth", "float",
-                      struct.pack("<f", 1.0))
-              + b"\0")
-
-    head = _MAGIC + struct.pack("<i", 2) + header
-    lines = _LINES_PER_CHUNK[comp_id]
-    n_chunks = -(-h // lines)
+                      struct.pack("<f", 1.0)))
+    if name is not None:
+        header += (_attr("name", "string", name.encode())
+                   + _attr("type", "string", b"scanlineimage")
+                   + _attr("chunkCount", "int", struct.pack("<i", n_chunks)))
 
     rows = image[:, :, order].transpose(0, 2, 1).astype(dtype)  # [H, C, W]
     chan_sizes = [bpp // 2] * nc                     # u16 units per sample
@@ -517,6 +514,21 @@ def write_exr(path: str, image: np.ndarray, channels=None,
         elif comp_id != _COMP_NONE:
             raw = _zip_compress(raw)
         chunks.append((y, raw))
+    return header, chunks
+
+
+def write_exr(path: str, image: np.ndarray, channels=None,
+              pixel_type: str = "HALF", compression: str = "ZIP") -> None:
+    """Write [H, W] / [H, W, C] float data as a scanline EXR.
+
+    channels: names for the last axis; defaults to ("Y",), ("R","G","B") or
+    ("R","G","B","A") by arity. pixel_type: "HALF" or "FLOAT".
+    compression: "ZIP" (default; zlib, 16 scanlines per chunk), "ZIPS"
+    (zlib, 1 scanline) or "NONE".
+    """
+    header, chunks = _build_part(image, channels, pixel_type, compression)
+    head = _MAGIC + struct.pack("<i", 2) + header + b"\0"
+    n_chunks = len(chunks)
 
     first = len(head) + 8 * n_chunks
     offsets, pos = [], first
@@ -529,6 +541,47 @@ def write_exr(path: str, image: np.ndarray, channels=None,
         for y, payload in chunks:
             f.write(struct.pack("<ii", y, len(payload)))
             f.write(payload)
+
+
+def write_exr_multipart(path: str, parts) -> None:
+    """Write a multipart (OpenEXR 2.0) scanline file.
+
+    parts: list of (name, image) or (name, image, dict) with optional
+    per-part keys channels / pixel_type / compression — the writer side
+    of the multipart reads (`read_exr(part=...)`), mirroring tinyexr's
+    SaveEXRMultipartImageToFile coverage (`SDK/support/tinyexr/`).
+    Layout: version-flagged header sequence terminated by an empty
+    header, one offset table per part in order, chunks prefixed with
+    their part number.
+    """
+    built = []
+    for p in parts:
+        name, image, opts = (*p, {}) if len(p) == 2 else p
+        built.append(_build_part(image, opts.get("channels"),
+                                 opts.get("pixel_type", "HALF"),
+                                 opts.get("compression", "ZIP"),
+                                 name=name))
+    head = _MAGIC + struct.pack("<i", 2 | 0x1000)
+    for header, _ in built:
+        head += header + b"\0"
+    head += b"\0"                           # end of the header sequence
+
+    pos = len(head) + 8 * sum(len(chunks) for _, chunks in built)
+    tables = []
+    for _, chunks in built:
+        offsets = []
+        for _, payload in chunks:
+            offsets.append(pos)
+            pos += 4 + 8 + len(payload)     # part number + y + size
+        tables.append(offsets)
+    with open(path, "wb") as f:
+        f.write(head)
+        for offsets in tables:
+            f.write(struct.pack("<%dq" % len(offsets), *offsets))
+        for idx, (_, chunks) in enumerate(built):
+            for y, payload in chunks:
+                f.write(struct.pack("<iii", idx, y, len(payload)))
+                f.write(payload)
 
 
 def _parse_header(data, pos):

@@ -430,3 +430,40 @@ class TestDenoiserSequences:
         app.main([b, "-A", av, "-o", o, "-i", "2"])
         assert read_exr(o).shape == img.shape
         assert read_exr(str(tmp_path / "aov_out.exr")).shape == img.shape
+
+
+class TestMultipartWrite:
+    """write_exr_multipart round-trips through the multipart reader
+    (per-part compression/pixel-type, name lookup, chunk part-numbers)."""
+
+    def test_round_trip_parts(self, tmp_path):
+        from optix_raytracer_tpu.io.exr import (read_exr, read_exr_parts,
+                                                write_exr_multipart)
+        rng = np.random.default_rng(4)
+        beauty = rng.uniform(0, 4, (33, 20, 3)).astype(np.float32)
+        albedo = rng.uniform(0, 1, (33, 20, 3)).astype(np.float32)
+        depth = rng.uniform(0, 100, (33, 20)).astype(np.float32)
+        p = str(tmp_path / "mp.exr")
+        write_exr_multipart(p, [
+            ("beauty", beauty),
+            ("albedo", albedo, {"compression": "PIZ"}),
+            ("depth", depth, {"pixel_type": "FLOAT",
+                              "compression": "NONE",
+                              "channels": ("Z",)}),
+        ])
+        assert read_exr_parts(p) == ["beauty", "albedo", "depth"]
+        np.testing.assert_allclose(read_exr(p, part=0), beauty,
+                                   rtol=1.5e-3, atol=1e-6)
+        np.testing.assert_allclose(read_exr(p, part="albedo"), albedo,
+                                   rtol=1.5e-3, atol=1e-6)
+        z = read_exr(p, part="depth", layers=True)
+        np.testing.assert_array_equal(z["Z"], depth)  # FLOAT: exact
+
+    def test_single_part_unchanged(self, tmp_path):
+        """The shared builder must not alter single-part output layout."""
+        from optix_raytracer_tpu.io.exr import read_exr, write_exr
+        img = np.random.default_rng(6).uniform(
+            0, 2, (17, 9, 4)).astype(np.float32)
+        p = str(tmp_path / "sp.exr")
+        write_exr(p, img, pixel_type="FLOAT")
+        np.testing.assert_array_equal(read_exr(p), img)
