@@ -435,6 +435,30 @@ def bench_pbr_cornell():
     return round(float(rays) / (time.time() - t0) / 1e6, 1)
 
 
+def bench_regen_cornell():
+    """Cornell through the fused megakernel with PATH REGENERATION ON
+    (dead lanes respawn the pixel's next sample instead of idling —
+    ~65% of lanes are dead by depth 4 under lock-step masking). Reported
+    alongside the default-path headline; flip pallas_pt._REGEN_DEFAULT
+    when this wins on TPU (bit-compatible accumulation)."""
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.scene.builtins import cornell_box, cornell_camera
+    from optix_raytracer_tpu.wavefront.pallas_pt import render_sum_fused
+
+    scene = cornell_box()
+    cam = cornell_camera(WIDTH, HEIGHT).params()
+    rf, rays = render_sum_fused(scene, cam, WIDTH, HEIGHT, 0,
+                                samples_per_launch=SAMPLES,
+                                max_depth=MAX_DEPTH, regen=True)
+    float(jnp.sum(rf))
+    t0 = time.time()
+    rf, rays = render_sum_fused(scene, cam, WIDTH, HEIGHT, SAMPLES,
+                                samples_per_launch=SAMPLES,
+                                max_depth=MAX_DEPTH, regen=True)
+    float(jnp.sum(rf))
+    return round(float(rays) / (time.time() - t0) / 1e6, 1)
+
+
 def _probe_device(timeout_s: float = 600.0) -> bool:
     """True when a device op completes within the timeout. The remote-TPU
     tunnel can be down (infrastructure-side); jax then BLOCKS forever in
@@ -529,6 +553,7 @@ def main():
         return r
 
     large = timed("large_mesh", bench_large_mesh)
+    large["cornell_regen_mrays"] = timed("regen", bench_regen_cornell)
     large["cornell_pbr_ggx_mrays"] = timed("pbr", bench_pbr_cornell)
     large["cornell_instanced_mrays"] = timed("instanced",
                                              bench_instanced_cornell)
