@@ -136,13 +136,12 @@ def run_headless(viewer: TracerViewer, frames: int, out: str):
     return img
 
 
-def run_interactive(viewer: TracerViewer, out: str):
-    import matplotlib
+def interactive_on_key(viewer: TracerViewer, im, out: str, fig):
+    """Key handler for the matplotlib window (tracer_window.cpp:129-183
+    imgui panel + update_camera): q quits, space saves the current blit,
+    everything else routes to TracerViewer.key. Split out of
+    run_interactive so tests can drive it with synthetic KeyEvents."""
     import matplotlib.pyplot as plt
-    fig, ax = plt.subplots(figsize=(8, 8))
-    fig.canvas.manager.set_window_title("optix_raytracer_tpu viewer")
-    im = ax.imshow(viewer.step())
-    ax.axis("off")
 
     def on_key(event):
         k = event.key
@@ -155,11 +154,26 @@ def run_interactive(viewer: TracerViewer, out: str):
             return
         viewer.key(k or "")
 
-    fig.canvas.mpl_connect("key_press_event", on_key)
+    return on_key
+
+
+def run_interactive(viewer: TracerViewer, out: str, max_frames: int = 0):
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(8, 8))
+    if fig.canvas.manager is not None:
+        fig.canvas.manager.set_window_title("optix_raytracer_tpu viewer")
+    im = ax.imshow(viewer.step())
+    ax.axis("off")
+    fig.canvas.mpl_connect("key_press_event",
+                           interactive_on_key(viewer, im, out, fig))
+    frames = 0
     while plt.fignum_exists(fig.number):
         im.set_data(viewer.step())
         ax.set_title(f"{int(viewer.film.subframe)} spp | spf {viewer.spf} "
                      f"| fov {viewer.camera.fov_y:.0f}")
+        frames += 1
+        if max_frames and frames >= max_frames:
+            break
         plt.pause(0.01)
 
 

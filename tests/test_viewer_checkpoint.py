@@ -209,6 +209,72 @@ class TestViewerInput:
         assert int(v.film.subframe) == v.spf      # restarted then rendered
 
 
+class TestViewerMatplotlib:
+    """The --interactive matplotlib window (the GLFW/imgui-window role,
+    tracer_window.cpp:64-183), driven headlessly on the Agg backend with
+    synthetic KeyEvents through the real mpl event plumbing."""
+
+    def _window(self, tmp_path, w=16, h=16):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        from optix_raytracer_tpu.apps.viewer import (TracerViewer,
+                                                     interactive_on_key)
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        v = TracerViewer(cornell_box(), cornell_camera(w, h), w, h,
+                         spf_log2=0, max_depth=2)
+        fig, ax = plt.subplots()
+        im = ax.imshow(v.step())
+        out = str(tmp_path / "saved.png")
+        handler = interactive_on_key(v, im, out, fig)
+        fig.canvas.mpl_connect("key_press_event", handler)
+        return v, fig, im, out
+
+    def _press(self, fig, key):
+        from matplotlib.backend_bases import KeyEvent
+        KeyEvent("key_press_event", fig.canvas, key)._process()
+
+    def test_keys_route_through_canvas(self, tmp_path):
+        import matplotlib.pyplot as plt
+        v, fig, im, out = self._window(tmp_path)
+        try:
+            eye0 = np.asarray(v.camera.eye)
+            self._press(fig, "w")
+            assert v.dirty
+            assert not np.allclose(np.asarray(v.camera.eye), eye0)
+        finally:
+            plt.close(fig)
+
+    def test_space_saves_blit_and_q_quits(self, tmp_path):
+        import os
+        import matplotlib.pyplot as plt
+        v, fig, im, out = self._window(tmp_path)
+        self._press(fig, " ")
+        assert os.path.exists(out)
+        from PIL import Image
+        img = Image.open(out)
+        assert img.size == (16, 16)
+        assert plt.fignum_exists(fig.number)
+        self._press(fig, "q")
+        assert not plt.fignum_exists(fig.number)
+
+    def test_run_interactive_loop_bounded(self, tmp_path):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        from optix_raytracer_tpu.apps.viewer import (TracerViewer,
+                                                     run_interactive)
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        w = h = 16
+        v = TracerViewer(cornell_box(), cornell_camera(w, h), w, h,
+                         spf_log2=0, max_depth=2)
+        run_interactive(v, str(tmp_path / "x.png"), max_frames=2)
+        assert int(v.film.subframe) >= 3     # initial blit + 2 loop frames
+        plt.close("all")
+
+
 class TestViewerServer:
     """The HTTP live-view display path (the GLDisplay-blit role on a
     headless host): page serves, frames publish as valid PNG, posted keys
