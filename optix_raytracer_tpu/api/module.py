@@ -93,11 +93,28 @@ class AbortableCompile:
         serializes to the child's CLI, `optixModuleCreateAbort.cpp:786-835`);
         example_shapes: list of (shape tuple, dtype str) for its args."""
         import multiprocessing as mp
+        import os
         self._ctx = mp.get_context("spawn")
         self._proc = self._ctx.Process(
             target=_abortable_worker,
             args=(module_path, entry, example_shapes, backend), daemon=True)
-        self._proc.start()
+        # The child must NOT inherit PYTHONPATH site hooks: they run at
+        # interpreter startup (before _abortable_worker's own env scrub)
+        # and a hook that binds exclusive hardware — e.g. a remote-TPU
+        # tunnel that deadlocks with a second client — would wedge or
+        # steal the device from the parent. Scrub around start(): spawn
+        # snapshots the environment at exec time.
+        saved = {k: os.environ.pop(k, None)
+                 for k in ("PYTHONPATH", "JAX_PLATFORMS")}
+        os.environ["JAX_PLATFORMS"] = backend
+        try:
+            self._proc.start()
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     def poll(self) -> Optional[bool]:
         """None while running; True once the child finished successfully."""

@@ -10,6 +10,8 @@ APPS = [
     "dynamic_materials", "multigpu", "denoiser", "curves", "hair", "ribbons",
     "simple_motion_blur", "motion_geometry", "volume_viewer",
     "opacity_micromap", "displaced_micromesh", "viewer", "optical_flow",
+    "custom_primitive", "callable_programs", "bound_values",
+    "compile_with_tasks", "module_create_abort", "nvlink",
 ]
 
 

@@ -132,3 +132,117 @@ class TestDynamicMaterials:
                                    [0.8, 0.8, 0.8])
         np.testing.assert_allclose(np.asarray(scene2.materials.base_color[0]),
                                    [1, 0, 0])
+
+
+class TestCustomPrimitive:
+    """optixCustomPrimitive: user-authored IS over a custom AABB input."""
+
+    def test_center_hits_edge_misses(self):
+        from optix_raytracer_tpu.apps import custom_primitive as cp
+        img = np.asarray(cp.render(32, 32))
+        assert img[16, 16, :3].astype(int).sum() > 60   # sphere shaded
+        assert img[0, 0, :3].astype(int).sum() == 0     # background black
+
+    def test_aabb_gate_culls(self):
+        from optix_raytracer_tpu.apps.custom_primitive import aabb_gate
+        lo = jnp.asarray([-1.0, -1.0, -1.0])
+        hi = jnp.asarray([1.0, 1.0, 1.0])
+        o = jnp.asarray([[0.0, 0.0, 3.0], [5.0, 5.0, 3.0]])
+        d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+        tmin = jnp.zeros(2)
+        tmax = jnp.full((2,), 100.0)
+        g = np.asarray(aabb_gate(o, d, tmin, tmax, lo, hi))
+        assert g[0] and not g[1]
+
+
+class TestCallablePrograms:
+    """optixCallablePrograms: run-time shader dispatch through the
+    callable table; each dc_index must produce a distinct image."""
+
+    def test_callables_differ_and_miss_shades(self):
+        from optix_raytracer_tpu.apps import callable_programs as cb
+        imgs = [np.asarray(cb.render(24, 24, shade=i)) for i in range(3)]
+        assert not np.array_equal(imgs[0], imgs[1])
+        assert not np.array_equal(imgs[1], imgs[2])
+        # miss pixels use the continuation callable (raydir background):
+        # corner ray directions differ -> nonconstant, nonzero background
+        corner = imgs[2][0, 0, :3]
+        other = imgs[2][0, -1, :3]
+        assert corner.sum() > 0 and not np.array_equal(corner, other)
+
+    def test_normal_shade_faces_camera(self):
+        from optix_raytracer_tpu.apps import callable_programs as cb
+        img = np.asarray(cb.render(24, 24, shade=2))
+        c = img[12, 12, :3].astype(float) / 255.0
+        # n ~ +z toward the camera -> linear (0.5, 0.5, 1.0); the film
+        # writes sRGB, so 0.5 -> ~0.735 (cuda/helpers.h:35-66)
+        assert c[2] > 0.95
+        assert abs(c[0] - 0.735) < 0.1 and abs(c[1] - 0.735) < 0.1
+
+
+class TestBoundValues:
+    """optixBoundValues: the specialized (bound light_samples) module must
+    produce the identical image to the runtime-launch-param module."""
+
+    def test_bound_equals_runtime(self):
+        from optix_raytracer_tpu.apps import bound_values as bv
+        a = np.asarray(bv.render(24, 24, light_samples=2, bound=True)[0])
+        b = np.asarray(bv.render(24, 24, light_samples=2, bound=False)[0])
+        np.testing.assert_array_equal(a, b)
+        assert a[:, :, :3].sum() > 0        # walls actually lit
+
+
+class TestCompileWithTasks:
+    """optixCompileWithTasks: pooled AOT compiles return live executables."""
+
+    def test_pool_compiles_and_executes(self):
+        from optix_raytracer_tpu.apps import compile_with_tasks as cwt
+        jobs = cwt.make_jobs(2, base=16)
+        res, compiled = cwt.run(2, 2, base=16)
+        assert res["compiled"] == 2
+        out = compiled[0](jobs[0][1][0])
+        assert tuple(out.shape) == (16, 16, 3)
+
+
+class TestModuleCreateAbortApp:
+    """optixModuleCreateAbort: the child compile dies on .abort() and a
+    fresh one runs to completion (the hot-swap flow)."""
+
+    def test_abort_kills_child(self):
+        from optix_raytracer_tpu.api.module import AbortableCompile
+        c = AbortableCompile("optix_raytracer_tpu.apps.module_create_abort",
+                             "heavy_entry", [((8, 8), "float32")])
+        c.abort()
+        assert c.poll() is False
+
+    def test_small_entry_completes(self):
+        from optix_raytracer_tpu.api.module import AbortableCompile
+        c = AbortableCompile("jax.numpy", "sin", [((4,), "float32")])
+        # generous bound: the child cold-imports jax, and CI hosts may be
+        # running a concurrent suite
+        assert c.wait(timeout=600) is True
+
+
+class TestNVLinkApp:
+    """optixNVLink app: placement plan reports a real per-chip HBM drop and
+    the placed render is bit-identical to replicated."""
+
+    def test_placed_render_matches(self):
+        import jax
+        from optix_raytracer_tpu.apps import nvlink
+        from optix_raytracer_tpu.multichip import memory, tiles
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        n = min(len(jax.devices()), 4)
+        mesh = tiles.make_mesh(n_rows=n, n_samples=1,
+                               devices=jax.devices()[:n])
+        scene = nvlink.textured_scene(tex_px=64)
+        placed, report = memory.place_scene_textures(scene, mesh,
+                                                     budget_bytes=1)
+        assert report["mode"].startswith("shard")
+        drop = (memory.per_chip_texture_bytes(scene)
+                / max(memory.per_chip_texture_bytes(placed), 1))
+        assert drop >= 2.0
+        a = nvlink.render(placed, 24, 24, samples=1, max_depth=2)
+        b = nvlink.render(scene, 24, 24, samples=1, max_depth=2)
+        np.testing.assert_array_equal(a, b)
