@@ -24,7 +24,8 @@ their TPU-native meanings:
 | OptixModuleCompileBoundValueEntry      | bound_values= closure constants   |
 """
 from .context import DeviceContext, LogLevel  # noqa: F401
-from .module import Module, compile_with_tasks, AbortableCompile  # noqa: F401
+from .module import (Module, compile_with_tasks,  # noqa: F401
+                     AbortableCompile, builtin_is_module, BUILTIN_IS_KINDS)
 from .pipeline import (ProgramGroup, ProgramGroupKind, Pipeline,  # noqa: F401
                        ShaderBindingTable, SbtRecord)
 from .accel import build_gas, build_custom_gas, build_ias, refit_gas  # noqa: F401

@@ -59,6 +59,72 @@ class Module:
         return jax.jit(fn).lower(*example_args).compile()
 
 
+#: Built-in intersector families — `OptixPrimitiveType` names the driver's
+#: builtin IS modules cover (`optix_types.h` curve/sphere primitive types).
+BUILTIN_IS_KINDS = ("sphere", "round_linear", "round_quadratic_bspline",
+                    "round_cubic_bspline", "round_catmullrom", "round_bezier",
+                    "flat_quadratic")
+
+
+def builtin_is_module(kind: str, context=None) -> Module:
+    """`optixBuiltinISModuleGet` (`optix_host.h:409`): a Module holding the
+    named built-in intersection programs.
+
+    The returned Module has two entry points —
+    ``__intersection__<kind>`` (prims, rays) → closest Hits and
+    ``__intersection_any__<kind>`` (prims, rays) → occluded bool — plus a
+    ``make_primitives`` helper that converts the family's natural inputs
+    (sphere centers/radii, curve strand control points + widths) into the
+    primitive table the intersectors consume, mirroring how the reference
+    pairs the builtin module with a curve/sphere GAS build
+    (`optixCurves.cpp:380-412,489`, `optixSphere`).
+    """
+    from ..accel import curves as _curves
+    from ..accel import primitives as _prim
+
+    kind = kind.lower()
+
+    def _spheres(centers, radii, mat_id: int = 0):
+        return _prim.make_prims(
+            [{"kind": _prim.SPHERE, "center": tuple(map(float, c)),
+              "radius": float(r), "mat_id": mat_id}
+             for c, r in zip(centers, radii)])
+
+    builders = {
+        "sphere": _spheres,
+        "round_linear": lambda control, widths, mat_id=0: _prim.make_prims(
+            _curves.strand_to_capsules(control, widths, mat_id=mat_id)),
+        "round_quadratic_bspline":
+            lambda control, widths, mat_id=0: _prim.make_prims(
+                _curves.strand_to_swept_quads(control, widths,
+                                              mat_id=mat_id)),
+        "round_cubic_bspline":
+            lambda control, widths, mat_id=0: _prim.make_prims(
+                _curves.strand_to_swept_cubics(
+                    control, widths, kind=_curves.CUBIC_BSPLINE,
+                    mat_id=mat_id)),
+        "round_catmullrom":
+            lambda control, widths, mat_id=0: _prim.make_prims(
+                _curves.strand_to_swept_cubics(
+                    control, widths, kind=_curves.CATMULL_ROM,
+                    mat_id=mat_id)),
+        "round_bezier":
+            lambda control, widths, mat_id=0: _prim.make_prims(
+                _curves.strand_to_swept_cubics(
+                    control, widths, kind=_curves.BEZIER, mat_id=mat_id)),
+        "flat_quadratic": lambda control, widths, mat_id=0: _prim.make_prims(
+            _curves.strand_to_ribbons(control, widths, mat_id=mat_id)),
+    }
+    if kind not in builders:
+        raise ValueError(f"no builtin IS module {kind!r}; "
+                         f"have {sorted(builders)}")
+    mod = Module({f"__intersection__{kind}": _prim.intersect_prims_closest,
+                  f"__intersection_any__{kind}": _prim.intersect_prims_any},
+                 context=context, name=f"builtin_is_{kind}")
+    mod.make_primitives = builders[kind]
+    return mod
+
+
 def compile_with_tasks(jobs, max_workers: int = 4):
     """Parallel module/entry compilation — `optixModuleCreateWithTasks` +
     `OptixTaskExecutePool` behavior (`lib/CompileWithTasks.h`).

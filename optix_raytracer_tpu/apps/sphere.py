@@ -20,9 +20,12 @@ from ..io.image import save_image
 
 
 def render(width=768, height=768):
-    prims = prim.make_prims([
-        {"kind": prim.SPHERE, "center": (0.0, 0.0, 0.0), "radius": 1.5,
-         "mat_id": 0}])
+    # The builtin-IS module pairing of the reference: module provides the
+    # sphere __intersection__ program, make_primitives the GAS build input.
+    from ..api.module import builtin_is_module
+    is_mod = builtin_is_module("sphere")
+    prims = is_mod.make_primitives([(0.0, 0.0, 0.0)], [1.5])
+    intersect = is_mod.get("__intersection__sphere")
     cam = Camera(eye=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
                  fov_y=60.0, aspect=width / height).params()
 
@@ -30,7 +33,7 @@ def render(width=768, height=768):
     def go(prims, cam):
         rays, _ = generate_rays(cam, width, height, jitter=False)
         flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), rays)
-        hits = prim.intersect_prims_closest(prims, flat)
+        hits = intersect(prims, flat)
         # CH: color = normal * 0.5 + 0.5 (the sample's shading)
         shade = hits.normal * 0.5 + 0.5
         miss = jnp.asarray([0.0, 0.0, 0.0])

@@ -64,6 +64,47 @@ class TestModule:
         np.testing.assert_allclose(compiled(jnp.ones((8,))), 2.0)
 
 
+class TestBuiltinISModule:
+    def test_sphere_intersection(self):
+        from optix_raytracer_tpu.core.rays import Rays
+        mod = api.builtin_is_module("sphere")
+        prims = mod.make_primitives([(0.0, 0.0, 0.0)], [1.0])
+        rays = Rays(origin=jnp.asarray([[0.0, 0.0, 3.0]]),
+                    direction=jnp.asarray([[0.0, 0.0, -1.0]]),
+                    tmin=jnp.asarray([1e-3]), tmax=jnp.asarray([1e9]))
+        hits = mod.get("__intersection__sphere")(prims, rays)
+        assert bool(hits.valid[0])
+        np.testing.assert_allclose(float(hits.t[0]), 2.0, atol=1e-4)
+        occ = mod.get("__intersection_any__sphere")(prims, rays)
+        assert bool(occ[0])
+
+    @pytest.mark.parametrize("kind", ["round_linear",
+                                      "round_quadratic_bspline",
+                                      "round_cubic_bspline",
+                                      "round_catmullrom", "flat_quadratic"])
+    def test_curve_kinds_intersect(self, kind):
+        from optix_raytracer_tpu.core.rays import Rays
+        mod = api.builtin_is_module(kind)
+        control = np.asarray([[-1.0, 0.0, 0.0], [-0.4, 0.0, 0.0],
+                              [0.4, 0.0, 0.0], [1.0, 0.0, 0.0]], np.float32)
+        widths = np.full((4,), 0.25, np.float32)
+        prims = mod.make_primitives(control, widths)
+        # A ray straight down the y axis through the strand's midline.
+        rays = Rays(origin=jnp.asarray([[0.0, 3.0, 0.0]]),
+                    direction=jnp.asarray([[0.0, -1.0, 0.0]]),
+                    tmin=jnp.asarray([1e-3]), tmax=jnp.asarray([1e9]))
+        hits = mod.get(f"__intersection__{kind}")(prims, rays)
+        assert bool(hits.valid[0]), kind
+        # Round kinds hit the swept surface a radius above the midline;
+        # the flat ribbon lies in-plane through y=0.
+        expect = 3.0 if kind == "flat_quadratic" else 2.75
+        np.testing.assert_allclose(float(hits.t[0]), expect, atol=0.1)
+
+    def test_unknown_kind_raises(self):
+        with pytest.raises(ValueError):
+            api.builtin_is_module("torus")
+
+
 class TestCallables:
     def test_direct_call_switch(self):
         table = api.CallableTable()
