@@ -536,11 +536,24 @@ def main():
     # compile-cost observability the round-2 verdict asked for; with a
     # warm /tmp/jax_cache these collapse to the run time.
     bench_s = {}
+    # Wall-clock budget across the sub-benches: the headline number above
+    # is already measured, and the final JSON line must land even if one
+    # sub-bench's (cold) Mosaic compile would blow past the harness
+    # timeout — once the budget is spent, remaining sub-benches are
+    # skipped (-1 / {}) instead of risking the whole record.
+    budget_s = float(os.environ.get("ORT_BENCH_BUDGET_S", "3000"))
+    bench_t0 = time.time()
 
     def timed(name, fn):
         # A sub-bench failure (e.g. a Mosaic lowering regression in one
         # kernel) must not zero the whole bench record: report -1 for the
         # failed metric and keep going.
+        default = {} if name in ("large_mesh", "stream", "mega") else -1.0
+        if time.time() - bench_t0 > budget_s:
+            print(f"# bench '{name}' SKIPPED: {budget_s:.0f}s budget spent",
+                  flush=True)
+            bench_s[name] = 0.0
+            return default
         t = time.time()
         try:
             r = fn()
@@ -548,7 +561,7 @@ def main():
             import traceback
             print(f"# bench '{name}' FAILED: {e!r}", flush=True)
             traceback.print_exc()
-            r = {} if name in ("large_mesh", "stream", "mega") else -1.0
+            r = default
         bench_s[name] = round(time.time() - t, 1)
         return r
 

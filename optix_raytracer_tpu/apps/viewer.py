@@ -108,6 +108,20 @@ class TracerViewer:
         elif k == "r":
             self.dirty = True
 
+    def mouse(self, kind: str, dx: float = 0.0, dy: float = 0.0):
+        """Mouse routes (the Trackball mouse bindings, `Trackball.h:54-66` /
+        `tracer_window.cpp` GLFW cursor callbacks): left-drag orbits,
+        right-drag pans, wheel zooms toward the lookat."""
+        if kind == "drag_left":
+            self.trackball.orbit(dx, dy)
+        elif kind == "drag_right":
+            self.trackball.pan(dx * 0.01, dy * 0.01)
+        elif kind == "scroll":
+            self.trackball.zoom(1 if dy > 0 else -1)
+        else:
+            return
+        self.dirty = True
+
 
 def build(args, width, height):
     if args.model:
@@ -157,6 +171,35 @@ def interactive_on_key(viewer: TracerViewer, im, out: str, fig):
     return on_key
 
 
+def interactive_on_mouse(viewer: TracerViewer):
+    """Mouse handlers for the matplotlib window (the GLFW cursor/scroll
+    callbacks of `tracer_window.cpp` routed through the Trackball):
+    left-drag orbit, right-drag pan, wheel zoom. Returns
+    (on_press, on_move, on_scroll); split out so tests can drive them
+    with synthetic MouseEvents."""
+    last = {"xy": None, "button": None}
+
+    def on_press(event):
+        last["xy"] = (event.x, event.y)
+        last["button"] = getattr(event.button, "value", event.button)
+
+    def on_move(event):
+        if last["xy"] is None or event.button is None:
+            return
+        x0, y0 = last["xy"]
+        if event.x is None or event.y is None:
+            return
+        dx, dy = event.x - x0, event.y - y0
+        last["xy"] = (event.x, event.y)
+        kind = "drag_right" if last["button"] == 3 else "drag_left"
+        viewer.mouse(kind, dx, dy)
+
+    def on_scroll(event):
+        viewer.mouse("scroll", dy=1.0 if event.step > 0 else -1.0)
+
+    return on_press, on_move, on_scroll
+
+
 def run_interactive(viewer: TracerViewer, out: str, max_frames: int = 0):
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(8, 8))
@@ -166,6 +209,10 @@ def run_interactive(viewer: TracerViewer, out: str, max_frames: int = 0):
     ax.axis("off")
     fig.canvas.mpl_connect("key_press_event",
                            interactive_on_key(viewer, im, out, fig))
+    on_press, on_move, on_scroll = interactive_on_mouse(viewer)
+    fig.canvas.mpl_connect("button_press_event", on_press)
+    fig.canvas.mpl_connect("motion_notify_event", on_move)
+    fig.canvas.mpl_connect("scroll_event", on_scroll)
     frames = 0
     while plt.fignum_exists(fig.number):
         im.set_data(viewer.step())
@@ -265,8 +312,8 @@ _SERVE_PAGE = """<!doctype html><html><head><title>optix_raytracer_tpu</title>
 <style>body{background:#111;color:#ccc;font-family:monospace;text-align:center}
 img{image-rendering:pixelated;margin-top:12px}</style></head><body>
 <div id=s>connecting…</div><img id=v>
-<div>WASDQE move · arrows orbit · +/- spf · [ ] fov · 9/0 aperture ·
-r reset</div>
+<div>drag orbit · right-drag pan · wheel zoom · WASDQE move ·
+arrows orbit · +/- spf · [ ] fov · 9/0 aperture · r reset</div>
 <script>
 const v=document.getElementById('v'),s=document.getElementById('s');
 async function tick(){
@@ -285,6 +332,20 @@ document.addEventListener('keydown',e=>{
   const k=KEYS[e.key]||e.key.toLowerCase();
   fetch('/key?k='+encodeURIComponent(k),{method:'POST'});
 });
+let drag=null;
+v.addEventListener('pointerdown',e=>{drag=[e.clientX,e.clientY,e.button];
+  v.setPointerCapture(e.pointerId);e.preventDefault();});
+v.addEventListener('pointerup',()=>{drag=null;});
+v.addEventListener('pointermove',e=>{
+  if(!drag)return;
+  const kind=drag[2]===2?'drag_right':'drag_left';
+  const dx=e.clientX-drag[0],dy=e.clientY-drag[1];
+  drag=[e.clientX,e.clientY,drag[2]];
+  if(dx||dy)fetch(`/mouse?k=${kind}&dx=${dx}&dy=${dy}`,{method:'POST'});
+});
+v.addEventListener('wheel',e=>{e.preventDefault();
+  fetch('/mouse?k=scroll&dx=0&dy='+(e.deltaY<0?1:-1),{method:'POST'});});
+v.addEventListener('contextmenu',e=>e.preventDefault());
 tick();
 </script></body></html>"""
 
@@ -304,6 +365,7 @@ class ViewerServer:
         self._status = ""
         self._lock = threading.Lock()
         self._keys = []
+        self._mouse = []
         srv = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -335,6 +397,18 @@ class ViewerServer:
                     with srv._lock:
                         srv._keys.append(unquote(self.path[7:]))
                     self._send(200, b"ok", "text/plain")
+                elif self.path.startswith("/mouse?"):
+                    from urllib.parse import parse_qs, urlsplit
+                    q = parse_qs(urlsplit(self.path).query)
+                    try:
+                        ev = (q["k"][0], float(q.get("dx", ["0"])[0]),
+                              float(q.get("dy", ["0"])[0]))
+                    except (KeyError, ValueError):
+                        self._send(400, b"bad mouse event", "text/plain")
+                        return
+                    with srv._lock:
+                        srv._mouse.append(ev)
+                    self._send(200, b"ok", "text/plain")
                 else:
                     self._send(404, b"", "text/plain")
 
@@ -359,6 +433,11 @@ class ViewerServer:
             keys, self._keys = self._keys, []
         return keys
 
+    def pending_mouse(self):
+        with self._lock:
+            evs, self._mouse = self._mouse, []
+        return evs
+
     def close(self):
         self.httpd.shutdown()
         self.httpd.server_close()
@@ -379,6 +458,8 @@ def run_server(viewer: TracerViewer, port: int, out: str,
                     print(f"saved ({int(viewer.film.subframe)} spp)")
                 else:
                     viewer.key(k)
+            for kind, dx, dy in server.pending_mouse():
+                viewer.mouse(kind, dx, dy)
             img = viewer.step()
             server.publish(
                 img, f"{int(viewer.film.subframe)} spp | spf {viewer.spf} "

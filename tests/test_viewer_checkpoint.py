@@ -275,6 +275,101 @@ class TestViewerMatplotlib:
         plt.close("all")
 
 
+class TestViewerMouse:
+    """Mouse routes (the reference Trackball's mouse bindings,
+    `Trackball.h:54-66`): left-drag orbit, right-drag pan, wheel zoom —
+    on the TracerViewer route, through synthetic matplotlib MouseEvents,
+    and over the HTTP /mouse endpoint."""
+
+    def _viewer(self, w=16, h=16):
+        from optix_raytracer_tpu.apps.viewer import TracerViewer
+        from optix_raytracer_tpu.scene.builtins import (cornell_box,
+                                                        cornell_camera)
+        return TracerViewer(cornell_box(), cornell_camera(w, h), w, h,
+                            spf_log2=0, max_depth=2)
+
+    def test_mouse_routes(self):
+        v = self._viewer()
+        eye0 = np.asarray(v.camera.eye)
+        look0 = np.asarray(v.camera.lookat)
+        v.mouse("drag_left", 40, 10)          # orbit: eye moves, lookat not
+        assert v.dirty
+        assert not np.allclose(np.asarray(v.camera.eye), eye0)
+        np.testing.assert_allclose(np.asarray(v.camera.lookat), look0)
+        # orbit preserves the eye-lookat radius
+        r0 = np.linalg.norm(eye0 - look0)
+        r1 = np.linalg.norm(np.asarray(v.camera.eye) - look0)
+        np.testing.assert_allclose(r1, r0, rtol=1e-6)
+        v.mouse("scroll", dy=1.0)             # zoom in: radius shrinks
+        r2 = np.linalg.norm(np.asarray(v.camera.eye)
+                            - np.asarray(v.camera.lookat))
+        assert r2 < r1
+        look1 = np.asarray(v.camera.lookat)
+        v.mouse("drag_right", 30, 0)          # pan moves eye AND lookat
+        assert not np.allclose(np.asarray(v.camera.lookat), look1)
+
+    def test_matplotlib_mouse_events(self):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        from matplotlib.backend_bases import MouseEvent
+        from optix_raytracer_tpu.apps.viewer import interactive_on_mouse
+        v = self._viewer()
+        fig, ax = plt.subplots()
+        ax.imshow(v.step())
+        try:
+            on_press, on_move, on_scroll = interactive_on_mouse(v)
+            fig.canvas.mpl_connect("button_press_event", on_press)
+            fig.canvas.mpl_connect("motion_notify_event", on_move)
+            fig.canvas.mpl_connect("scroll_event", on_scroll)
+            eye0 = np.asarray(v.camera.eye)
+            MouseEvent("button_press_event", fig.canvas, 10, 10,
+                       button=1)._process()
+            MouseEvent("motion_notify_event", fig.canvas, 50, 30,
+                       button=1)._process()
+            assert v.dirty
+            assert not np.allclose(np.asarray(v.camera.eye), eye0)
+            r0 = np.linalg.norm(np.asarray(v.camera.eye)
+                                - np.asarray(v.camera.lookat))
+            MouseEvent("scroll_event", fig.canvas, 10, 10,
+                       step=1)._process()
+            r1 = np.linalg.norm(np.asarray(v.camera.eye)
+                                - np.asarray(v.camera.lookat))
+            assert r1 < r0
+        finally:
+            plt.close(fig)
+
+    def test_serve_mouse_post(self):
+        import urllib.request
+        from optix_raytracer_tpu.apps.viewer import ViewerServer
+        v = self._viewer()
+        srv = ViewerServer(v, port=0)
+        try:
+            base = f"http://127.0.0.1:{srv.port}"
+            for q in ("k=drag_left&dx=40&dy=10", "k=scroll&dx=0&dy=1"):
+                req = urllib.request.Request(f"{base}/mouse?{q}",
+                                             method="POST")
+                assert urllib.request.urlopen(req).status == 200
+            evs = srv.pending_mouse()
+            assert evs == [("drag_left", 40.0, 10.0), ("scroll", 0.0, 1.0)]
+            eye0 = np.asarray(v.camera.eye)
+            for kind, dx, dy in evs:
+                v.mouse(kind, dx, dy)
+            assert v.dirty
+            assert not np.allclose(np.asarray(v.camera.eye), eye0)
+            # malformed event → 400, not a server error
+            req = urllib.request.Request(base + "/mouse?k=scroll&dy=nan2",
+                                         method="POST")
+            try:
+                urllib.request.urlopen(req)
+                raised = False
+            except urllib.error.HTTPError as e:
+                raised = e.code == 400
+            assert raised
+        finally:
+            srv.close()
+
+
 class TestViewerServer:
     """The HTTP live-view display path (the GLDisplay-blit role on a
     headless host): page serves, frames publish as valid PNG, posted keys
