@@ -189,7 +189,8 @@ def _sort_wavefront(scene: DeviceScene, state):
 
 
 def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
-                chunk_size: Optional[int] = 65536, pixel_spread=0.0):
+                chunk_size: Optional[int] = 65536, pixel_spread=0.0,
+                sample_major: bool = False, active0=None):
     """Integrate radiance along a wavefront of camera rays → [N, 3].
 
     The per-pixel bounce loop of `optixPathTracer.cu:281-304`, restructured as
@@ -198,6 +199,13 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
     (fresnel-weighted reflect/refract), PHONG/CHECKER (treated as diffuse with
     their diffuse color) — branchless selects, since a wavefront carries few
     distinct kinds.
+
+    sample_major=True marks a wavefront whose consecutive lanes are the
+    spl samples of ONE pixel (see render_sample_group): the cluster path
+    then skips the per-bounce coherence sort entirely — each 32-row walk
+    group already shares one bounce origin (and one light direction for
+    NEE shadows), which is exactly the locality the exact cull's
+    group-gating bits exploit.
     """
     n_rays = rays.tmin.shape[0]
     if scene.has_motion:
@@ -206,13 +214,20 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         path_time, _, rng = _rng.uniform2(rng)
     else:
         path_time = jnp.zeros((n_rays,), jnp.float32)
+    if active0 is None:
+        active0 = jnp.ones((n_rays,), bool)
+    else:
+        # Lanes dead on arrival (e.g. strip-padding rows past the frame,
+        # render_sample_group): empty ray window so the traversal's block
+        # cull drops them, excluded from radiance and ray accounting.
+        rays = rays.replace(tmax=jnp.where(active0, rays.tmax, 0.0))
     state = dict(
         rays=rays,
         time=path_time,
         throughput=jnp.ones((n_rays, 3), jnp.float32),
         radiance=jnp.zeros((n_rays, 3), jnp.float32),
         rng=rng,
-        active=jnp.ones((n_rays,), bool),
+        active=active0,
         prev_specular=jnp.ones((n_rays,), bool),  # depth-0 emission counts
         # Accumulated path length: with pixel_spread it gives the ray-cone
         # width for mip selection (cone = spread * distance).
@@ -554,7 +569,16 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
             out["pix"] = state["pix"]
         return out
 
-    if scene.has_clusters:
+    if scene.has_clusters and sample_major:
+        # Sample-major wavefronts are pixel-grouped by construction at
+        # EVERY depth (lanes never move), so no sort and no unsort; all
+        # bounces past the peel run the exact per-ray cull whose 8-bit
+        # group masks gate the walk to each pixel-group's own crossings.
+        state = bounce(0, state, coherent=True)
+        state = jax.lax.fori_loop(
+            1, max_depth,
+            lambda d, s: bounce(d, s, coherent=True, exact=True), state)
+    elif scene.has_clusters:
         # Peel the first bounce: camera rays arrive tile-coherent (no sort
         # needed; shadow rays inherit that coherence). Every later bounce
         # first coherence-sorts the WHOLE path state (one variadic
@@ -624,12 +648,77 @@ def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
     return radiance.reshape(height, width, 3), rays_traced
 
 
+def render_sample_group(scene: DeviceScene, cam_params, width: int,
+                        height: int, subframe, spl: int, max_depth: int = 4,
+                        chunk_size: Optional[int] = 65536,
+                        y0=0, full_width=None, full_height=None):
+    """`spl` progressive samples for a [height, width] tile traced as ONE
+    sample-major wavefront → (radiance SUM [h, w, 3], rays_traced).
+
+    Lane layout is pixel-major x sample-minor: ray p*spl + s is sample s
+    of pixel p, seeded `seed(pixel_idx, subframe + s)` — the exact RNG
+    streams the sequential `render_sample` loop consumes, so the summed
+    radiance matches it (same estimator, optixPathTracer.cu:306-319).
+    The payoff is traversal locality WITHOUT any sorting: the spl samples
+    of a pixel share their bounce-1 origin and their NEE light direction,
+    so each 32-row walk group's cluster-crossing union stays near the
+    per-ray floor at every depth (measured ~2x under the coherence-sorted
+    stranger grouping on the 25k-knot bounce wavefront — the
+    "amortize across samples" lever of the round-3 work model). Best when
+    spl is a power of two (pixel boundaries align with walk groups).
+    """
+    n = width * height
+    full_w = width if full_width is None else full_width
+    gy = jnp.arange(height, dtype=jnp.uint32)[:, None] + jnp.uint32(y0)
+    gx = jnp.arange(width, dtype=jnp.uint32)[None, :]
+    pixel_idx = gy * jnp.uint32(full_w) + gx                      # [h, w]
+    sub = (jnp.asarray(subframe, jnp.uint32)
+           + jnp.arange(spl, dtype=jnp.uint32)[:, None, None])    # [spl,1,1]
+    rng = _rng.seed(pixel_idx[None], sub)                         # [spl,h,w]
+    rays, rng = generate_rays(cam_params, width, height, rng_state=rng,
+                              y0=y0, full_width=full_width,
+                              full_height=full_height)
+
+    def to_flat(a):
+        return jnp.moveaxis(a, 0, 2).reshape((n * spl,) + a.shape[3:])
+
+    rays = jax.tree.map(to_flat, rays)
+    full_h = height if full_height is None else full_height
+    pixel_spread = (2.0 * jnp.linalg.norm(cam_params["V"])
+                    / (full_h * jnp.maximum(
+                        jnp.linalg.norm(cam_params["W"]), 1e-8)))
+    # Strip-padding rows past the frame bottom are dead on arrival: they
+    # must not trace (nor count as traced rays).
+    in_frame = to_flat(jnp.broadcast_to((gy < jnp.uint32(full_h))[None, :, :],
+                                        (spl, height, width)))
+    radiance, _, rays_traced = trace_paths(
+        scene, rays, to_flat(rng), max_depth=max_depth,
+        chunk_size=chunk_size, pixel_spread=pixel_spread,
+        sample_major=True, active0=in_frame)
+    return radiance.reshape(height, width, spl, 3).sum(axis=2), rays_traced
+
+
+# Rays per sample-major strip launch: bounds live wavefront state to the
+# ~2M-ray size the cluster kernels were tuned at (a full 1080p frame x 16
+# samples would otherwise be a 33M-ray state, ~4 GB of HBM per column set).
+_SPL_TILE_RAYS = 4 * 1024 * 1024
+
+
+def _spl_major_default() -> bool:
+    """Sample-major wavefront default for cluster scenes: opt-out
+    (ORT_SPL_MAJOR=0 reverts to the per-sample sequential loop with
+    coherence-sorted bounces). Estimator-exact either way — the switch
+    is purely a traversal-work tradeoff (see render_sample_group)."""
+    import os
+    return os.environ.get("ORT_SPL_MAJOR", "1") == "1"
+
+
 def _use_fused(scene: DeviceScene, impl: str) -> bool:
     from ..accel import bruteforce as bf
     from ..accel.pallas_bf import MAX_SMEM_TRIS
     from .pallas_pt import (FUSED_PRIM_KINDS, MAX_FUSED_INST,
                             MAX_FUSED_PRIMS, fused_inst_ranges)
-    if impl == "xla":
+    if impl in ("xla", "spl"):
         return False
     if impl in ("fused", "fused_interpret"):
         return True
@@ -722,6 +811,39 @@ def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
             y0=y0, full_width=full_width, full_height=full_height,
             interpret=(impl == "fused_interpret"))
         return _merge_launch(film, rad_sum, samples_per_launch), rays
+
+    use_spl = (impl == "spl"
+               or (impl == "auto" and scene.has_clusters
+                   and samples_per_launch >= 8 and _spl_major_default()))
+    if use_spl:
+        # Sample-major launches: trace all spl samples of a row-strip as
+        # one pixel-grouped wavefront (render_sample_group), strip by
+        # strip so the live wavefront stays ~_SPL_TILE_RAYS. Replaces the
+        # per-sample sequential loop below for cluster scenes — same RNG
+        # streams, same estimator, ~2x less traversal work per ray.
+        rows = min(height, max(1, _SPL_TILE_RAYS
+                               // max(width * samples_per_launch, 1)))
+        n_strips = -(-height // rows)
+        h_pad = n_strips * rows
+
+        def strip(i, carry):
+            rad, cnt = carry
+            r, c = render_sample_group(
+                scene, cam_params, width, rows, film.subframe,
+                samples_per_launch, max_depth=max_depth,
+                chunk_size=chunk_size, y0=y0 + i * rows,
+                full_width=full_width if full_width is not None else width,
+                full_height=(full_height if full_height is not None
+                             else height))
+            return (jax.lax.dynamic_update_slice(rad, r, (i * rows, 0, 0)),
+                    cnt + c)
+
+        rad_sum, count = jax.lax.fori_loop(
+            0, n_strips, strip,
+            (jnp.zeros((h_pad, width, 3), jnp.float32),
+             jnp.zeros((), jnp.float32)))
+        return (_merge_launch(film, rad_sum[:height], samples_per_launch),
+                count)
 
     def body(i, carry):
         rad_sum, count = carry

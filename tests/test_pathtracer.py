@@ -1,6 +1,7 @@
 """Acceptance tests for the Cornell path tracer: statistical agreement with an
 independent numpy oracle integrator (the RMSE gate of SURVEY.md §4), plus
 determinism / physical sanity checks."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -135,6 +136,86 @@ class TestWavefrontSort:
         assert a.max() > 0.0  # the light actually contributes
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
         assert float(r1) == float(r2)
+
+
+class TestSampleMajor:
+    """Sample-major wavefronts (render_sample_group / impl='spl') must be
+    a pure re-bucketing of the sequential per-sample loop: identical RNG
+    streams seed(pixel, subframe+s), identical estimator, so the summed
+    film matches to float-summation order. Exercises the strip tiling
+    (h doesn't divide the strip rows) and the no-sort bounce loop."""
+
+    def _scene(self):
+        from optix_raytracer_tpu.scene.builtins import trefoil_mesh
+        from optix_raytracer_tpu.scene.device_scene import make_device_scene
+        from optix_raytracer_tpu.shade.lights import ParallelogramLight
+
+        verts, idx, normals = trefoil_mesh(40, 12)
+        light = ParallelogramLight.make((-2.0, 6.0, -2.0), (4.0, 0, 0),
+                                        (0, 0, 4.0), (12.0, 11.0, 10.0))
+        return make_device_scene(
+            verts, idx, np.zeros(len(idx), np.int32),
+            [{"kind": 0, "base_color": (0.7, 0.6, 0.5)}],
+            normals=normals, area_light=light)
+
+    def test_spl_major_matches_sequential(self, monkeypatch):
+        from optix_raytracer_tpu.scene.builtins import knot_camera
+        from optix_raytracer_tpu.wavefront import engine
+
+        scene = self._scene()
+        assert scene.has_clusters
+        w, h = 32, 21            # 21 rows: strips of 8 -> 3 strips, 3 pad rows
+        monkeypatch.setattr(engine, "_SPL_TILE_RAYS", 32 * 8 * 8)
+        cam = knot_camera(w, h).params()
+        film = film_mod.Film.create(h, w)
+        f_seq, r_seq = render_accumulate(scene, cam, film, w, h,
+                                         samples_per_launch=8, max_depth=3,
+                                         chunk_size=None, impl="xla")
+        f_spl, r_spl = render_accumulate(scene, cam, film, w, h,
+                                         samples_per_launch=8, max_depth=3,
+                                         chunk_size=None, impl="spl")
+        a, b = np.asarray(f_seq.accum), np.asarray(f_spl.accum)
+        assert a.max() > 0.0
+        # identical RNG streams + estimator; float-summation order over
+        # the spl axis differs (jnp.sum tree-reduce vs sequential adds)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+        assert float(r_seq) == float(r_spl)
+        assert int(f_seq.subframe) == int(f_spl.subframe)
+
+    def test_auto_dispatch_uses_spl_major(self, monkeypatch):
+        """impl='auto' + spl>=8 on a cluster scene takes the sample-major
+        path (and ORT_SPL_MAJOR=0 reverts to the sequential loop)."""
+        from optix_raytracer_tpu.wavefront import engine
+
+        monkeypatch.setenv("ORT_SPL_MAJOR", "1")
+        assert engine._spl_major_default()
+        monkeypatch.setenv("ORT_SPL_MAJOR", "0")
+        assert not engine._spl_major_default()
+        monkeypatch.delenv("ORT_SPL_MAJOR", raising=False)
+        assert engine._spl_major_default()  # opt-out default
+
+    def test_render_sample_group_sums_samples(self):
+        """render_sample_group's radiance SUM equals the sum of the
+        per-sample render_sample calls it batches."""
+        from optix_raytracer_tpu.scene.builtins import knot_camera
+        from optix_raytracer_tpu.wavefront.engine import render_sample_group
+
+        scene = self._scene()
+        w, h, spl = 24, 16, 8
+        cam = knot_camera(w, h).params()
+        rad_g, rays_g = jax.jit(
+            render_sample_group, static_argnums=(2, 3, 5, 6, 7))(
+                scene, cam, w, h, 3, spl, 3, None)
+        rad_s = 0.0
+        rays_s = 0.0
+        for s in range(spl):
+            r, c = render_sample(scene, cam, w, h, 3 + s, max_depth=3,
+                                 chunk_size=None)
+            rad_s = rad_s + r
+            rays_s = rays_s + c
+        np.testing.assert_allclose(np.asarray(rad_g), np.asarray(rad_s),
+                                   rtol=2e-4, atol=2e-5)
+        assert float(rays_g) == float(rays_s)
 
 
 class TestMeshAgainstOracle:
