@@ -274,7 +274,13 @@ def bench_knot_pathtrace():
     round-3 lock-step-waste lever, measured 0.44x pair-test work on the
     bounce wavefront) and reports the best; a gated-path failure (e.g. a
     Mosaic rejection on a new toolchain) falls back to the ungated
-    number instead of zeroing the metric."""
+    number instead of zeroing the metric.
+
+    Also times the sample-major launch (spl=16 traced as pixel-grouped
+    wavefronts, render_sample_group) — the round-3 work model's
+    "amortize across samples" lever; same estimator, same per-pixel RNG
+    streams, so it is an equally honest way to render the frame. The
+    headline knot25k_pathtrace_mrays is the best of the three."""
     import os
     import numpy as np
     import jax.numpy as jnp
@@ -290,7 +296,7 @@ def bench_knot_pathtrace():
                               normals=normals)
     cam = knot_camera(w, h).params()
 
-    def run(gated):
+    def run(gated, spl=1, impl="auto"):
         # The gate is read at trace time inside the cluster kernels; a
         # fresh env value + cleared caches retraces the engine.
         os.environ["ORT_GROUP_WALK"] = "1" if gated else "0"
@@ -298,16 +304,18 @@ def bench_knot_pathtrace():
         jax.clear_caches()
         film = film_mod.Film.create(h, w)
         film, rays = render_accumulate(scene, cam, film, w, h,
-                                       samples_per_launch=1, max_depth=3,
-                                       chunk_size=None)
+                                       samples_per_launch=spl, max_depth=3,
+                                       chunk_size=None, impl=impl)
         float(jnp.sum(film.accum))
         t0 = time.time()
-        for _ in range(2):
+        n = 2 if spl == 1 else 1
+        for _ in range(n):
             film, rays = render_accumulate(scene, cam, film, w, h,
-                                           samples_per_launch=1, max_depth=3,
-                                           chunk_size=None)
+                                           samples_per_launch=spl,
+                                           max_depth=3,
+                                           chunk_size=None, impl=impl)
         float(jnp.sum(film.accum))
-        return round(2 * float(rays) / (time.time() - t0) / 1e6, 1)
+        return round(n * float(rays) / (time.time() - t0) / 1e6, 1)
 
     prev = os.environ.get("ORT_GROUP_WALK")
     try:
@@ -318,14 +326,20 @@ def bench_knot_pathtrace():
             print(f"# gated knot walk FAILED ({e!r}); ungated only",
                   flush=True)
             gated = -1.0
+        try:
+            spl16 = run(True, spl=16, impl="spl")
+        except Exception as e:
+            print(f"# sample-major knot trace FAILED ({e!r})", flush=True)
+            spl16 = -1.0
     finally:
         if prev is None:
             os.environ.pop("ORT_GROUP_WALK", None)
         else:
             os.environ["ORT_GROUP_WALK"] = prev
-    return {"knot25k_pathtrace_mrays": max(ungated, gated),
+    return {"knot25k_pathtrace_mrays": max(ungated, gated, spl16),
             "knot25k_pathtrace_ungated_mrays": ungated,
-            "knot25k_pathtrace_gated_mrays": gated}
+            "knot25k_pathtrace_gated_mrays": gated,
+            "knot25k_pathtrace_spl16_mrays": spl16}
 
 
 def bench_mega_mesh():

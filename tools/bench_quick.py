@@ -7,8 +7,15 @@ when iterating on a single kernel.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+# Self-locating: runnable from any cwd (sys.path[0] is tools/, not the
+# repo root, so the package import needs the root added explicitly).
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def _sync(x):
@@ -47,7 +54,7 @@ def probe_regen():
 
 
 def probe_textured():
-    sys.path.insert(0, ".")
+    sys.path.insert(0, _ROOT)
     import bench
     t0 = time.time()
     v = bench.bench_textured()
@@ -55,7 +62,7 @@ def probe_textured():
 
 
 def probe_knot():
-    sys.path.insert(0, ".")
+    sys.path.insert(0, _ROOT)
     import bench
     t0 = time.time()
     v = bench.bench_knot_pathtrace()
@@ -63,7 +70,7 @@ def probe_knot():
 
 
 def probe_anyhit():
-    sys.path.insert(0, ".")
+    sys.path.insert(0, _ROOT)
     import bench
     t0 = time.time()
     v = bench.bench_large_mesh()
@@ -110,9 +117,50 @@ def probe_groupwalk():
               f"{n / dt / 1e6:.1f} Mrays/s ({dt * 1e3:.0f} ms)")
 
 
+def probe_splmajor():
+    """Time ONE sample-major spl=16 knot launch (the amortize-across-
+    samples lever) vs the sequential spl=1 baseline x16 — both through
+    render_accumulate, same estimator."""
+    import os
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.core import film as film_mod
+    from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
+    from optix_raytracer_tpu.scene.device_scene import make_device_scene
+    from optix_raytracer_tpu.wavefront.engine import render_accumulate
+
+    w, h = 1920, 1088
+    verts, idx, normals = trefoil_mesh(200, 63)
+    scene = make_device_scene(verts, idx, np.zeros(len(idx), np.int32),
+                              [{"kind": 0, "base_color": (0.7, 0.6, 0.5)}],
+                              normals=normals)
+    cam = knot_camera(w, h).params()
+    for gw in ("0", "1"):
+        os.environ["ORT_GROUP_WALK"] = gw
+        jax.clear_caches()
+        film = film_mod.Film.create(h, w)
+        t0 = time.time()
+        film, rays = render_accumulate(scene, cam, film, w, h,
+                                       samples_per_launch=16, max_depth=3,
+                                       chunk_size=None, impl="spl")
+        _sync(film.accum)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        film, rays = render_accumulate(scene, cam, film, w, h,
+                                       samples_per_launch=16, max_depth=3,
+                                       chunk_size=None, impl="spl")
+        _sync(film.accum)
+        dt = time.time() - t0
+        print(f"splmajor gw={gw}: {float(rays) / dt / 1e6:.1f} Mrays/s "
+              f"(compile {compile_s:.0f}s, run {dt:.2f}s, "
+              f"{float(rays)/1e6:.1f} Mrays/launch)")
+
+
 PROBES = {"cornell": probe_cornell, "regen": probe_regen,
           "textured": probe_textured, "knot": probe_knot,
-          "anyhit": probe_anyhit, "groupwalk": probe_groupwalk}
+          "anyhit": probe_anyhit, "groupwalk": probe_groupwalk,
+          "splmajor": probe_splmajor}
 
 
 def main():
