@@ -32,12 +32,8 @@ _BASIS = {
     BEZIER: np.array([[1, 0, 0, 0],
                       [-3, 3, 0, 0],
                       [3, -6, 3, 0],
-                      [1, 3, -3, 1]], np.float32),
+                      [-1, 3, -3, 1]], np.float32),
 }
-_BASIS[BEZIER] = np.array([[1, 0, 0, 0],
-                           [-3, 3, 0, 0],
-                           [3, -6, 3, 0],
-                           [-1, 3, -3, 1]], np.float32)
 
 _QUAD_BSPLINE = np.array([[1, 1, 0],
                           [-2, 2, 0],

@@ -58,6 +58,12 @@ class TriangleGeometry:
     def num_triangles(self) -> int:
         return self.indices.shape[0]
 
+    @classmethod
+    def empty(cls) -> "TriangleGeometry":
+        import numpy as np
+        return build_triangle_geometry(np.zeros((1, 3), np.float32),
+                                       np.zeros((0, 3), np.int32))
+
 
 def build_triangle_geometry(vertices, indices, normals=None,
                             uvs=None) -> TriangleGeometry:

@@ -26,47 +26,100 @@ UNKNOWN_TRANSPARENT = 2
 UNKNOWN_OPAQUE = 3
 
 
-def _barycentric_grid(level: int):
-    """Micro-triangle centroid barycentrics at subdivision `level`
-    (4^level micro-triangles)."""
+def _micro_corners(level: int):
+    """Micro-triangle corner barycentrics at subdivision `level`:
+    [T, 3, 2] (u, v) per corner, T = 4^level micro-triangles, enumerated
+    row-major with upright-then-inverted per column — the same order
+    `micro_index` reproduces from a hit barycentric."""
     n = 1 << level
-    cents = []
+    tris = []
     for row in range(n):
         for col in range(n - row):
+            u0, v0 = col / n, row / n
+            s = 1.0 / n
             # upright micro-tri
-            u = (col + 1.0 / 3.0) / n
-            v = (row + 1.0 / 3.0) / n
-            cents.append((u, v))
+            tris.append(((u0, v0), (u0 + s, v0), (u0, v0 + s)))
             # inverted micro-tri
             if col < n - row - 1:
-                cents.append(((col + 2.0 / 3.0) / n, (row + 2.0 / 3.0) / n))
-    return np.asarray(cents, np.float32)
+                tris.append(((u0 + s, v0), (u0 + s, v0 + s), (u0, v0 + s)))
+    return np.asarray(tris, np.float32)
 
 
-def build_opacity_micromap(corner_uv, mask_fn, level: int = 3):
+def _sample_points(sub: int = 3):
+    """Barycentric sample lattice inside one micro-triangle (interior
+    points of a sub x sub grid — strictly inside, so a sample never lands
+    exactly on a mask edge shared with the neighbor)."""
+    pts = []
+    for i in range(sub):
+        for j in range(sub - i):
+            a = (i + 1.0 / 3.0) / sub
+            b = (j + 1.0 / 3.0) / sub
+            pts.append((1.0 - a - b, a, b))
+    return np.asarray(pts, np.float32)                       # [K, 3]
+
+
+def build_opacity_micromap(corner_uv, mask_fn, level: int = 3,
+                           samples: int = 3):
     """Classify each triangle's micro-triangles against a cutout mask.
 
     corner_uv: [M, 3, 2] per-corner texture coords; mask_fn(uv [K, 2]) →
-    bool [K] (True = hole/transparent). Returns (micro_states [M, T] uint8,
-    tri_summary [M] uint8) with summary OPAQUE / TRANSPARENT only when every
-    micro-triangle agrees, else UNKNOWN_OPAQUE.
+    bool [K] (True = hole/transparent). Classification is CONSERVATIVE:
+    each micro-triangle is sampled at `samples*(samples+1)/2` interior
+    points and labeled OPAQUE / TRANSPARENT only when every sample agrees,
+    else UNKNOWN_OPAQUE (the 4-state mode of `optix_types.h`
+    OptixOpacityMicromapFormat: traversal may then skip the anyhit program
+    for the two certain states and must invoke it for UNKNOWN —
+    `optixOpacityMicromap.cpp:29-30`).
+
+    Returns (micro_states [M, T] uint8, tri_summary [M] uint8) with
+    summary OPAQUE / TRANSPARENT only when every micro-triangle is certain
+    and agrees, else UNKNOWN_OPAQUE.
     """
     corner_uv = np.asarray(corner_uv, np.float32)
-    cents = _barycentric_grid(level)                         # [T, 2]
-    u = cents[:, 0]
-    v = cents[:, 1]
+    micro = _micro_corners(level)                            # [T, 3, 2]
+    w_pts = _sample_points(samples)                          # [K, 3]
+    # sample barycentrics (u, v) inside each micro-tri: [T, K, 2]
+    suv = np.einsum("kc,tcx->tkx", w_pts, micro)
+    u = suv[..., 0]                                          # [T, K]
+    v = suv[..., 1]
     w = 1.0 - u - v
-    # uv at each micro-centroid: [M, T, 2]
-    uv = (w[None, :, None] * corner_uv[:, None, 0]
-          + u[None, :, None] * corner_uv[:, None, 1]
-          + v[None, :, None] * corner_uv[:, None, 2])
-    m, t = uv.shape[:2]
-    holes = np.asarray(mask_fn(uv.reshape(-1, 2))).reshape(m, t)
-    states = np.where(holes, TRANSPARENT, OPAQUE).astype(np.uint8)
+    # uv at each sample of each micro-tri of each base tri: [M, T, K, 2]
+    uv = (w[None, ..., None] * corner_uv[:, None, None, 0]
+          + u[None, ..., None] * corner_uv[:, None, None, 1]
+          + v[None, ..., None] * corner_uv[:, None, None, 2])
+    m, t, k = uv.shape[:3]
+    holes = np.asarray(mask_fn(uv.reshape(-1, 2))).reshape(m, t, k)
+    all_hole = holes.all(axis=2)
+    any_hole = holes.any(axis=2)
+    states = np.full((m, t), UNKNOWN_OPAQUE, np.uint8)
+    states[all_hole] = TRANSPARENT
+    states[~any_hole] = OPAQUE
     summary = np.full(m, UNKNOWN_OPAQUE, np.uint8)
-    summary[holes.all(axis=1)] = TRANSPARENT
-    summary[~holes.any(axis=1)] = OPAQUE
+    summary[(states == TRANSPARENT).all(axis=1)] = TRANSPARENT
+    summary[(states == OPAQUE).all(axis=1)] = OPAQUE
     return states, summary
+
+
+def micro_index(u, v, level: int):
+    """Micro-triangle index for a hit barycentric (u, v) — jnp-traceable.
+
+    Inverts `_micro_corners`'s enumeration: row-major over the v rows,
+    2 entries per interior column (upright at 2*col, inverted at
+    2*col + 1), row r holding 2*(n-r) - 1 entries so base(row) =
+    row * (2n - row)."""
+    import jax.numpy as jnp
+    n = 1 << level
+    fu = jnp.clip(u, 0.0, 1.0 - 1e-7) * n
+    fv = jnp.clip(v, 0.0, 1.0 - 1e-7) * n
+    col = jnp.floor(fu).astype(jnp.int32)
+    row = jnp.floor(fv).astype(jnp.int32)
+    # clamp to the triangular domain (u + v <= 1 up to float error)
+    row = jnp.minimum(row, n - 1)
+    col = jnp.minimum(col, n - 1 - row)
+    inverted = ((fu - col) + (fv - row)) > 1.0
+    # the last column of a row has no inverted twin
+    inverted = inverted & (col < n - 1 - row)
+    return row * (2 * n - row) + 2 * col + inverted.astype(jnp.int32)
 
 
 def checker_mask(scale: float):

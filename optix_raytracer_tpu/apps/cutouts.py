@@ -37,10 +37,16 @@ def cutout_cornell():
     tri_mat = np.asarray(tri_mat)
     tri_mat[20:30] = 4   # tall block: checker cutout
     tri_mat[10:20] = 5   # short block: circle cutout
+    # Per-face unit texcoords (the reference assigns texcoords to the cut
+    # objects so the masks vary across each face, `optixCutouts.cu` g_uvs):
+    # every quad's corners get (0,0)(1,0)(1,1)(0,1); checker_scale then
+    # makes an s x s pattern per face.
+    uvs = np.tile(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+                  (len(verts) // 4, 1))
     light = ParallelogramLight.make(
         builtins.CORNELL_LIGHT_CORNER, builtins.CORNELL_LIGHT_V1,
         builtins.CORNELL_LIGHT_V2, builtins.CORNELL_LIGHT_EMISSION)
-    return make_device_scene(verts, idx, tri_mat, materials,
+    return make_device_scene(verts, idx, tri_mat, materials, uvs=uvs,
                              area_light=light)
 
 

@@ -81,6 +81,29 @@ class DeviceScene:
         default_factory=lambda: jnp.zeros((0, 128), jnp.float32))
     bundle_quad_base: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((0, 1), jnp.int32))
+    # --- Opacity micromaps (`optixOpacityMicromapArrayBuild`,
+    # `optix_host.h:731`; consumed by the occlusion path the way the
+    # driver's traversal skips anyhit programs for certain micro-tris,
+    # `optixOpacityMicromap.cpp:29-30`) ---
+    # Per-micro-triangle 4-state classification [M, 4^level] and the
+    # per-triangle summary [M] (accel/micromap.py); empty when the scene
+    # has no cutout materials or micromaps were disabled.
+    omm_micro: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0, 1), jnp.uint8))
+    omm_summary: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.uint8))
+    # Occlusion-ray geometry split derived from the summaries: triangles
+    # certain to occlude (summary OPAQUE + every non-cutout triangle) get
+    # a first-hit-exit any-hit query; only summary-UNKNOWN triangles walk
+    # the anyhit re-entry loop; summary-TRANSPARENT ones appear in
+    # neither (they never block light).
+    omm_solid_geom: "TriangleGeometry" = struct.field(
+        default_factory=TriangleGeometry.empty)
+    omm_unknown_geom: "TriangleGeometry" = struct.field(
+        default_factory=TriangleGeometry.empty)
+    omm_unknown_ids: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.int32))
+    omm_level: int = struct.field(pytree_node=False, default=0)
     # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
     # pass-through in the integrators. Determined at scene-build time.
     features: tuple = struct.field(pytree_node=False, default=())
@@ -106,6 +129,10 @@ class DeviceScene:
     @property
     def has_cutouts(self):
         return "cutouts" in self.features
+
+    @property
+    def has_omm(self):
+        return self.omm_summary.shape[0] > 0
 
     @property
     def has_pbr(self):
@@ -369,6 +396,68 @@ def pack_bundles(images, materials):
             jnp.asarray(quads), jnp.asarray(quad_base), meta)
 
 
+def _build_scene_omm(materials, tri_mat, corner_uv, textures, level):
+    """Opacity-micromap classification for every cutout-material triangle.
+
+    Role of `optixOpacityMicromapArrayBuild` + the per-triangle usage
+    counts of the build input (`optix_host.h:731`): each triangle whose
+    material carries an alpha mask gets 4^level micro-triangle states
+    sampled from that material's mask function (checker / circle /
+    base-texture alpha, `optixCutouts.cu:295,337`), conservatively —
+    OPAQUE/TRANSPARENT only when certain. Non-cutout triangles are
+    summary-OPAQUE (they always occlude).
+
+    Returns (micro_states [M, 4^level] uint8, summary [M] uint8).
+    """
+    import numpy as np
+    from ..accel import micromap as mm
+    from ..shade.materials import (ALPHA_MASK, CUT_CHECKER, CUT_CIRCLE,
+                                   CUT_TEXTURE)
+
+    m_tris = int(tri_mat.shape[0])
+    states = np.full((m_tris, 4 ** level), mm.OPAQUE, np.uint8)
+    summary = np.full((m_tris,), mm.OPAQUE, np.uint8)
+
+    def tex_alpha_mask(tex_id, cutoff):
+        img = np.asarray(textures[tex_id])
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        alpha = (img[..., 3] if img.ndim == 3 and img.shape[-1] == 4
+                 else np.ones(img.shape[:2], np.float32))
+
+        def fn(uv):
+            h, w = alpha.shape
+            x = np.floor((uv[:, 0] % 1.0) * w).astype(np.int64) % w
+            y = np.floor((uv[:, 1] % 1.0) * h).astype(np.int64) % h
+            return alpha[y, x] < cutoff
+        return fn
+
+    for k, mdef in enumerate(materials):
+        if not isinstance(mdef, dict):
+            continue
+        if mdef.get("alpha_mode", 0) != ALPHA_MASK:
+            continue
+        kind = mdef.get("cutout", 0)
+        scale = float(mdef.get("checker_scale", 1.0))
+        if kind == CUT_CHECKER:
+            fn = mm.checker_mask(scale)
+        elif kind == CUT_CIRCLE:
+            fn = mm.circle_mask(scale)
+        elif (kind == CUT_TEXTURE and len(textures)
+                and int(mdef.get("base_tex", -1)) >= 0):
+            fn = tex_alpha_mask(int(mdef["base_tex"]),
+                                float(mdef.get("alpha_cutoff", 0.5)))
+        else:
+            continue        # alpha-masked but no mask function: solid
+        sel = np.nonzero(tri_mat == k)[0]
+        if not len(sel):
+            continue
+        st, su = mm.build_opacity_micromap(corner_uv[sel], fn, level=level)
+        states[sel] = st
+        summary[sel] = su
+    return states, summary
+
+
 def make_device_scene(vertices, indices, tri_mat, materials,
                       area_light: Optional[ParallelogramLight] = None,
                       lights=(), prims: Optional[CustomPrims] = None,
@@ -377,7 +466,8 @@ def make_device_scene(vertices, indices, tri_mat, materials,
                       instances: Optional[InstanceTable] = None,
                       volume: Optional[DensityGrid] = None,
                       volume_sigma: float = 8.0, volume_albedo: float = 0.9,
-                      motion=None) -> DeviceScene:
+                      motion=None, opacity_micromaps: bool = True,
+                      omm_level: int = 3) -> DeviceScene:
     """motion: optional dict(verts0, verts1, indices, tri_mat=0) — 2-key
     moving triangles traced with per-path times through the main engine."""
     if area_light is None:
@@ -472,6 +562,30 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         features += ["glass", "mirror", "pbr"]
     if volume is not None:
         features.append("volume")
+    # --- opacity micromaps for cutout scenes (occlusion fast path) ---
+    omm = {}
+    if (opacity_micromaps and "cutouts" in features
+            and isinstance(materials, (list, tuple))):
+        import numpy as np
+        from ..accel.micromap import OPAQUE, TRANSPARENT
+        tm_np = np.asarray(tri_mat)
+        cu_np = np.asarray(geom.corner_uv)
+        idx_np = np.asarray(indices, np.int32)
+        states, summary = _build_scene_omm(materials, tm_np, cu_np,
+                                           list(textures or ()), omm_level)
+        solid = summary == OPAQUE
+        unknown = (summary != OPAQUE) & (summary != TRANSPARENT)
+        unknown_ids = np.nonzero(unknown)[0].astype(np.int32)
+        omm = dict(
+            omm_micro=jnp.asarray(states),
+            omm_summary=jnp.asarray(summary),
+            omm_level=omm_level,
+            omm_solid_geom=build_triangle_geometry(
+                vertices, idx_np[solid], normals=normals, uvs=uvs),
+            omm_unknown_geom=build_triangle_geometry(
+                vertices, idx_np[unknown], normals=normals, uvs=uvs),
+            omm_unknown_ids=jnp.asarray(unknown_ids),
+        )
     mgeom = MotionTriangles.empty()
     mmat = jnp.zeros((0,), jnp.int32)
     if motion is not None:
@@ -508,4 +622,5 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         bundle_quad_base=bundle_quad_base,
         bundle_meta=bundle_meta,
         mat_tex_flags=mat_tex_flags,
+        **omm,
     )

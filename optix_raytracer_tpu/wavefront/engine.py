@@ -191,7 +191,7 @@ def _sort_wavefront(scene: DeviceScene, state):
 
 def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
                 chunk_size: Optional[int] = 65536, pixel_spread=0.0,
-                sample_major: bool = False, active0=None):
+                sample_major: bool = False, active0=None, group_walk=None):
     """Integrate radiance along a wavefront of camera rays → [N, 3].
 
     The per-pixel bounce loop of `optixPathTracer.cu:281-304`, restructured as
@@ -576,15 +576,22 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         # EVERY depth (lanes never move), so no sort and no unsort; all
         # bounces past the peel run the exact per-ray cull whose 8-bit
         # group masks gate the walk to each pixel-group's own crossings.
-        # Group gating is forced ON here regardless of ORT_GROUP_WALK:
-        # every 32-row group shares a pixel (origin + NEE direction), so
-        # the gate bits are tight (measured +6% e2e on the 25k knot,
-        # while a wash on coherence-sorted strangers).
-        state = bounce(0, state, coherent=True, group_walk=True)
+        # Group gating defaults ON here: every 32-row group shares a
+        # pixel (origin + NEE direction), so the gate bits are tight
+        # (measured +6% e2e on the 25k knot, while a wash on
+        # coherence-sorted strangers). Escape hatches: an explicit
+        # group_walk=False from the caller, or ORT_GROUP_WALK=0 (the
+        # kill-switch for a Mosaic rejection of the gated kernel on a
+        # new toolchain) — an unset env means ON on this path.
+        gw = group_walk
+        if gw is None:
+            import os
+            gw = os.environ.get("ORT_GROUP_WALK", "1") != "0"
+        state = bounce(0, state, coherent=True, group_walk=gw)
         state = jax.lax.fori_loop(
             1, max_depth,
             lambda d, s: bounce(d, s, coherent=True, exact=True,
-                                group_walk=True), state)
+                                group_walk=gw), state)
     elif scene.has_clusters:
         # Peel the first bounce: camera rays arrive tile-coherent (no sort
         # needed; shadow rays inherit that coherence). Every later bounce
@@ -598,7 +605,7 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
 
         def sorted_bounce(depth, s):
             return bounce(depth, _sort_wavefront(scene, s),
-                          coherent=True, exact=True)
+                          coherent=True, exact=True, group_walk=group_walk)
 
         state = jax.lax.fori_loop(1, max_depth, sorted_bounce, state)
         rad = state["radiance"]
@@ -619,7 +626,8 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
 def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
                   subframe, max_depth: int = 4,
                   chunk_size: Optional[int] = 65536,
-                  y0=0, full_width=None, full_height=None, y_stride=1):
+                  y0=0, full_width=None, full_height=None, y_stride=1,
+                  group_walk=None):
     """One progressive sample for a [height, width] pixel tile → radiance.
 
     The `launchSubframe` body (`optixPathTracer.cpp:488-511`): seed per-pixel
@@ -651,14 +659,16 @@ def render_sample(scene: DeviceScene, cam_params, width: int, height: int,
     radiance, _, rays_traced = trace_paths(scene, rays, rng2d.reshape(n),
                                            max_depth=max_depth,
                                            chunk_size=chunk_size,
-                                           pixel_spread=pixel_spread)
+                                           pixel_spread=pixel_spread,
+                                           group_walk=group_walk)
     return radiance.reshape(height, width, 3), rays_traced
 
 
 def render_sample_group(scene: DeviceScene, cam_params, width: int,
                         height: int, subframe, spl: int, max_depth: int = 4,
                         chunk_size: Optional[int] = 65536,
-                        y0=0, full_width=None, full_height=None):
+                        y0=0, full_width=None, full_height=None,
+                        group_walk=None):
     """`spl` progressive samples for a [height, width] tile traced as ONE
     sample-major wavefront → (radiance SUM [h, w, 3], rays_traced).
 
@@ -701,7 +711,7 @@ def render_sample_group(scene: DeviceScene, cam_params, width: int,
     radiance, _, rays_traced = trace_paths(
         scene, rays, to_flat(rng), max_depth=max_depth,
         chunk_size=chunk_size, pixel_spread=pixel_spread,
-        sample_major=True, active0=in_frame)
+        sample_major=True, active0=in_frame, group_walk=group_walk)
     return radiance.reshape(height, width, spl, 3).sum(axis=2), rays_traced
 
 
@@ -793,13 +803,13 @@ def _merge_launch(film, rad_sum, samples_per_launch):
 @functools.partial(jax.jit,
                    static_argnames=("width", "height", "samples_per_launch",
                                     "max_depth", "chunk_size", "full_width",
-                                    "full_height", "impl"))
+                                    "full_height", "impl", "group_walk"))
 def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
                       height: int, samples_per_launch: int = 1,
                       max_depth: int = 4,
                       chunk_size: Optional[int] = 65536,
                       y0=0, full_width=None, full_height=None,
-                      impl: str = "auto"):
+                      impl: str = "auto", group_walk=None):
     """Progressive render step: adds `samples_per_launch` samples to the film.
 
     The full launchSubframe + accumulation-lerp pipeline
@@ -841,7 +851,8 @@ def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
                 chunk_size=chunk_size, y0=y0 + i * rows,
                 full_width=full_width if full_width is not None else width,
                 full_height=(full_height if full_height is not None
-                             else height))
+                             else height),
+                group_walk=group_walk)
             return (jax.lax.dynamic_update_slice(rad, r, (i * rows, 0, 0)),
                     cnt + c)
 
@@ -857,7 +868,8 @@ def render_accumulate(scene: DeviceScene, cam_params, film, width: int,
         radiance, rays_traced = render_sample(
             scene, cam_params, width, height, film.subframe + i,
             max_depth=max_depth, chunk_size=chunk_size, y0=y0,
-            full_width=full_width, full_height=full_height)
+            full_width=full_width, full_height=full_height,
+            group_walk=group_walk)
         return rad_sum + radiance, count + rays_traced
 
     rad_sum, count = jax.lax.fori_loop(

@@ -126,6 +126,9 @@ def scene_any(scene: DeviceScene, rays: Rays,
               chunk_size: Optional[int] = None, times=None,
               coherent: bool = True, group_walk=None):
     if scene.has_cutouts:
+        if (scene.has_omm and not scene.prims.num and not scene.has_motion
+                and not scene.has_instances and not scene.has_clusters):
+            return _scene_any_alpha_omm(scene, rays, chunk_size)
         return _scene_any_alpha(scene, rays, chunk_size)
     if scene.has_instances:
         from ..accel import tlas
@@ -171,29 +174,25 @@ def scene_any(scene: DeviceScene, rays: Rays,
     return occ
 
 
-def cutout_hole_mask(scene: DeviceScene, hits: Hits):
-    """True where a hit lands in an alpha-mask hole — the anyhit
-    `optixIgnoreIntersection` decision (`optixCutouts.cu:295,337`)."""
+def _eval_hole(scene: DeviceScene, m, uv, tex_ok=True):
+    """Alpha-mask hole test for gathered material rows `m` at texture
+    coordinates `uv` — the anyhit `optixIgnoreIntersection` decision
+    (`optixCutouts.cu:295,337`). tex_ok=False disables the CUT_TEXTURE
+    branch (callers whose uv is not a real texture coordinate)."""
     import jax.numpy as jnp
-    from ..accel.geometry import shading_frame
-    from ..shade import materials as mats
     from ..shade.materials import CUT_CHECKER, CUT_CIRCLE, CUT_TEXTURE
     from ..shade.texture import sample_bilinear
 
-    m = mats.gather(scene.materials, hits.mat_id)
-    is_tri = hits.prim_id < scene.num_triangles
-    frame = shading_frame(scene.geom,
-                          jnp.minimum(jnp.maximum(hits.prim_id, 0),
-                                      scene.num_triangles - 1), hits.uv)
-    uv = jnp.where(is_tri[..., None], frame["uv"], hits.uv)
     fu = uv * m["checker_scale"][..., None]
     cell = fu - jnp.floor(fu) - 0.5
     checker_hole = jnp.mod(jnp.floor(fu[..., 0])
                            + jnp.floor(fu[..., 1]), 2.0) < 1.0
     circle_hole = (cell[..., 0] ** 2 + cell[..., 1] ** 2) < 0.25 ** 2
-    if scene.has_textures:
-        rgba = sample_bilinear(scene.textures, scene.tex_size,
-                               jnp.where(is_tri, m["base_tex"], -1), uv)
+    if scene.has_textures and tex_ok is not False:
+        tid = m["base_tex"]
+        if tex_ok is not True:
+            tid = jnp.where(tex_ok, tid, -1)
+        rgba = sample_bilinear(scene.textures, scene.tex_size, tid, uv)
         tex_hole = rgba[..., 3] < m["alpha_cutoff"]
     else:
         tex_hole = jnp.zeros_like(checker_hole)
@@ -202,7 +201,93 @@ def cutout_hole_mask(scene: DeviceScene, hits: Hits):
                      jnp.where(cut_kind == CUT_CIRCLE, circle_hole,
                                jnp.where(cut_kind == CUT_TEXTURE,
                                          tex_hole, False)))
-    return hits.valid & (m["alpha_mode"] == 1) & hole
+    return (m["alpha_mode"] == 1) & hole
+
+
+def cutout_hole_mask(scene: DeviceScene, hits: Hits):
+    """True where a hit lands in an alpha-mask hole — the anyhit
+    `optixIgnoreIntersection` decision (`optixCutouts.cu:295,337`)."""
+    import jax.numpy as jnp
+    from ..accel.geometry import shading_frame
+    from ..shade import materials as mats
+
+    m = mats.gather(scene.materials, hits.mat_id)
+    is_tri = hits.prim_id < scene.num_triangles
+    frame = shading_frame(scene.geom,
+                          jnp.minimum(jnp.maximum(hits.prim_id, 0),
+                                      scene.num_triangles - 1), hits.uv)
+    uv = jnp.where(is_tri[..., None], frame["uv"], hits.uv)
+    return hits.valid & _eval_hole(scene, m, uv, tex_ok=is_tri)
+
+
+def _scene_any_alpha_omm(scene: DeviceScene, rays: Rays, chunk_size,
+                         max_steps: int = 64):
+    """Occlusion with opacity micromaps wired into the anyhit path.
+
+    The traversal-skips-anyhit behavior of `optixOpacityMicromap.cpp:29-30`
+    (build input `optix_host.h:731`), restructured for a wavefront:
+
+    1. Triangles CERTAIN to occlude (summary OPAQUE + all non-cutout
+       geometry) answer with one first-hit-exit any-hit query — no alpha
+       loop, exactly as the driver never calls the anyhit program for
+       opaque micro-triangles.
+    2. Summary-TRANSPARENT triangles are in no occlusion set at all —
+       they can never block light, so rays pass them for free.
+    3. Only summary-UNKNOWN triangles run the re-entry loop, and each hit
+       first consults its micro-triangle state (micro_index of the hit
+       barycentric): micro OPAQUE → occluded, micro TRANSPARENT →
+       pass-through, micro UNKNOWN → evaluate the mask (the anyhit
+       program, `optixCutouts.cu:295,337`).
+
+    Rays already blocked by step 1 skip the loop (they start `done`).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..accel import bruteforce as bf
+    from ..accel.geometry import shading_frame
+    from ..accel.micromap import OPAQUE, TRANSPARENT, micro_index
+    from ..shade import materials as mats
+
+    if scene.omm_solid_geom.num_triangles:
+        occ0 = bf.intersect_any(scene.omm_solid_geom, rays,
+                                chunk_size=chunk_size)
+    else:
+        occ0 = jnp.zeros(rays.tmin.shape, bool)
+    if not scene.omm_unknown_geom.num_triangles:
+        return occ0
+
+    geom = scene.omm_unknown_geom
+
+    def body(state):
+        k, cur, occluded, done = state
+        hits = bf.intersect_closest(geom, cur, chunk_size=chunk_size)
+        pid = jnp.maximum(hits.prim_id, 0)
+        orig = scene.omm_unknown_ids[pid]
+        mid = micro_index(hits.uv[..., 0], hits.uv[..., 1], scene.omm_level)
+        st = scene.omm_micro[orig, mid]
+        m = mats.gather(scene.materials, scene.tri_mat[orig])
+        uv = shading_frame(geom, pid, hits.uv)["uv"]
+        hole = jnp.where(st == TRANSPARENT, True,
+                         jnp.where(st == OPAQUE, False,
+                                   _eval_hole(scene, m, uv)))
+        solid = hits.valid & ~hole
+        occluded = occluded | (solid & ~done)
+        done = done | solid | ~hits.valid
+        new_tmin = hits.t + 1e-2
+        cur = Rays(origin=cur.origin, direction=cur.direction,
+                   tmin=jnp.where(done, cur.tmin, new_tmin),
+                   tmax=cur.tmax)
+        return k + 1, cur, occluded, done
+
+    def cond(state):
+        k, _, _, done = state
+        return (k < max_steps) & jnp.any(~done)
+
+    zeros = jnp.zeros(rays.tmin.shape, bool)
+    k, _, occluded, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rays, zeros, occ0))
+    # Backstop: unresolved rays after max_steps count as blocked.
+    return occ0 | occluded | ~done
 
 
 def _scene_any_alpha(scene: DeviceScene, rays: Rays, chunk_size,

@@ -118,12 +118,13 @@ def probe_groupwalk():
 
 
 def probe_splmajor():
-    """Time ONE sample-major spl=16 knot launch (the amortize-across-
-    samples lever) vs the sequential spl=1 baseline x16 — both through
-    render_accumulate, same estimator."""
-    import os
+    """Sample-major spl=16 knot launches (the amortize-across-samples
+    lever) A/B'd three ways, all through render_accumulate and the same
+    estimator: spl-major gated, spl-major ungated (explicit
+    group_walk=False — a real static-arg specialization, not env state),
+    and the per-sample sequential XLA wavefront baseline (impl="xla",
+    spl=16 traced one sample at a time with coherence-sorted bounces)."""
     import numpy as np
-    import jax
     import jax.numpy as jnp
     from optix_raytracer_tpu.core import film as film_mod
     from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
@@ -136,25 +137,30 @@ def probe_splmajor():
                               [{"kind": 0, "base_color": (0.7, 0.6, 0.5)}],
                               normals=normals)
     cam = knot_camera(w, h).params()
-    for gw in ("0", "1"):
-        os.environ["ORT_GROUP_WALK"] = gw
-        jax.clear_caches()
+    for name, impl, gw in (("spl gated  ", "spl", True),
+                           ("spl ungated", "spl", False),
+                           ("xla seq    ", "xla", None)):
         film = film_mod.Film.create(h, w)
         t0 = time.time()
         film, rays = render_accumulate(scene, cam, film, w, h,
                                        samples_per_launch=16, max_depth=3,
-                                       chunk_size=None, impl="spl")
+                                       chunk_size=None, impl=impl,
+                                       group_walk=gw)
         _sync(film.accum)
         compile_s = time.time() - t0
         t0 = time.time()
-        film, rays = render_accumulate(scene, cam, film, w, h,
-                                       samples_per_launch=16, max_depth=3,
-                                       chunk_size=None, impl="spl")
+        n = 2
+        for _ in range(n):
+            film, rays = render_accumulate(scene, cam, film, w, h,
+                                           samples_per_launch=16,
+                                           max_depth=3,
+                                           chunk_size=None, impl=impl,
+                                           group_walk=gw)
         _sync(film.accum)
-        dt = time.time() - t0
-        print(f"splmajor gw={gw}: {float(rays) / dt / 1e6:.1f} Mrays/s "
+        dt = (time.time() - t0) / n
+        print(f"splmajor {name}: {float(rays) / dt / 1e6:.1f} Mrays/s "
               f"(compile {compile_s:.0f}s, run {dt:.2f}s, "
-              f"{float(rays)/1e6:.1f} Mrays/launch)")
+              f"{float(rays)/1e6:.1f} Mrays/launch)", flush=True)
 
 
 PROBES = {"cornell": probe_cornell, "regen": probe_regen,
