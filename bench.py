@@ -468,6 +468,46 @@ def bench_regen_cornell():
     return round(float(rays) / (time.time() - t0) / 1e6, 1)
 
 
+def bench_cutouts():
+    """Occlusion on a cutout-heavy scene (the Cornell cutouts boxes),
+    2M-shadow-ray wavefront: opacity-micromap path (one first-hit-exit
+    query over certain-opaque geometry + re-entry only through UNKNOWN
+    triangles) vs the plain alpha re-entry loop — the measured anyhit
+    speedup the micromap integration buys (`optixOpacityMicromap.cpp:29-30`,
+    `optix_host.h:731`)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from optix_raytracer_tpu.apps.cutouts import cutout_cornell
+    from optix_raytracer_tpu.core.rays import Rays
+    from optix_raytracer_tpu.wavefront import intersect as ix
+
+    scene = cutout_cornell()
+    n = 1 << 21
+    rng = np.random.default_rng(3)
+    o = rng.uniform([50, 50, 50], [500, 500, 500], (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays(origin=jnp.asarray(o), direction=jnp.asarray(d),
+                tmin=jnp.full((n,), 1e-2, jnp.float32),
+                tmax=jnp.full((n,), 1e4, jnp.float32))
+
+    omm = jax.jit(lambda r: ix._scene_any_alpha_omm(scene, r, None))
+    plain = jax.jit(lambda r: ix._scene_any_alpha(scene, r, None))
+
+    def time_it(fn):
+        occ = fn(rays)
+        float(jnp.sum(occ.astype(jnp.float32)))
+        t0 = time.time()
+        for _ in range(3):
+            occ = fn(rays)
+        float(jnp.sum(occ.astype(jnp.float32)))
+        return round(3 * n / (time.time() - t0) / 1e6, 1)
+
+    return {"cutout_anyhit_mrays": time_it(omm),
+            "cutout_anyhit_noomm_mrays": time_it(plain)}
+
+
 def _probe_device(timeout_s: float = 600.0) -> bool:
     """True when a device op completes within the timeout. The remote-TPU
     tunnel can be down (infrastructure-side); jax then BLOCKS forever in
@@ -501,6 +541,7 @@ _EXPECTED_EXTRAS = [
     "cornell_instanced_mrays", "whitted_prims_mrays",
     "knot500k_closest_mrays", "knot500k_tris",
     "knot4m_closest_mrays", "knot4m_tris",
+    "cutout_anyhit_mrays", "cutout_anyhit_noomm_mrays",
 ]
 
 
@@ -652,6 +693,7 @@ def main():
     absorb("instanced", bench_instanced_cornell,
            key="cornell_instanced_mrays")
     absorb("whitted", bench_whitted_prims, key="whitted_prims_mrays")
+    absorb("cutouts", bench_cutouts)
     absorb("stream", bench_stream_mesh)
     absorb("mega", bench_mega_mesh)
     record["extra"]["note"] = "complete"
