@@ -41,8 +41,9 @@ class DensityGrid:
 
 
 def sample_grid(grid: DensityGrid, pts):
-    """Trilinear density at world points [..., 3] (0 outside)."""
-    res = grid.res
+    """Trilinear density at world points [..., 3] (0 outside). Supports
+    non-cubic [D, H, W] grids (e.g. loaded NanoVDB volumes)."""
+    res = jnp.asarray(grid.density.shape[::-1], jnp.float32)  # (x, y, z)
     g = (pts - grid.lo) / (grid.hi - grid.lo) * (res - 1)
     inside = jnp.all((pts >= grid.lo) & (pts <= grid.hi), axis=-1)
     g = jnp.clip(g, 0.0, res - 1.001)
@@ -183,11 +184,10 @@ def light_transmittance_grid(grid: DensityGrid, light_dir, sigma_t: float):
     ld = np.asarray(light_dir, np.float32)
     axis = int(np.argmax(np.abs(ld)))
     sign = float(np.sign(ld[axis]))
-    res = grid.res
-    cell = (grid.hi[axis] - grid.lo[axis]) / res
     d = grid.density
     # axis order in the array is (z, y, x) → array axis = 2 - axis
     arr_axis = 2 - axis
+    cell = (grid.hi[axis] - grid.lo[axis]) / d.shape[arr_axis]
     tau = jnp.cumsum(d, axis=arr_axis) * cell * sigma_t
     if sign > 0:  # light travels +axis ⇒ looking upstream means reverse
         total = jnp.sum(d, axis=arr_axis, keepdims=True) * cell * sigma_t

@@ -53,8 +53,30 @@ def render_sample(grid, floor_prims, cam, width, height, subframe,
     return rad.reshape(height, width, 3)
 
 
-def render(width=512, height=512, samples=4, res=64, num_steps=96):
-    grid = vol.pyroclastic_ball(res=res)
+def _normalized_grid(grid):
+    """Rescale a loaded grid into the viewer's unit stage: longest world
+    edge -> 2 units, centered at the origin resting near the floor (the
+    reference frames the camera from the grid's world AABB instead;
+    `optixVolumeViewer.cpp:700-716`)."""
+    span = grid.hi - grid.lo
+    s = 2.0 / jnp.max(span)
+    half = span * s * 0.5
+    lo = jnp.stack([-half[0], -1.0 + 0.02, -half[2]])
+    return vol.DensityGrid(density=grid.density, lo=lo, hi=lo + span * s)
+
+
+def load_grid(path: str, grid_name=None, res: int = 64):
+    """Density grid for the stage: a .nvdb file (NanoVDB fog volume,
+    `optixVolumeViewer.cpp:641-678`) or the procedural demo puffball."""
+    if path:
+        from ..io.nanovdb import load_density_grid
+        return _normalized_grid(load_density_grid(path, grid_name))
+    return vol.pyroclastic_ball(res=res)
+
+
+def render(width=512, height=512, samples=4, res=64, num_steps=96,
+           grid_file=None, grid_name=None):
+    grid = load_grid(grid_file, grid_name, res=res)
     floor = prim.make_prims([
         {"kind": prim.PARALLELOGRAM, "anchor": (-6.0, -1.05, -6.0),
          "v1": (12.0, 0, 0), "v2": (0, 0, 12.0)}])
@@ -68,7 +90,8 @@ def render(width=512, height=512, samples=4, res=64, num_steps=96):
     return film.accum, film
 
 
-def render_engine(width, height, samples, res=48, max_depth=3):
+def render_engine(width, height, samples, res=48, max_depth=3,
+                  grid_file=None, grid_name=None):
     """Mesh + volume through the MAIN path tracer: a pyroclastic cloud
     inside the Cornell box rendered by render_accumulate — the composited
     mesh+volume scene of the reference (`volume.cu:284-366` inside the
@@ -82,10 +105,12 @@ def render_engine(width, height, samples, res=48, max_depth=3):
     from ..wavefront.engine import render_accumulate
 
     verts, idx, tri_mat = quads_to_triangles(_CORNELL_QUADS)
-    ball = vol.pyroclastic_ball(res=res)
-    cloud = vol.DensityGrid(density=ball.density,
-                            lo=jnp.asarray([140.0, 80.0, 150.0]),
-                            hi=jnp.asarray([420.0, 360.0, 430.0]))
+    ball = load_grid(grid_file, grid_name, res=res)
+    # place the volume inside the box, preserving its aspect
+    span = ball.hi - ball.lo
+    s = 280.0 / jnp.max(span)
+    lo = jnp.asarray([140.0, 80.0, 150.0])
+    cloud = vol.DensityGrid(density=ball.density, lo=lo, hi=lo + span * s)
     light = ParallelogramLight.make(CORNELL_LIGHT_CORNER, CORNELL_LIGHT_V1,
                                     CORNELL_LIGHT_V2, CORNELL_LIGHT_EMISSION)
     scene = make_device_scene(verts, idx, tri_mat, CORNELL_MATERIALS,
@@ -106,6 +131,11 @@ def main(argv=None):
     p.add_argument("--res", type=int, default=64, help="grid resolution")
     p.add_argument("--steps", type=int, default=96)
     p.add_argument("--samples", type=int, default=4)
+    p.add_argument("--grid", default=None, metavar="FILE.nvdb",
+                   help="NanoVDB fog-volume file (reference: --volume "
+                        "volume.nvdb); default: procedural puffball")
+    p.add_argument("--grid-name", default=None,
+                   help="grid to pick from a multi-grid .nvdb")
     p.add_argument("--engine", action="store_true",
                    help="render a mesh+volume Cornell through the main "
                         "path tracer (transmittance-weighted NEE)")
@@ -113,14 +143,18 @@ def main(argv=None):
     w, h = parse_dim(args.dim)
     if args.engine:
         accum, film = render_engine(w, h, samples=args.samples,
-                                    res=min(args.res, 64))
+                                    res=min(args.res, 64),
+                                    grid_file=args.grid,
+                                    grid_name=args.grid_name)
         save_image(args.file, np.asarray(film_mod.make_color(accum)))
         print(f"wrote {args.file} (engine mode: Cornell + cloud)")
         return
     accum, film = render(w, h, samples=args.samples, res=args.res,
-                         num_steps=args.steps)
+                         num_steps=args.steps, grid_file=args.grid,
+                         grid_name=args.grid_name)
+    src = args.grid or f"grid {args.res}^3"
     save_image(args.file, np.asarray(film_mod.make_color(accum)))
-    print(f"wrote {args.file} (grid {args.res}^3, {args.steps} steps)")
+    print(f"wrote {args.file} ({src}, {args.steps} steps)")
 
 
 if __name__ == "__main__":
