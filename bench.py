@@ -492,9 +492,6 @@ def bench_cutouts():
                 tmin=jnp.full((n,), 1e-2, jnp.float32),
                 tmax=jnp.full((n,), 1e4, jnp.float32))
 
-    omm = jax.jit(lambda r: ix._scene_any_alpha_omm(scene, r, None))
-    plain = jax.jit(lambda r: ix._scene_any_alpha(scene, r, None))
-
     def time_it(fn):
         occ = fn(rays)
         float(jnp.sum(occ.astype(jnp.float32)))
@@ -504,8 +501,47 @@ def bench_cutouts():
         float(jnp.sum(occ.astype(jnp.float32)))
         return round(3 * n / (time.time() - t0) / 1e6, 1)
 
-    return {"cutout_anyhit_mrays": time_it(omm),
-            "cutout_anyhit_noomm_mrays": time_it(plain)}
+    out = {
+        "cutout_anyhit_mrays": time_it(
+            jax.jit(lambda r: ix._scene_any_alpha_omm(scene, r, None))),
+        "cutout_anyhit_noomm_mrays": time_it(
+            jax.jit(lambda r: ix._scene_any_alpha(scene, r, None))),
+    }
+
+    # Certain-alpha scene: alpha-MASK materials whose masks never hole
+    # (the common case for real alpha textures). The micromap classifies
+    # every triangle OPAQUE, so occlusion collapses to ONE first-hit-exit
+    # query with no anyhit loop — the reference's headline win
+    # (`optixOpacityMicromap.cpp:29-30`: traversal skips the anyhit
+    # program for certain micro-triangles).
+    from optix_raytracer_tpu.scene import builtins
+    from optix_raytracer_tpu.scene.device_scene import make_device_scene
+    from optix_raytracer_tpu.shade import materials as mat
+    from optix_raytracer_tpu.shade.lights import ParallelogramLight
+
+    verts, idx, tri_mat = builtins.quads_to_triangles(
+        builtins._CORNELL_QUADS)
+    mats2 = [dict(m) for m in builtins.CORNELL_MATERIALS]
+    # circle cutout at scale 0.2: uv*scale stays inside [0,0.2]^2, far
+    # from the hole circle around each cell center -> never a hole
+    mats2.append({"kind": mat.DIFFUSE, "base_color": (0.8, 0.8, 0.8),
+                  "alpha_mode": mat.ALPHA_MASK, "cutout": mat.CUT_CIRCLE,
+                  "checker_scale": 0.2})
+    tm2 = np.asarray(tri_mat).copy()
+    tm2[10:30] = 4        # both blocks alpha-masked but certainly opaque
+    uvs = np.tile(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+                  (len(verts) // 4, 1))
+    light = ParallelogramLight.make(
+        builtins.CORNELL_LIGHT_CORNER, builtins.CORNELL_LIGHT_V1,
+        builtins.CORNELL_LIGHT_V2, builtins.CORNELL_LIGHT_EMISSION)
+    s2 = make_device_scene(verts, idx, tm2, mats2, uvs=uvs,
+                           area_light=light)
+    assert s2.omm_unknown_geom.num_triangles == 0
+    out["opaque_alpha_anyhit_mrays"] = time_it(
+        jax.jit(lambda r: ix._scene_any_alpha_omm(s2, r, None)))
+    out["opaque_alpha_anyhit_noomm_mrays"] = time_it(
+        jax.jit(lambda r: ix._scene_any_alpha(s2, r, None)))
+    return out
 
 
 def _probe_device(timeout_s: float = 600.0) -> bool:
@@ -542,6 +578,7 @@ _EXPECTED_EXTRAS = [
     "knot500k_closest_mrays", "knot500k_tris",
     "knot4m_closest_mrays", "knot4m_tris",
     "cutout_anyhit_mrays", "cutout_anyhit_noomm_mrays",
+    "opaque_alpha_anyhit_mrays", "opaque_alpha_anyhit_noomm_mrays",
 ]
 
 

@@ -36,7 +36,8 @@ class DeviceContext:
                  log_level: int = LogLevel.WARNING,
                  validation_mode: bool = False,
                  cache_enabled: bool = True,
-                 cache_location: Optional[str] = None):
+                 cache_location: Optional[str] = None,
+                 debug_nans: bool = False):
         self._log_cb = log_callback
         self._log_level = log_level
         self.validation_mode = validation_mode
@@ -55,7 +56,13 @@ class DeviceContext:
             except Exception as e:  # cache is best-effort, like the reference
                 self.log(LogLevel.WARNING, "CACHE", f"cache disabled: {e}")
         if validation_mode:
-            jax.config.update("jax_debug_nans", True)
+            # Structured per-launch exception counters (see
+            # wavefront/exceptions.py) are the default surface —
+            # the exception-program role of `optix_device.h:1263-1432`.
+            # jax_debug_nans is the opt-in crash-on-first-NaN variant
+            # (it fires before the counters can be collected).
+            if debug_nans:
+                jax.config.update("jax_debug_nans", True)
             self.log(LogLevel.PRINT, "VALIDATION", "validation mode ALL")
 
     # --- properties (optixDeviceContextGetProperty) ---

@@ -29,6 +29,7 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 
 from ..accel.primitives import CustomPrims
+from .context import LogLevel
 from ..core import film as film_mod
 from ..scene.device_scene import DeviceScene, make_device_scene
 from ..shade.lights import LightTable, ParallelogramLight
@@ -140,8 +141,9 @@ class Pipeline:
                                      area_light, textures)
         if film is None:
             film = film_mod.Film.create(height, width)
+        film_before = film
         if self.integrator == "pathtrace":
-            return render_accumulate(
+            film, rays = render_accumulate(
                 scene, cam_params, film, width, height,
                 samples_per_launch=self.samples_per_launch,
                 max_depth=self.max_trace_depth)
@@ -152,6 +154,24 @@ class Pipeline:
                     scene, cam_params, width, height, film.subframe,
                     max_depth=self.max_trace_depth)
                 film = film.accumulate(radiance)
-            return film, rays
         else:
             raise ValueError(f"unknown integrator {self.integrator!r}")
+        if self.context is not None and self.context.validation_mode:
+            self._check_launch(cam_params, film_before, film, width, height)
+        return film, rays
+
+    last_exceptions = None
+
+    def _check_launch(self, cam_params, film_before, film, width, height):
+        """Validation-mode exception surface: per-launch error counters
+        through the context log callback (the exception-program role,
+        `optix_device.h:1263-1432`; enabled like validation mode ALL,
+        `optixPathTracer.cpp:566-569`)."""
+        from ..wavefront.exceptions import (format_exceptions,
+                                            launch_diagnostics)
+        diag = {k: int(v) for k, v in launch_diagnostics(
+            cam_params, film_before, film, width, height).items()}
+        self.last_exceptions = diag
+        msg = format_exceptions(diag)
+        if msg:
+            self.context.log(LogLevel.ERROR, "EXCEPTION", msg)

@@ -257,15 +257,28 @@ def _scene_any_alpha_omm(scene: DeviceScene, rays: Rays, chunk_size,
         return occ0
 
     geom = scene.omm_unknown_geom
+    # Per-lane random gathers are TPU-hostile; every per-hit table fetch
+    # below is a one-hot MXU contraction instead (the same trick as
+    # materials._gather_onehot). The [T] per-unknown-triangle rows are
+    # pre-gathered once per call (T rows, not N).
+    n_unknown = geom.num_triangles
+    micro_f = scene.omm_micro[scene.omm_unknown_ids
+                              ].astype(jnp.float32)        # [T, 4^level]
+    mat_unknown = scene.tri_mat[scene.omm_unknown_ids]     # [T]
 
     def body(state):
         k, cur, occluded, done = state
         hits = bf.intersect_closest(geom, cur, chunk_size=chunk_size)
         pid = jnp.maximum(hits.prim_id, 0)
-        orig = scene.omm_unknown_ids[pid]
+        oh = jax.nn.one_hot(pid, n_unknown, dtype=jnp.float32)  # [N, T]
         mid = micro_index(hits.uv[..., 0], hits.uv[..., 1], scene.omm_level)
-        st = scene.omm_micro[orig, mid]
-        m = mats.gather(scene.materials, scene.tri_mat[orig])
+        rows = oh @ micro_f                                     # [N, 64]
+        st = jnp.round(jnp.sum(
+            rows * jax.nn.one_hot(mid, micro_f.shape[1],
+                                  dtype=jnp.float32), -1)).astype(jnp.int32)
+        mat_id = jnp.round(oh @ mat_unknown.astype(jnp.float32)
+                           ).astype(jnp.int32)
+        m = mats.gather(scene.materials, mat_id)
         uv = shading_frame(geom, pid, hits.uv)["uv"]
         hole = jnp.where(st == TRANSPARENT, True,
                          jnp.where(st == OPAQUE, False,
