@@ -224,3 +224,89 @@ def sample_trilinear(textures, tex_mip, tex_id, uv, texel_scale=None):
     rgba = ((1.0 - f) * _sample_level(textures, tex_mip, tid, uv, l0)
             + f * _sample_level(textures, tex_mip, tid, uv, l1))
     return jnp.where((tex_id >= 0)[..., None], rgba, jnp.ones_like(rgba))
+
+
+# --------------------------------------------------------------------------
+# Texture footprint queries (optixTexFootprint2D{,Lod,Grad} parity,
+# `optix_device.h:1551-1591`): which texel region a filtered fetch would
+# touch, and whether it spans one or two mip levels. The reference uses
+# these for demand-loaded sparse textures; here they serve the same role
+# for host-side tile streaming decisions (and they make mip selection
+# inspectable in tests). All vectorized over a [..., 2] uv batch.
+# --------------------------------------------------------------------------
+
+def _footprint_at_level(tex_mip, tid, uv, level, du=None, dv=None):
+    """Texel rect of a bilinear fetch at `level`: lo (x, y) and size,
+    wrap-addressed, grown by the uv-gradient extent when given."""
+    entry = tex_mip[tid, level].astype(jnp.float32)        # [..., 4] y x h w
+    h, w = entry[..., 2], entry[..., 3]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    ex = jnp.zeros_like(fx) if du is None else 0.5 * jnp.abs(du) * w
+    ey = jnp.zeros_like(fy) if dv is None else 0.5 * jnp.abs(dv) * h
+    x0 = jnp.floor(fx - ex)
+    y0 = jnp.floor(fy - ey)
+    x1 = jnp.floor(fx + ex) + 1.0
+    y1 = jnp.floor(fy + ey) + 1.0
+    return {
+        "lo": jnp.stack([jnp.mod(x0, w), jnp.mod(y0, h)], -1
+                        ).astype(jnp.int32),
+        "size": jnp.stack([jnp.minimum(x1 - x0 + 1.0, w),
+                           jnp.minimum(y1 - y0 + 1.0, h)], -1
+                          ).astype(jnp.int32),
+        "level_dim": jnp.stack([w, h], -1).astype(jnp.int32),
+    }
+
+
+def tex_footprint_2d_lod(tex_mip, tex_id, uv, lod, coarse: bool = False):
+    """optixTexFootprint2DLod: footprint of a tex2DLod fetch at explicit
+    `lod`. Returns dict(level, lo, size, level_dim, single_mip); `coarse`
+    selects the coarser of the two levels a fractional lod spans."""
+    tid = jnp.maximum(tex_id, 0)
+    chain_len = jnp.sum((tex_mip[tid, :, 2] > 0).astype(jnp.float32),
+                        axis=-1)
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0, chain_len - 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, (chain_len - 1.0).astype(jnp.int32))
+    single = (lod == l0.astype(jnp.float32)) | (l1 == l0)
+    level = jnp.where(jnp.asarray(coarse) & ~single, l1, l0)
+    out = _footprint_at_level(tex_mip, tid, uv, level)
+    out["level"] = level
+    out["single_mip"] = single
+    return out
+
+
+def tex_footprint_2d_grad(tex_mip, tex_id, uv, duv_dx, duv_dy,
+                          coarse: bool = False):
+    """optixTexFootprint2DGrad: footprint of a tex2DGrad fetch whose lod
+    comes from the uv screen-space gradients ([..., 2] each) — the same
+    log2(max texel extent) rule as `sample_trilinear`'s ray-cone scale."""
+    tid = jnp.maximum(tex_id, 0)
+    dim0 = jnp.maximum(tex_mip[tid, 0, 2],
+                       tex_mip[tid, 0, 3]).astype(jnp.float32)
+    ext = jnp.maximum(
+        jnp.sqrt(jnp.sum(jnp.square(duv_dx), -1)),
+        jnp.sqrt(jnp.sum(jnp.square(duv_dy), -1)))
+    lod = jnp.log2(jnp.maximum(ext * dim0, 1.0))
+    out = tex_footprint_2d_lod(tex_mip, tex_id, uv, lod, coarse=coarse)
+    # grow the chosen level's rect by the anisotropic gradient extent
+    scale = jnp.exp2(-out["level"].astype(jnp.float32))
+    du = (jnp.abs(duv_dx[..., 0]) + jnp.abs(duv_dy[..., 0])) * scale
+    dv = (jnp.abs(duv_dx[..., 1]) + jnp.abs(duv_dy[..., 1])) * scale
+    grown = _footprint_at_level(tex_mip, tid, uv, out["level"], du, dv)
+    grown["level"] = out["level"]
+    grown["single_mip"] = out["single_mip"]
+    return grown
+
+
+def tex_footprint_2d(tex_mip, tex_id, uv, texel_scale=None):
+    """optixTexFootprint2D: footprint with the implicit lod the sampler
+    itself would choose (`sample_trilinear`'s ray-cone texel_scale)."""
+    tid = jnp.maximum(tex_id, 0)
+    if texel_scale is None:
+        lod = jnp.zeros(uv.shape[:-1], jnp.float32)
+    else:
+        dim0 = jnp.maximum(tex_mip[tid, 0, 2],
+                           tex_mip[tid, 0, 3]).astype(jnp.float32)
+        lod = jnp.log2(jnp.maximum(texel_scale * dim0, 1.0))
+    return tex_footprint_2d_lod(tex_mip, tex_id, uv, lod)
