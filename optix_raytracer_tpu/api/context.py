@@ -125,7 +125,9 @@ class StageTimers:
 
     def __init__(self):
         self.totals = {}
+        self.last = {}
         self.frames = 0
+        self._ticks = []          # recent frame_done timestamps → FPS
 
     class _Stage:
         def __init__(self, timers, name):
@@ -140,6 +142,7 @@ class StageTimers:
             dt = time.perf_counter() - self.t0
             self.timers.totals[self.name] = (
                 self.timers.totals.get(self.name, 0.0) + dt)
+            self.timers.last[self.name] = dt
             return False
 
     def stage(self, name: str):
@@ -147,6 +150,24 @@ class StageTimers:
 
     def frame_done(self):
         self.frames += 1
+        self._ticks.append(time.perf_counter())
+        if len(self._ticks) > 16:
+            self._ticks.pop(0)
+
+    def fps(self) -> float:
+        """Frames per second over the recent window (`displayFPS`,
+        `sutil/sutil.h:117`)."""
+        if len(self._ticks) < 2:
+            return 0.0
+        span = self._ticks[-1] - self._ticks[0]
+        return (len(self._ticks) - 1) / span if span > 0 else 0.0
+
+    def overlay(self) -> str:
+        """One-line live overlay: FPS + this frame's stage times — the
+        on-screen `displayStats` text (`optixPathTracer.cpp:1030-1041`)."""
+        parts = [f"{self.fps():.1f} fps"]
+        parts += [f"{k} {1e3 * v:.1f}ms" for k, v in self.last.items()]
+        return " | ".join(parts)
 
     def report(self) -> str:
         if not self.frames:

@@ -54,6 +54,13 @@ class TracerViewer:
     def spf(self):
         return 1 << self.spf_log2
 
+    def stats_line(self) -> str:
+        """The displayStats/displayFPS overlay text
+        (`sutil/sutil.h:117-121`): accumulated spp, settings, live FPS +
+        per-stage frame times. Shared by all three display paths."""
+        return (f"{int(self.film.subframe)} spp | spf {self.spf} | "
+                f"fov {self.camera.fov_y:.0f} | {self.timers.overlay()}")
+
     def reset(self):
         self.film = self.film.reset()
 
@@ -216,8 +223,7 @@ def run_interactive(viewer: TracerViewer, out: str, max_frames: int = 0):
     frames = 0
     while plt.fignum_exists(fig.number):
         im.set_data(viewer.step())
-        ax.set_title(f"{int(viewer.film.subframe)} spp | spf {viewer.spf} "
-                     f"| fov {viewer.camera.fov_y:.0f}")
+        ax.set_title(viewer.stats_line(), fontsize=9)
         frames += 1
         if max_frames and frames >= max_frames:
             break
@@ -294,9 +300,7 @@ def run_ansi(viewer: TracerViewer, out: str, max_frames: int = 0,
                 break
             img = viewer.step()
             write("\x1b[H" + ansi_frame(img, cols)
-                  + f"\n\x1b[0K{int(viewer.film.subframe)} spp | spf "
-                    f"{viewer.spf} | fov {viewer.camera.fov_y:.0f} | "
-                    f"{viewer.timers.report()}\n"
+                  + f"\n\x1b[0K{viewer.stats_line()}\n"
                     "\x1b[0KWASDQE move | hjkl orbit | +/- spf | "
                     "space save | q quit\n")
             frames += 1
@@ -461,10 +465,7 @@ def run_server(viewer: TracerViewer, port: int, out: str,
             for kind, dx, dy in server.pending_mouse():
                 viewer.mouse(kind, dx, dy)
             img = viewer.step()
-            server.publish(
-                img, f"{int(viewer.film.subframe)} spp | spf {viewer.spf} "
-                     f"| fov {viewer.camera.fov_y:.0f} "
-                     f"| {viewer.timers.report()}")
+            server.publish(img, viewer.stats_line())
             frames += 1
     except KeyboardInterrupt:
         pass

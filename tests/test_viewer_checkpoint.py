@@ -449,3 +449,21 @@ class TestViewerAnsi:
         assert viewer.spf_log2 == 1             # '+' handled
         blits = [o for o in outputs if "▀" in o]
         assert len(blits) == 2 and "spp" in blits[0]
+
+
+class TestStatsOverlay:
+    def test_stats_line_has_fps_and_stage_times(self, scene):
+        """displayStats/displayFPS parity (`sutil/sutil.h:117-121`): the
+        overlay carries spp, settings, FPS, and per-stage frame times."""
+        from optix_raytracer_tpu.core.camera import Camera
+        from optix_raytracer_tpu.apps.viewer import TracerViewer
+        v = TracerViewer(scene, Camera(eye=(278, 273, -900),
+                                             lookat=(278, 273, 279),
+                                             fov_y=35, aspect=1.0),
+                         16, 16, spf_log2=0, max_depth=2)
+        v.step()
+        v.step()
+        line = v.stats_line()
+        assert "fps" in line and "render" in line and "spp" in line
+        assert v.timers.fps() > 0.0
+        assert v.timers.last["render"] > 0.0
