@@ -744,17 +744,18 @@ def _use_fused(scene: DeviceScene, impl: str) -> bool:
                         for k in scene.prims.kinds_static))
     from .pallas_pt import TEX_MAX_TABLE_BYTES, tex_static
     if scene.has_textures:
-        # Textured scenes ride the megakernel's in-kernel texture unit
-        # when the static bundle wiring exists and the bf16 mip table
-        # fits VMEM (winner attributes come from static-unrolled selects
-        # on small meshes, a one-hot MXU fetch past that, up to the
-        # SMEM-path triangle budget). ORT_FUSED_TEX=0 is the kill-switch
-        # back to the XLA engine.
+        # The megakernel's in-kernel texture unit is OPT-IN
+        # (ORT_FUSED_TEX=1): measured on the TPU chip (round 4) it lands
+        # 18.1 Mrays/s vs 22.9 for the XLA wavefront on the
+        # texture-heavy scene — the footprint-bounded chunk loops cost
+        # more than the gather traffic they avoid at these table sizes.
+        # The kernel stays available (and interpret-tested) for scenes
+        # where the table is tiny; the requirements below still gate it.
         import os
         from .pallas_pt import _tex_dtype
         cfg = tex_static(scene)
         itemsize = jnp.dtype(_tex_dtype()).itemsize
-        tex_ok = (os.environ.get("ORT_FUSED_TEX", "1") != "0"
+        tex_ok = (os.environ.get("ORT_FUSED_TEX", "0") == "1"
                   and cfg is not None
                   and not scene.has_instances
                   and cfg[2] * cfg[3] * itemsize <= TEX_MAX_TABLE_BYTES)

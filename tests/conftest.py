@@ -17,6 +17,20 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the suite: the default run's wall time is
+# dominated by XLA CPU compiles, and they repeat identically across runs
+# (and across the per-module clear_caches below, which only drops the
+# in-memory executables). A warm cache cuts compile-heavy modules ~4.6x
+# (measured on test_lbvh: 300 s -> 65 s). ORT_TEST_CACHE=0 disables;
+# any other value overrides the location.
+_cache = os.environ.get("ORT_TEST_CACHE")
+if _cache != "0":
+    if not _cache:
+        _cache = os.path.expanduser("~/.cache/ort_pytest_xla")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():

@@ -72,7 +72,9 @@ class TestBuild:
 
 
 class TestClosest:
-    @pytest.mark.parametrize("early_exit", [True, False])
+    @pytest.mark.parametrize(
+        "early_exit",
+        [pytest.param(True, marks=pytest.mark.slow), False])
     def test_matches_xla(self, mesh, early_exit):
         geom, tri_mat, cs, rng = mesh
         rays = make_rays(np.random.default_rng(2), 900)
@@ -95,6 +97,7 @@ class TestClosest:
         np.testing.assert_allclose(np.asarray(out.t)[~hit],
                                    np.asarray(rays.tmax)[~hit])
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_tmax_window(self, mesh):
         geom, tri_mat, cs, _ = mesh
         rng = np.random.default_rng(3)
@@ -114,6 +117,7 @@ class TestAnyHit:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 class TestClusterOrder:
     """SAH-leaf cluster order: identical hits, measurably better culling."""
 
@@ -143,6 +147,7 @@ class TestClusterOrder:
             sm["mean_clusters_per_block"] * 1.05
 
 
+@pytest.mark.slow
 class TestCoherenceSort:
     """closest_hit_sorted/any_hit_sorted: exact agreement with the unsorted
     kernels on scattered (bounce-like) rays — the engine dispatches bounce
@@ -185,6 +190,7 @@ class TestCoherenceSort:
             assert (occ == occ[0]).all()
 
 
+@pytest.mark.slow
 class TestStreaming:
     """HBM-streaming kernels (cluster table in HBM, DMA ring): exact
     agreement with the VMEM-resident kernels. Forced by dropping
@@ -268,6 +274,7 @@ class TestStreaming:
                                           np.asarray(lists0[0, g, :k]))
 
 
+@pytest.mark.slow
 class TestSmoothNormals:
     """The walk kernel interpolates baked corner normals (comp rows 18-26):
     smooth-mesh cluster hits must carry the same shading normal that
@@ -292,6 +299,7 @@ class TestSmoothNormals:
         assert err < 1e-4, err
 
 
+@pytest.mark.slow
 class TestSupercluster:
     """The supercluster tier (>MAX_STREAM_CLUSTERS: coarse cull + whole-
     supercluster DMA + member pre-test) must find exactly the brute-force
@@ -339,6 +347,7 @@ class TestSupercluster:
         assert st["max_clusters_per_block"] <= cs.comp.shape[0] // cl.SC_CLUSTERS
 
 
+@pytest.mark.slow
 class TestNumpyOracle:
     """INDEPENDENT oracle (round-2 verdict weak #5): a from-scratch numpy
     Möller–Trumbore closest-hit over the same rays — no shared code with
@@ -403,6 +412,7 @@ class TestNumpyOracle:
         np.testing.assert_array_equal(occ, np.isfinite(ot))
 
 
+@pytest.mark.slow
 class TestGroupGatedWalk:
     """Walk-side 32-ray group gating (exact-cull crossing bits packed into
     the list entries' high bits): a clear bit proves no ray of the group

@@ -330,6 +330,7 @@ class TestTemporalSequence:
     camera Cornell sequence the trained temporal net must beat the
     flow-blended per-frame model (the pre-trained-temporal fallback)."""
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_moving_camera_cornell(self):
         from optix_raytracer_tpu.denoise import kpcnn
         if not kpcnn.has_temporal_weights():

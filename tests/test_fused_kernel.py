@@ -77,6 +77,7 @@ class TestFusedKernel:
         assert float(count) == float(c0 + c1)  # identical RNG ⇒ same paths
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-3)
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_render_accumulate_fused_impl(self, scene):
         w = h = 16
         cam = cornell_camera(w, h).params()
@@ -91,6 +92,7 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(out.accum),
                                    np.asarray(ref.accum), atol=2e-3, rtol=1e-3)
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_regen_schedule_matches_lockstep(self, scene):
         """Path regeneration (persistent paths) must be bit-compatible
         with the lock-step schedule: per-(pixel,sample) RNG streams are
@@ -108,6 +110,7 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(r_regen), np.asarray(r_lock),
                                    atol=1e-6)
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_tiled_offsets_match(self, scene):
         """Row-tile invocation (y0/full dims) must reproduce the full frame's
         rows — the multichip contract."""
@@ -150,8 +153,11 @@ class TestFusedPBR:
         return make_device_scene(verts, idx, tri_mat, mats,
                                  area_light=light)
 
-    @pytest.mark.parametrize("metallic,roughness",
-                             [(0.8, 0.35), (0.0, 0.9), (1.0, 0.5)])
+    @pytest.mark.parametrize(
+        "metallic,roughness",
+        [(0.8, 0.35),
+         pytest.param(0.0, 0.9, marks=pytest.mark.slow),
+         pytest.param(1.0, 0.5, marks=pytest.mark.slow)])
     def test_pbr_matches_engine(self, metallic, roughness):
         import numpy as np
         from optix_raytracer_tpu.wavefront.engine import render_sample
@@ -214,7 +220,8 @@ class TestFusedPrims:
                       up=(0, 1, 0), fov_y=40.0,
                       aspect=w / h).params()
 
-    @pytest.mark.parametrize("with_glass", [False, True])
+    @pytest.mark.parametrize(
+        "with_glass", [False, pytest.param(True, marks=pytest.mark.slow)])
     def test_prims_match_engine(self, with_glass):
         w = h = 24
         scene = self._prim_scene(with_glass)
@@ -241,6 +248,7 @@ class TestFusedPrims:
         if jax.default_backend() in ("tpu", "axon"):
             assert _use_fused(scene, "auto")
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_instanced_matches_engine(self):
         """IAS scene inside the megakernel: per-instance object-space ray
         transform + inverse-transpose normal return + sbt-offset material
@@ -265,6 +273,7 @@ class TestFusedPrims:
         # both instances must actually be visible (distinct sbt materials)
         assert ref.max() > 0.05
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_instanced_cornell_matches_engine(self):
         """The VERDICT acceptance scene: Cornell as an IAS (walls instance +
         two shared-box instances) through the megakernel."""

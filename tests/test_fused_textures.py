@@ -79,6 +79,7 @@ def _compare(scene, max_depth=2):
 
 
 class TestFusedTextures:
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_all_maps_exact_f32(self, monkeypatch):
         """Under f32 filtering the kernel must match the engine exactly
         (the folded bilinear weights only reassociate the lerp)."""
@@ -97,12 +98,14 @@ class TestFusedTextures:
         assert diff.mean() < 3e-3
         assert (diff.max(axis=-1) > 0.05).mean() < 0.01
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_base_map_only_exact_f32(self, monkeypatch):
         monkeypatch.setenv("ORT_TEX_F32", "1")
         ref, out, re_, rf_ = _compare(_textured_scene(maps="base"))
         assert re_ == rf_
         np.testing.assert_allclose(out, ref, atol=1e-3)
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_smooth_textured_exact_f32(self, monkeypatch):
         monkeypatch.setenv("ORT_TEX_F32", "1")
         ref, out, re_, rf_ = _compare(_textured_scene(smooth=True))
@@ -159,6 +162,7 @@ class TestFusedTextures:
         assert _use_fused(make_n(TEX_MAX_TRIS + 8), "auto")   # one-hot path
         assert not _use_fused(make_n(MAX_SMEM_TRIS + 8), "auto")
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_onehot_winner_fetch_exact_f32(self, monkeypatch):
         """Past the unroll budget the winner attributes come from the
         one-hot MXU fetch — still engine-exact under f32 filtering."""
@@ -196,6 +200,7 @@ class TestFusedTextures:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-3)
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_regen_with_textures_bit_equal(self):
         """Path regeneration must stay bit-compatible with the lock-step
         schedule when the state tuple carries path_len (ray-cone LOD)."""

@@ -228,6 +228,7 @@ class TestMeshAgainstOracle:
     agreement here validates the whole sorted-bounce estimator on a real
     mesh against an independent integrator."""
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_knot_matches_numpy_oracle(self):
         from optix_raytracer_tpu.scene.builtins import knot_camera, trefoil_mesh
         from optix_raytracer_tpu.scene.device_scene import make_device_scene

@@ -266,6 +266,7 @@ class TestInstancedClusters:
         cs = cl.build_clusters(geom, tri_mat)
         return geom, tri_mat, table, {(0, geom.num_triangles): cs}
 
+    @pytest.mark.slow  # heavy parity sweep (default run keeps a cheap cousin)
     def test_cluster_ias_matches_bruteforce(self, monkeypatch):
         import functools
         from optix_raytracer_tpu.accel import clusters as cl
