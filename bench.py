@@ -621,7 +621,10 @@ def main():
         print(json.dumps(record), flush=True)
 
     emit()
-    if not _probe_device(300.0):
+    # 600s: on a loaded 1-core host, backend init alone can take minutes
+    # (observed: a 300s probe timing out while the tunnel was healthy).
+    if not _probe_device(float(os.environ.get("ORT_PROBE_TIMEOUT_S",
+                                              "600"))):
         record["extra"]["note"] = ("device unreachable (TPU tunnel down?): "
                                    "no device op completed within 300s")
         emit()
