@@ -137,15 +137,19 @@ class TestFusedTextures:
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
     def test_use_fused_gating(self, monkeypatch):
-        """Textured scenes ride the megakernel within the static budgets
-        (one-hot winner fetch covers the whole SMEM-path range); meshes
-        past the SMEM budget fall back to the engine + cluster path."""
+        """Textured scenes default to the XLA wavefront (the in-kernel
+        texture unit measured SLOWER on hardware — 18.1 vs 22.9 Mrays/s,
+        round 4); ORT_FUSED_TEX=1 opts back into the megakernel within
+        its static budgets, and meshes past the SMEM budget fall back to
+        the engine + cluster path regardless."""
         from optix_raytracer_tpu.accel import bruteforce as bf
         from optix_raytracer_tpu.accel.pallas_bf import MAX_SMEM_TRIS
         from optix_raytracer_tpu.wavefront.engine import _use_fused
         monkeypatch.setattr(bf, "_TPU_PLATFORMS", ("cpu", "tpu", "axon"))
         scene = _textured_scene()
         assert tex_static(scene) is not None
+        assert not _use_fused(scene, "auto")   # XLA is the textured default
+        monkeypatch.setenv("ORT_FUSED_TEX", "1")
         assert _use_fused(scene, "auto")
 
         def make_n(n):

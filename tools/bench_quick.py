@@ -132,18 +132,22 @@ def probe_splmajor():
     from optix_raytracer_tpu.wavefront.engine import render_accumulate
 
     w, h = 1920, 1088
+    spl = int(os.environ.get("ORT_PROBE_SPL", "16"))
     verts, idx, normals = trefoil_mesh(200, 63)
     scene = make_device_scene(verts, idx, np.zeros(len(idx), np.int32),
                               [{"kind": 0, "base_color": (0.7, 0.6, 0.5)}],
                               normals=normals)
     cam = knot_camera(w, h).params()
-    for name, impl, gw in (("spl gated  ", "spl", True),
-                           ("spl ungated", "spl", False),
-                           ("xla seq    ", "xla", None)):
+    cases = (("spl gated  ", "spl", True),
+             ("spl ungated", "spl", False),
+             ("xla seq    ", "xla", None))
+    if os.environ.get("ORT_PROBE_GATED_ONLY"):
+        cases = cases[:1]
+    for name, impl, gw in cases:
         film = film_mod.Film.create(h, w)
         t0 = time.time()
         film, rays = render_accumulate(scene, cam, film, w, h,
-                                       samples_per_launch=16, max_depth=3,
+                                       samples_per_launch=spl, max_depth=3,
                                        chunk_size=None, impl=impl,
                                        group_walk=gw)
         _sync(film.accum)
@@ -152,13 +156,14 @@ def probe_splmajor():
         n = 2
         for _ in range(n):
             film, rays = render_accumulate(scene, cam, film, w, h,
-                                           samples_per_launch=16,
+                                           samples_per_launch=spl,
                                            max_depth=3,
                                            chunk_size=None, impl=impl,
                                            group_walk=gw)
         _sync(film.accum)
         dt = (time.time() - t0) / n
-        print(f"splmajor {name}: {float(rays) / dt / 1e6:.1f} Mrays/s "
+        print(f"splmajor spl={spl} {name}: "
+              f"{float(rays) / dt / 1e6:.1f} Mrays/s "
               f"(compile {compile_s:.0f}s, run {dt:.2f}s, "
               f"{float(rays)/1e6:.1f} Mrays/launch)", flush=True)
 
