@@ -640,9 +640,12 @@ def main():
 
     # Wall-clock budget over the WHOLE bench (headline included): once
     # spent, remaining sub-benches are skipped (-1) instead of risking
-    # the record. 900s default keeps the bench inside the harness cap
-    # even with a part-cold compile cache.
-    budget_s = float(os.environ.get("ORT_BENCH_BUDGET_S", "900"))
+    # the record. The progressive emit-after-every-sub-bench contract
+    # makes a harness kill harmless (last printed line is complete), so
+    # the budget only needs to stay under the observed harness cap
+    # (>=1740s, round-3 kill) with headroom; 1300s covers the full warm-
+    # cache suite (~900-1000s measured round 4) without risking the cap.
+    budget_s = float(os.environ.get("ORT_BENCH_BUDGET_S", "1300"))
     bench_t0 = time.time()
 
     from optix_raytracer_tpu.core import film as film_mod
@@ -729,17 +732,18 @@ def main():
         record["extra"]["note"] = f"through sub-bench '{name}'"
         emit()
 
-    # Value-ordered: the round-2 verdict targets (knot traversal numbers,
-    # textured) land first so a budget/harness cut costs the least.
+    # Value-ordered: the round-2/3 verdict targets (knot traversal numbers,
+    # OMM cutout speedup, textured) land first so a budget/harness cut
+    # costs the least.
     absorb("large_mesh", bench_large_mesh)
     absorb("knot_pt", bench_knot_pathtrace)
+    absorb("cutouts", bench_cutouts)
     absorb("textured", bench_textured)
     absorb("regen", bench_regen_cornell, key="cornell_regen_mrays")
     absorb("pbr", bench_pbr_cornell, key="cornell_pbr_ggx_mrays")
     absorb("instanced", bench_instanced_cornell,
            key="cornell_instanced_mrays")
     absorb("whitted", bench_whitted_prims, key="whitted_prims_mrays")
-    absorb("cutouts", bench_cutouts)
     absorb("stream", bench_stream_mesh)
     absorb("mega", bench_mega_mesh)
     record["extra"]["note"] = "complete"
