@@ -554,7 +554,13 @@ def _probe_device(timeout_s: float = 600.0) -> bool:
     """True when a device op completes within the timeout. The remote-TPU
     tunnel can be down (infrastructure-side); jax then BLOCKS forever in
     backend init — a bench that hangs is worse than one that reports the
-    outage, so the probe runs in a daemon thread and we give up cleanly."""
+    outage, so probes run in daemon threads and we give up cleanly.
+
+    The tunnel FLAPS (BENCH_r04: unreachable at 07:35, healthy at 08:38),
+    so a single probe at minute 0 is not evidence for the whole run: retry
+    fresh probes until the wall budget is spent. Each retry uses a new
+    thread — backend init is process-global, so if the first attempt ever
+    unblocks, any later probe sees the initialized backend immediately."""
     import threading
     ok = []
 
@@ -564,9 +570,19 @@ def _probe_device(timeout_s: float = 600.0) -> bool:
         float(jnp.sum(jnp.ones((8,))))
         ok.append(jax.devices()[0])
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
+    deadline = time.time() + timeout_s
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        slice_s = min(120.0, max(1.0, deadline - time.time()))
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(slice_s)
+        if ok:
+            return True
+        print(f"# device probe attempt {attempt} timed out "
+              f"({slice_s:.0f}s slice); retrying until "
+              f"{timeout_s:.0f}s total", flush=True)
     return bool(ok)
 
 
@@ -623,12 +639,17 @@ def main():
     emit()
     # 600s: on a loaded 1-core host, backend init alone can take minutes
     # (observed: a 300s probe timing out while the tunnel was healthy).
-    if not _probe_device(float(os.environ.get("ORT_PROBE_TIMEOUT_S",
-                                              "600"))):
+    probe_s = float(os.environ.get("ORT_PROBE_TIMEOUT_S", "600"))
+    if not _probe_device(probe_s):
         record["extra"]["note"] = ("device unreachable (TPU tunnel down?): "
-                                   "no device op completed within 300s")
+                                   f"no device op completed within "
+                                   f"{probe_s:.0f}s (retried)")
         emit()
-        return
+        # A probe thread is still blocked inside a device op; a normal
+        # interpreter exit then aborts with rc=134 ("FATAL: exception not
+        # rethrown", BENCH_r04) and the harness records the diagnosed run
+        # as failed. Hard-exit: everything is flushed, nothing to clean.
+        os._exit(0)
     import jax
     try:
         # Persistent XLA/Mosaic compile cache: the fused megakernels cost
@@ -748,6 +769,10 @@ def main():
     absorb("mega", bench_mega_mesh)
     record["extra"]["note"] = "complete"
     emit()
+    # Same hard-exit on success: the remote-TPU runtime's teardown can hang
+    # or abort after the record is already complete on stdout; don't let
+    # interpreter shutdown turn a finished bench into a nonzero rc.
+    os._exit(0)
 
 
 if __name__ == "__main__":
