@@ -103,6 +103,12 @@ class DeviceScene:
         default_factory=TriangleGeometry.empty)
     omm_unknown_ids: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.zeros((0,), jnp.int32))
+    # Cluster table over the certain-solid split, so LARGE cutout meshes
+    # keep the Pallas cluster traversal for the one-shot occlusion query
+    # (the round-4 OMM path was brute-force-only; the reference applies
+    # micromaps on any GAS, `optixOpacityMicromap.cpp:29-30`).
+    omm_solid_clusters: ClusterSet = struct.field(
+        default_factory=ClusterSet.empty)
     omm_level: int = struct.field(pytree_node=False, default=0)
     # Static feature flags (not traced): e.g. "cutouts" enables alpha-mask
     # pass-through in the integrators. Determined at scene-build time.
@@ -133,6 +139,13 @@ class DeviceScene:
     @property
     def has_omm(self):
         return self.omm_summary.shape[0] > 0
+
+    @property
+    def omm_all_certain(self):
+        """Static: every micro-triangle in the scene is certain (no UNKNOWN
+        summaries), so micromap states fully determine pass-through and the
+        radiance loop can skip mask evaluation entirely."""
+        return self.has_omm and self.omm_unknown_ids.shape[0] == 0
 
     @property
     def has_pbr(self):
@@ -564,8 +577,31 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         features.append("volume")
     # --- opacity micromaps for cutout scenes (occlusion fast path) ---
     omm = {}
+
+    def _aux_cutout_free():
+        # The OMM occlusion path answers prim/motion occlusion with plain
+        # first-hit any-hit queries; that is only exact when no custom-prim
+        # or motion-triangle material is an alpha-mask cutout.
+        import numpy as np
+
+        def mat_is_cut(i):
+            m = materials[int(i)]
+            return bool(m.get("cutout", 0)) or m.get("alpha_mode", 0) == 1
+
+        if prims is not None and prims.num:
+            if any(mat_is_cut(i) for i in np.asarray(prims.mat_id)):
+                return False
+        if motion is not None:
+            mt = motion.get("tri_mat", 0)
+            ids = (np.asarray(mt).ravel() if hasattr(mt, "__len__")
+                   else np.asarray([mt]))
+            if any(mat_is_cut(i) for i in ids):
+                return False
+        return True
+
     if (opacity_micromaps and "cutouts" in features
-            and isinstance(materials, (list, tuple))):
+            and isinstance(materials, (list, tuple)) and instances is None
+            and _aux_cutout_free()):
         import numpy as np
         from ..accel.micromap import OPAQUE, TRANSPARENT
         tm_np = np.asarray(tri_mat)
@@ -576,15 +612,31 @@ def make_device_scene(vertices, indices, tri_mat, materials,
         solid = summary == OPAQUE
         unknown = (summary != OPAQUE) & (summary != TRANSPARENT)
         unknown_ids = np.nonzero(unknown)[0].astype(np.int32)
+        solid_geom_ = build_triangle_geometry(
+            vertices, idx_np[solid], normals=normals, uvs=uvs)
+        # Large certain-solid splits keep the cluster traversal for the
+        # one-shot occlusion query (same eligibility rule as the scene's
+        # own cluster table above).
+        solid_clusters = None
+        n_solid = solid_geom_.num_triangles
+        if (n_solid > MAX_SMEM_TRIS
+                and -(-n_solid // _CLUSTER_LANES)
+                <= MAX_SUPERCLUSTERS * SC_CLUSTERS):
+            from ..accel import native
+            order = native.sah_leaf_order(solid_geom_)
+            solid_clusters = build_clusters(
+                solid_geom_, jnp.asarray(tm_np[solid], jnp.int32),
+                order=order)
         omm = dict(
             omm_micro=jnp.asarray(states),
             omm_summary=jnp.asarray(summary),
             omm_level=omm_level,
-            omm_solid_geom=build_triangle_geometry(
-                vertices, idx_np[solid], normals=normals, uvs=uvs),
+            omm_solid_geom=solid_geom_,
             omm_unknown_geom=build_triangle_geometry(
                 vertices, idx_np[unknown], normals=normals, uvs=uvs),
             omm_unknown_ids=jnp.asarray(unknown_ids),
+            **({"omm_solid_clusters": solid_clusters}
+               if solid_clusters is not None else {}),
         )
     mgeom = MotionTriangles.empty()
     mmat = jnp.zeros((0,), jnp.int32)

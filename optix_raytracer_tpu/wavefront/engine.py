@@ -409,18 +409,57 @@ def trace_paths(scene: DeviceScene, rays: Rays, rng, max_depth: int = 4,
         is_cut = jnp.zeros_like(hit_valid)
         if scene.has_cutouts:
             from ..shade.materials import CUT_CHECKER, CUT_CIRCLE, CUT_TEXTURE
-            fu = surf_uv * m["checker_scale"][..., None]
-            cell = fu - jnp.floor(fu) - 0.5
-            checker_hole = jnp.mod(jnp.floor(fu[..., 0])
-                                   + jnp.floor(fu[..., 1]), 2.0) < 1.0
-            circle_hole = (cell[..., 0] ** 2 + cell[..., 1] ** 2) < 0.25 ** 2
-            alpha = tex_alpha if tex_alpha is not None else jnp.ones_like(hits.t)
-            tex_hole = alpha < m["alpha_cutoff"]
-            cut_kind = m["cutout"]
-            hole = jnp.where(cut_kind == CUT_CHECKER, checker_hole,
-                             jnp.where(cut_kind == CUT_CIRCLE, circle_hole,
-                                       jnp.where(cut_kind == CUT_TEXTURE,
-                                                 tex_hole, False)))
+            if scene.omm_all_certain:
+                # Micromap states decide every pass-through: the radiance
+                # anyhit lookup collapses to one per-triangle summary
+                # fetch and the mask (checker math / texture alpha) is
+                # never evaluated — the radiance-ray side of the driver
+                # skipping anyhit programs for certain micro-triangles
+                # (`optixOpacityMicromap.cpp:29-30`).
+                from ..accel.micromap import TRANSPARENT
+                pid = jnp.clip(hits.prim_id, 0,
+                               scene.omm_summary.shape[0] - 1)
+                hole = scene.omm_summary[pid] == TRANSPARENT
+            else:
+                fu = surf_uv * m["checker_scale"][..., None]
+                cell = fu - jnp.floor(fu) - 0.5
+                checker_hole = jnp.mod(jnp.floor(fu[..., 0])
+                                       + jnp.floor(fu[..., 1]), 2.0) < 1.0
+                circle_hole = (cell[..., 0] ** 2
+                               + cell[..., 1] ** 2) < 0.25 ** 2
+                alpha = (tex_alpha if tex_alpha is not None
+                         else jnp.ones_like(hits.t))
+                tex_hole = alpha < m["alpha_cutoff"]
+                cut_kind = m["cutout"]
+                hole = jnp.where(cut_kind == CUT_CHECKER, checker_hole,
+                                 jnp.where(cut_kind == CUT_CIRCLE,
+                                           circle_hole,
+                                           jnp.where(cut_kind == CUT_TEXTURE,
+                                                     tex_hole, False)))
+                if scene.has_omm:
+                    # Mixed scene: certain summaries / micro-states
+                    # override the mask result (bit-identical by
+                    # construction — states are derived from these same
+                    # masks at build time, accel/micromap.py). Prim and
+                    # motion hits are unaffected: their materials are
+                    # cutout-free by the build-time OMM gate, so
+                    # alpha_mode != 1 keeps is_cut False below.
+                    from ..accel.micromap import (OPAQUE, TRANSPARENT,
+                                                  micro_index)
+                    pid = jnp.clip(hits.prim_id, 0,
+                                   scene.omm_summary.shape[0] - 1)
+                    summ = scene.omm_summary[pid]
+                    mid = micro_index(hits.uv[..., 0], hits.uv[..., 1],
+                                      scene.omm_level)
+                    st = jnp.take_along_axis(
+                        scene.omm_micro[pid], mid[..., None],
+                        axis=-1)[..., 0]
+                    hole = jnp.where(
+                        summ == TRANSPARENT, True,
+                        jnp.where(summ == OPAQUE, False,
+                                  jnp.where(st == TRANSPARENT, True,
+                                            jnp.where(st == OPAQUE, False,
+                                                      hole))))
             is_cut = hit_valid & (m["alpha_mode"] == 1) & hole
             hit_valid = hit_valid & ~is_cut
 

@@ -126,9 +126,13 @@ def scene_any(scene: DeviceScene, rays: Rays,
               chunk_size: Optional[int] = None, times=None,
               coherent: bool = True, group_walk=None):
     if scene.has_cutouts:
-        if (scene.has_omm and not scene.prims.num and not scene.has_motion
-                and not scene.has_instances and not scene.has_clusters):
-            return _scene_any_alpha_omm(scene, rays, chunk_size)
+        # has_omm is only set at build time when the scene qualifies (no
+        # instances; prim/motion materials cutout-free — device_scene.py);
+        # the path itself handles clusters, prims and motion.
+        if scene.has_omm:
+            return _scene_any_alpha_omm(scene, rays, chunk_size,
+                                        times=times, coherent=coherent,
+                                        group_walk=group_walk)
         return _scene_any_alpha(scene, rays, chunk_size)
     if scene.has_instances:
         from ..accel import tlas
@@ -221,7 +225,8 @@ def cutout_hole_mask(scene: DeviceScene, hits: Hits):
 
 
 def _scene_any_alpha_omm(scene: DeviceScene, rays: Rays, chunk_size,
-                         max_steps: int = 64):
+                         max_steps: int = 64, times=None,
+                         coherent: bool = True, group_walk=None):
     """Occlusion with opacity micromaps wired into the anyhit path.
 
     The traversal-skips-anyhit behavior of `optixOpacityMicromap.cpp:29-30`
@@ -230,7 +235,9 @@ def _scene_any_alpha_omm(scene: DeviceScene, rays: Rays, chunk_size,
     1. Triangles CERTAIN to occlude (summary OPAQUE + all non-cutout
        geometry) answer with one first-hit-exit any-hit query — no alpha
        loop, exactly as the driver never calls the anyhit program for
-       opaque micro-triangles.
+       opaque micro-triangles. Large solid splits run the Pallas cluster
+       any-hit (scene.omm_solid_clusters); custom prims and motion
+       triangles (cutout-free by the build-time gate) fold in here too.
     2. Summary-TRANSPARENT triangles are in no occlusion set at all —
        they can never block light, so rays pass them for free.
     3. Only summary-UNKNOWN triangles run the re-entry loop, and each hit
@@ -248,11 +255,31 @@ def _scene_any_alpha_omm(scene: DeviceScene, rays: Rays, chunk_size,
     from ..accel.micromap import OPAQUE, TRANSPARENT, micro_index
     from ..shade import materials as mats
 
-    if scene.omm_solid_geom.num_triangles:
+    solid_cs = scene.omm_solid_clusters
+    if (solid_cs.num_clusters
+            and jax.default_backend() in _TPU_PLATFORMS):
+        if coherent:
+            occ0 = _flat_call(
+                lambda r: cluster_mod.any_hit(solid_cs, r, exact=True,
+                                              group_walk=group_walk), rays)
+        else:
+            occ0 = _flat_call(
+                lambda r: cluster_mod.any_hit_sorted(
+                    solid_cs, r, group_walk=group_walk), rays)
+    elif scene.omm_solid_geom.num_triangles:
         occ0 = bf.intersect_any(scene.omm_solid_geom, rays,
                                 chunk_size=chunk_size)
     else:
         occ0 = jnp.zeros(rays.tmin.shape, bool)
+    if scene.prims.num:
+        occ0 = occ0 | prim_mod.intersect_prims_any(scene.prims, rays)
+    if scene.has_motion:
+        from ..accel import motion as motion_mod
+        tt = (times if times is not None
+              else jnp.zeros(rays.tmin.shape, jnp.float32))
+        mh = motion_mod.intersect_motion_triangles(scene.motion_geom, rays,
+                                                   tt)
+        occ0 = occ0 | mh.valid
     if not scene.omm_unknown_geom.num_triangles:
         return occ0
 

@@ -163,3 +163,162 @@ class TestOmmOcclusion:
         assert s.has_omm
         assert s.omm_solid_geom.num_triangles == 2
         assert s.omm_unknown_geom.num_triangles == 0
+
+
+def _cutout_grid_scene(nx=40, ny=30, prim=False, motion=False,
+                       prim_cutout=False):
+    """A cluster-eligible cutout scene: an nx x ny grid of quads in the
+    y=300 plane, each quad one checker cell (scale 1 with per-quad uv
+    offsets -> every triangle is CERTAIN opaque or transparent), plus a
+    solid floor. Optionally a sphere prim and a moving triangle."""
+    from optix_raytracer_tpu.accel.primitives import SPHERE, make_prims
+    from optix_raytracer_tpu.scene.device_scene import make_device_scene
+    from optix_raytracer_tpu.shade import materials as mat
+    from optix_raytracer_tpu.shade.lights import ParallelogramLight
+
+    verts, idx, uvs, tri_mat = [], [], [], []
+    sx, sz = 500.0 / nx, 500.0 / ny
+    for j in range(ny):
+        for i in range(nx):
+            b = len(verts)
+            x0, z0 = i * sx, j * sz
+            verts += [[x0, 300, z0], [x0 + sx, 300, z0],
+                      [x0 + sx, 300, z0 + sz], [x0, 300, z0 + sz]]
+            uvs += [[i, j], [i + 1, j], [i + 1, j + 1], [i, j + 1]]
+            idx += [[b, b + 1, b + 2], [b, b + 2, b + 3]]
+            tri_mat += [1, 1]
+    # solid floor (no cutout)
+    b = len(verts)
+    verts += [[0, 0, 0], [500, 0, 0], [500, 0, 500], [0, 0, 500]]
+    uvs += [[0, 0], [1, 0], [1, 1], [0, 1]]
+    idx += [[b, b + 2, b + 1], [b, b + 3, b + 2]]
+    tri_mat += [0, 0]
+    materials = [
+        {"kind": mat.DIFFUSE, "base_color": (0.7, 0.7, 0.7)},
+        {"kind": mat.DIFFUSE, "base_color": (0.8, 0.8, 0.8),
+         "alpha_mode": mat.ALPHA_MASK, "cutout": mat.CUT_CHECKER,
+         "checker_scale": 1.0},
+    ]
+    prims = None
+    if prim or prim_cutout:
+        materials.append({"kind": mat.DIFFUSE, "base_color": (0.6, 0.6, 0.6),
+                          **({"alpha_mode": mat.ALPHA_MASK,
+                              "cutout": mat.CUT_CHECKER,
+                              "checker_scale": 2.0} if prim_cutout else {})})
+        prims = make_prims([{"kind": SPHERE, "center": (250, 150, 250),
+                             "radius": 60.0,
+                             "mat_id": len(materials) - 1}])
+    mo = None
+    if motion:
+        mo = {"verts0": np.array([[100, 100, 100], [200, 100, 100],
+                                  [150, 200, 100]], np.float32),
+              "verts1": np.array([[120, 100, 100], [220, 100, 100],
+                                  [170, 200, 100]], np.float32),
+              "indices": np.array([[0, 1, 2]], np.int32), "tri_mat": 0}
+    light = ParallelogramLight.make((150, 640, 150), (200, 0, 0),
+                                    (0, 0, 200), (15.0, 15.0, 15.0))
+    return make_device_scene(
+        np.asarray(verts, np.float32), np.asarray(idx, np.int32),
+        np.asarray(tri_mat, np.int32), materials,
+        uvs=np.asarray(uvs, np.float32), area_light=light,
+        prims=prims, motion=mo)
+
+
+class TestOmmGeneralized:
+    """Round-5 generalization: OMM occlusion on cluster-tier scenes and
+    scenes with custom prims / motion (the reference applies micromaps to
+    every anyhit lookup on any GAS, `optixOpacityMicromap.cpp:29-30`)."""
+
+    def test_cluster_scene_builds_solid_clusters(self):
+        s = _cutout_grid_scene()
+        assert s.has_omm
+        # 2400 grid tris, half opaque (checker) + 2 floor tris
+        assert s.omm_solid_geom.num_triangles > 512
+        assert s.omm_solid_clusters.num_clusters > 0
+        # every grid triangle is certain: one checker cell per quad
+        assert s.omm_unknown_geom.num_triangles == 0
+        assert s.omm_all_certain
+
+    def test_solid_cluster_anyhit_matches_bruteforce(self):
+        from optix_raytracer_tpu.accel import bruteforce as bf
+        from optix_raytracer_tpu.accel import clusters as cl
+        s = _cutout_grid_scene()
+        rays = _shadow_rays(1024, seed=3)
+        occ_cl = np.asarray(cl.any_hit(s.omm_solid_clusters, rays,
+                                       interpret=True, exact=True))
+        occ_bf = np.asarray(bf.intersect_any(s.omm_solid_geom, rays))
+        np.testing.assert_array_equal(occ_cl, occ_bf)
+
+    def test_scene_any_parity_with_prims_and_motion(self):
+        s = _cutout_grid_scene(prim=True, motion=True)
+        assert s.has_omm
+        rays = _shadow_rays(2048, seed=5)
+        fast = np.asarray(ix.scene_any(s, rays, None))
+        slow = np.asarray(ix._scene_any_alpha(s, rays, None))
+        np.testing.assert_array_equal(fast, slow)
+        assert 0.0 < fast.mean() < 1.0
+
+    def test_prim_cutout_material_disables_omm(self):
+        s = _cutout_grid_scene(prim_cutout=True)
+        # a cutout material on a custom prim cannot take the OMM fast
+        # path (its anyhit loop is mask-driven); the build-time gate
+        # must fall back to the plain alpha loop
+        assert not s.has_omm
+
+    def test_radiance_engine_parity_omm_on_off(self):
+        """The radiance-ray cutout pass-through consults micromap states;
+        with states derived from the same masks the render must be
+        bit-identical to the mask-evaluating path."""
+        import jax.numpy as jnp
+        from optix_raytracer_tpu.apps.cutouts import cutout_cornell
+        from optix_raytracer_tpu.core.film import Film
+        from optix_raytracer_tpu.scene import builtins
+        from optix_raytracer_tpu.wavefront.engine import render_accumulate
+
+        s_on = cutout_cornell()
+        assert s_on.has_omm and not s_on.omm_all_certain
+        from optix_raytracer_tpu.accel.geometry import TriangleGeometry
+        s_off = s_on.replace(
+            omm_micro=jnp.zeros((0, 1), jnp.uint8),
+            omm_summary=jnp.zeros((0,), jnp.uint8),
+            omm_unknown_ids=jnp.zeros((0,), jnp.int32))
+        assert not s_off.has_omm
+        w = h = 64
+        cam = builtins.cornell_camera(w, h).params()
+        imgs = []
+        for s in (s_on, s_off):
+            film = Film.create(h, w)
+            film, _ = render_accumulate(s, cam, film, w, h,
+                                        samples_per_launch=2, max_depth=3,
+                                        chunk_size=None)
+            imgs.append(np.asarray(film.accum))
+        np.testing.assert_array_equal(imgs[0], imgs[1])
+
+    def test_radiance_all_certain_shortcut_parity(self):
+        """omm_all_certain scenes skip mask evaluation entirely in the
+        radiance loop; the summary-driven pass-through must agree with
+        the full mask path."""
+        import jax.numpy as jnp
+        from optix_raytracer_tpu.core.film import Film
+        from optix_raytracer_tpu.scene import builtins
+        from optix_raytracer_tpu.wavefront.engine import render_accumulate
+
+        s_on = _cutout_grid_scene()
+        assert s_on.omm_all_certain
+        s_off = s_on.replace(
+            omm_micro=jnp.zeros((0, 1), jnp.uint8),
+            omm_summary=jnp.zeros((0,), jnp.uint8),
+            omm_unknown_ids=jnp.zeros((0,), jnp.int32))
+        w = h = 48
+        from optix_raytracer_tpu.core.camera import Camera
+        cam = Camera(eye=(250.0, 150.0, -400.0),
+                     lookat=(250.0, 150.0, 250.0), up=(0.0, 1.0, 0.0),
+                     fov_y=60.0, aspect=1.0).params()
+        imgs = []
+        for s in (s_on, s_off):
+            film = Film.create(h, w)
+            film, _ = render_accumulate(s, cam, film, w, h,
+                                        samples_per_launch=2, max_depth=3,
+                                        chunk_size=None)
+            imgs.append(np.asarray(film.accum))
+        np.testing.assert_array_equal(imgs[0], imgs[1])

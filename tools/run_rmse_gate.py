@@ -20,10 +20,21 @@ sRGB space (`cuda/helpers.h:35-66` semantics, no 8-bit quantization) after
 the accumulation mean (`optixPathTracer.cu:312-318`).
 
 Writes RMSE.json at the repo root; bench.py folds `cornell_rmse_vs_oracle`
-(the debiased number) into its extras.
+(the debiased number) into its extras. RMSE.json keeps the headline point's
+fields at top level (back-compat with bench.py) and records every gate
+point ever run under "points" keyed by label, so the depth-4 engine point,
+the fused-Pallas-kernel point, and the 512^2 point coexist.
+
+The oracle renders are the cost driver (hours of single-core numpy), so
+they are cached on disk keyed by (dim, spp, depth, seed) under
+$ORT_ORACLE_CACHE (default /tmp/ort_oracle_cache): the engine-XLA and the
+fused-kernel gate points at the same config share one oracle pair, and
+`--oracle-only` precomputes the pair in a background process.
 
 Usage: python tools/run_rmse_gate.py [--dim 256] [--spp 4096]
        [--oracle-spp 2048] (per split half; oracle cost dominates)
+       [--max-depth 4] [--impl auto|xla|fused|fused_interpret]
+       [--label NAME] [--oracle-only] [--no-headline]
 """
 from __future__ import annotations
 
@@ -40,7 +51,7 @@ sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 
 def engine_render(scene, cam, w, h, spp, subframe0=0, spl=64,
-                  max_depth=3):
+                  max_depth=3, impl="auto"):
     """Mean radiance over subframes [subframe0, subframe0 + spp)."""
     import jax.numpy as jnp
     from optix_raytracer_tpu.core.film import Film
@@ -53,7 +64,8 @@ def engine_render(scene, cam, w, h, spp, subframe0=0, spl=64,
         n = min(spl, spp - done)
         film, _ = render_accumulate(scene, cam, film, w, h,
                                     samples_per_launch=n,
-                                    max_depth=max_depth, chunk_size=None)
+                                    max_depth=max_depth, chunk_size=None,
+                                    impl=impl)
         done += n
     import numpy as np
     # film.subframe seeds the RNG streams (subframe0 offsets make the two
@@ -65,11 +77,31 @@ def engine_render(scene, cam, w, h, spp, subframe0=0, spl=64,
             * (subframe0 + spp) / float(spp))
 
 
-def gate(dim=256, spp=4096, oracle_spp=2048, max_depth=3):
+def _oracle_cached(sc_np, cam_np, w, h, spp, max_depth, seed):
+    """Disk-cached oracle render (hours of single-core numpy per point —
+    the engine-XLA and fused-kernel gate points share one oracle pair)."""
+    import numpy as np
+    from oracle_pt import render_oracle
+
+    cache_dir = os.environ.get("ORT_ORACLE_CACHE", "/tmp/ort_oracle_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    key = f"cornell_d{w}x{h}_spp{spp}_depth{max_depth}_seed{seed}.npz"
+    path = os.path.join(cache_dir, key)
+    if os.path.exists(path):
+        print(f"# oracle cache hit: {key}", flush=True)
+        return np.load(path)["img"]
+    img = render_oracle(sc_np, cam_np, w, h, samples=spp,
+                        max_depth=max_depth, seed=seed)
+    np.savez_compressed(path, img=img)
+    return img
+
+
+def gate(dim=256, spp=4096, oracle_spp=2048, max_depth=3, impl="auto",
+         oracle_only=False):
     import numpy as np
     from optix_raytracer_tpu.core.film import linear_to_srgb
     from optix_raytracer_tpu.scene.builtins import cornell_box, cornell_camera
-    from oracle_pt import render_oracle, scene_to_numpy
+    from oracle_pt import scene_to_numpy
 
     w = h = dim
     scene = cornell_box()
@@ -77,21 +109,21 @@ def gate(dim=256, spp=4096, oracle_spp=2048, max_depth=3):
     cam_np = {k: np.asarray(v) for k, v in cam.items()}
 
     t0 = time.time()
-    e1 = engine_render(scene, cam, w, h, spp, subframe0=0,
-                       max_depth=max_depth)
-    e2 = engine_render(scene, cam, w, h, spp, subframe0=1 << 16,
-                       max_depth=max_depth)
-    t_engine = time.time() - t0
-    print(f"# engine 2x{spp}spp: {t_engine:.1f}s", flush=True)
-
-    t0 = time.time()
     sc_np = scene_to_numpy(scene)
-    o1 = render_oracle(sc_np, cam_np, w, h, samples=oracle_spp,
-                       max_depth=max_depth, seed=11)
-    o2 = render_oracle(sc_np, cam_np, w, h, samples=oracle_spp,
-                       max_depth=max_depth, seed=12)
+    o1 = _oracle_cached(sc_np, cam_np, w, h, oracle_spp, max_depth, seed=11)
+    o2 = _oracle_cached(sc_np, cam_np, w, h, oracle_spp, max_depth, seed=12)
     t_oracle = time.time() - t0
     print(f"# oracle 2x{oracle_spp}spp: {t_oracle:.1f}s", flush=True)
+    if oracle_only:
+        return None
+
+    t0 = time.time()
+    e1 = engine_render(scene, cam, w, h, spp, subframe0=0,
+                       max_depth=max_depth, impl=impl)
+    e2 = engine_render(scene, cam, w, h, spp, subframe0=1 << 16,
+                       max_depth=max_depth, impl=impl)
+    t_engine = time.time() - t0
+    print(f"# engine[{impl}] 2x{spp}spp: {t_engine:.1f}s", flush=True)
 
     def srgb(x):
         return np.asarray(linear_to_srgb(np.clip(x, 0.0, 1.0)), np.float64)
@@ -114,7 +146,7 @@ def gate(dim=256, spp=4096, oracle_spp=2048, max_depth=3):
         "bias_resolution_2sigma": round(float(np.sqrt(res2)), 6),
         "engine_self_noise_rmse": round(self_noise, 6),
         "dim": dim, "spp_per_half": spp, "oracle_spp_per_half": oracle_spp,
-        "max_depth": max_depth,
+        "max_depth": max_depth, "impl": impl,
         "engine_seconds": round(t_engine, 1),
         "oracle_seconds": round(t_oracle, 1),
         "space": "float sRGB after accumulation mean",
@@ -126,21 +158,51 @@ def main():
     p.add_argument("--dim", type=int, default=256)
     p.add_argument("--spp", type=int, default=4096)
     p.add_argument("--oracle-spp", type=int, default=2048)
+    p.add_argument("--max-depth", type=int, default=4)
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "xla", "fused", "fused_interpret"])
+    p.add_argument("--label", default=None,
+                   help="key under RMSE.json points (default: derived)")
+    p.add_argument("--oracle-only", action="store_true",
+                   help="only (pre)compute the cached oracle pair, no gate")
+    p.add_argument("--no-headline", action="store_true",
+                   help="record under points only; keep current top-level")
     p.add_argument("--out", default=os.path.join(_ROOT, "RMSE.json"))
     args = p.parse_args()
+    if args.oracle_only:
+        gate(args.dim, args.spp, args.oracle_spp, args.max_depth,
+             oracle_only=True)
+        print("# oracle pair cached")
+        return
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
-    r = gate(args.dim, args.spp, args.oracle_spp)
+    r = gate(args.dim, args.spp, args.oracle_spp, args.max_depth,
+             impl=args.impl)
     r["device"] = str(jax.devices()[0])
     print(json.dumps(r))
+    label = args.label or f"{args.impl}_depth{args.max_depth}_{args.dim}"
+    prev = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+    points = prev.pop("points", {})
+    # preserve any pre-"points" record as its own point
+    if prev and "cornell_rmse_vs_oracle" in prev:
+        old_label = (f"{prev.get('impl', 'auto')}"
+                     f"_depth{prev.get('max_depth', '?')}"
+                     f"_{prev.get('dim', '?')}")
+        points.setdefault(old_label, prev)
+    points[label] = r
+    top = dict(prev if args.no_headline else r)
+    top["points"] = points
     with open(args.out, "w") as f:
-        json.dump(r, f, indent=1)
+        json.dump(top, f, indent=1)
     ok = r["cornell_rmse_vs_oracle"] <= 1e-3
-    print(f"# gate {'PASS' if ok else 'FAIL'}: debiased RMSE "
+    print(f"# gate[{label}] {'PASS' if ok else 'FAIL'}: debiased RMSE "
           f"{r['cornell_rmse_vs_oracle']:.2e} (resolution "
           f"{r['bias_resolution_2sigma']:.2e}, raw {r['cornell_rmse_raw']:.2e})")
 
