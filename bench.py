@@ -547,6 +547,36 @@ def bench_cutouts():
         jax.jit(lambda r: ix._scene_any_alpha_omm(s2, r, None)))
     out["opaque_alpha_anyhit_noomm_mrays"] = time_it(
         jax.jit(lambda r: ix._scene_any_alpha(s2, r, None)))
+
+    # Cluster-tier OMM (round-5 generalization): a 2402-tri cutout grid
+    # whose certain-solid split (~1200 tris) runs the Pallas cluster
+    # any-hit for the one-shot occlusion query, vs the plain alpha
+    # re-entry loop over the same cluster scene. The reference applies
+    # micromaps on any GAS (`optixOpacityMicromap.cpp:29-30`).
+    from optix_raytracer_tpu.apps.cutouts import cutout_grid
+    s3 = cutout_grid()
+    assert s3.has_omm and s3.omm_solid_clusters.num_clusters > 0
+    o3 = rng.uniform([50, 50, 50], [450, 250, 450], (n, 3)).astype(
+        np.float32)
+    d3 = rng.normal(size=(n, 3)).astype(np.float32)
+    d3 /= np.linalg.norm(d3, axis=1, keepdims=True)
+    rays3 = Rays(origin=jnp.asarray(o3), direction=jnp.asarray(d3),
+                 tmin=jnp.full((n,), 1e-2, jnp.float32),
+                 tmax=jnp.full((n,), 1e4, jnp.float32))
+
+    def time_it3(fn):
+        occ = fn(rays3)
+        float(jnp.sum(occ.astype(jnp.float32)))
+        t0 = time.time()
+        for _ in range(3):
+            occ = fn(rays3)
+        float(jnp.sum(occ.astype(jnp.float32)))
+        return round(3 * n / (time.time() - t0) / 1e6, 1)
+
+    out["cutout_cluster_anyhit_mrays"] = time_it3(
+        jax.jit(lambda r: ix.scene_any(s3, r, None)))
+    out["cutout_cluster_noomm_mrays"] = time_it3(
+        jax.jit(lambda r: ix._scene_any_alpha(s3, r, None)))
     return out
 
 
@@ -601,6 +631,7 @@ _EXPECTED_EXTRAS = [
     "knot4m_closest_mrays", "knot4m_tris",
     "cutout_anyhit_mrays", "cutout_anyhit_noomm_mrays",
     "opaque_alpha_anyhit_mrays", "opaque_alpha_anyhit_noomm_mrays",
+    "cutout_cluster_anyhit_mrays", "cutout_cluster_noomm_mrays",
 ]
 
 

@@ -50,6 +50,43 @@ def cutout_cornell():
                              area_light=light)
 
 
+def cutout_grid(nx=40, ny=30):
+    """A cluster-eligible cutout scene: an nx x ny grid of quads in the
+    y=300 plane, each quad exactly one checker cell (scale 1 with
+    per-quad-offset uvs, so every triangle is CERTAIN opaque or
+    transparent), over a solid floor. Exercises the opacity-micromap
+    integration on the cluster-tier traversal (the reference applies
+    micromaps to any GAS, `optixOpacityMicromap.cpp:29-30`)."""
+    verts, idx, uvs, tri_mat = [], [], [], []
+    sx, sz = 500.0 / nx, 500.0 / ny
+    for j in range(ny):
+        for i in range(nx):
+            b = len(verts)
+            x0, z0 = i * sx, j * sz
+            verts += [[x0, 300, z0], [x0 + sx, 300, z0],
+                      [x0 + sx, 300, z0 + sz], [x0, 300, z0 + sz]]
+            uvs += [[i, j], [i + 1, j], [i + 1, j + 1], [i, j + 1]]
+            idx += [[b, b + 1, b + 2], [b, b + 2, b + 3]]
+            tri_mat += [1, 1]
+    b = len(verts)
+    verts += [[0, 0, 0], [500, 0, 0], [500, 0, 500], [0, 0, 500]]
+    uvs += [[0, 0], [1, 0], [1, 1], [0, 1]]
+    idx += [[b, b + 2, b + 1], [b, b + 3, b + 2]]
+    tri_mat += [0, 0]
+    materials = [
+        {"kind": mat.DIFFUSE, "base_color": (0.7, 0.7, 0.7)},
+        {"kind": mat.DIFFUSE, "base_color": (0.8, 0.8, 0.8),
+         "alpha_mode": mat.ALPHA_MASK, "cutout": mat.CUT_CHECKER,
+         "checker_scale": 1.0},
+    ]
+    light = ParallelogramLight.make((150, 640, 150), (200, 0, 0),
+                                    (0, 0, 200), (15.0, 15.0, 15.0))
+    return make_device_scene(
+        np.asarray(verts, np.float32), np.asarray(idx, np.int32),
+        np.asarray(tri_mat, np.int32), materials,
+        uvs=np.asarray(uvs, np.float32), area_light=light)
+
+
 def render(width=768, height=768, samples=16, max_depth=4):
     scene = cutout_cornell()
     cam = builtins.cornell_camera(width, height).params()

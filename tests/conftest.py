@@ -44,4 +44,7 @@ def _clear_jax_caches_per_module():
     cross-module recompiles are rare because fixtures don't cross
     modules either."""
     yield
-    jax.clear_caches()
+    if os.environ.get("ORT_TEST_CLEARCACHES", "1") != "0":
+        # ORT_TEST_CLEARCACHES=0 disables the workaround (reproducer runs
+        # chasing the root cause keep every executable live).
+        jax.clear_caches()
