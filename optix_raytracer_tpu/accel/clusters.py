@@ -815,8 +815,15 @@ def _member_cross(a, ab):
 
 def _sc_closest_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
                        rays_ref, f_out, bt_s, bu_s, bv_s, bn_s, bid_s,
-                       cbuf, sem, *, early_exit: bool):
-    """Supercluster streaming closest-hit walk (see tier comment above)."""
+                       cbuf, sem, hv_s, *, early_exit: bool):
+    """Supercluster streaming closest-hit walk (see tier comment above).
+
+    Member gating (round-5 fix): the round-4 body reduced the (SUB, 128)
+    member-cross matrix 32 times (once per member, ~200 cy of cross-
+    sublane tree each) — measured 10.3 us of overhead per (block, SC)
+    step (tools/profile_sc.py), 86% of the 4M-tier walltime against a
+    ~65 ms DMA+pair speed-of-light. Now: ONE axis-0 reduce into the hv_s
+    scratch row, then 32 scalar-load gates."""
     c_pad = list_ref.shape[2]
     for g in range(GROUPS):
         a = rays_ref[g * SUB:(g + 1) * SUB, :]
@@ -852,11 +859,10 @@ def _sc_closest_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
                 s = list_ref[0, g, k] & 0xFFFF
                 slot = jax.lax.rem(k, NBUF_SC)
                 cross = _member_cross(a, msc_ref[pl.ds(s, 1)][0])
+                hv_s[...] = jnp.max(cross.astype(jnp.float32), axis=0,
+                                    keepdims=True)          # (1, 128)
                 for c in range(SC_CLUSTERS):
-                    hitc = jnp.max(
-                        cross[:, c:c + 1].astype(jnp.float32))
-
-                    @pl.when(hitc > 0.0)
+                    @pl.when(hv_s[0, c] > 0.0)
                     def _(c=c, slot=slot):
                         blk = cbuf[pl.ds(slot * SC_CLUSTERS + c, 1)][0]
                         _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
@@ -880,8 +886,9 @@ def _sc_closest_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
 
 
 def _sc_any_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
-                   rays_ref, occ_out, occ_s, cbuf, sem):
-    """Supercluster streaming occlusion walk."""
+                   rays_ref, occ_out, occ_s, cbuf, sem, hv_s):
+    """Supercluster streaming occlusion walk (same one-reduce member
+    gating as _sc_closest_kernel)."""
     c_pad = list_ref.shape[2]
     for g in range(GROUPS):
         count = count_ref[0, g, 0]
@@ -916,11 +923,10 @@ def _sc_any_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
                 s = list_ref[0, g, k] & 0xFFFF
                 slot = jax.lax.rem(k, NBUF_SC)
                 cross = _member_cross(a, msc_ref[pl.ds(s, 1)][0])
+                hv_s[...] = jnp.max(cross.astype(jnp.float32), axis=0,
+                                    keepdims=True)          # (1, 128)
                 for c in range(SC_CLUSTERS):
-                    hitc = jnp.max(
-                        cross[:, c:c + 1].astype(jnp.float32))
-
-                    @pl.when(hitc > 0.0)
+                    @pl.when(hv_s[0, c] > 0.0)
                     def _(c=c, slot=slot):
                         blk = cbuf[pl.ds(slot * SC_CLUSTERS + c, 1)][0]
                         tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz,
@@ -1077,7 +1083,8 @@ def _closest_core(cl: ClusterSet, packed, interpret, early_exit,
         extra_args = [member_aabb]
         scratch += [pltpu.VMEM((NBUF_SC * SC_CLUSTERS, 32, LANES),
                                jnp.float32),
-                    pltpu.SemaphoreType.DMA((NBUF_SC,))]
+                    pltpu.SemaphoreType.DMA((NBUF_SC,)),
+                    pltpu.VMEM((1, LANES), jnp.float32)]   # member-hit row
     else:
         c_pad = cl.num_rows * LANES
         counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
@@ -1299,7 +1306,8 @@ def _any_core(cl: ClusterSet, packed, interpret, exact=False,
         scratch = [pltpu.VMEM((SUB, 1), jnp.int32),
                    pltpu.VMEM((NBUF_SC * SC_CLUSTERS, 32, LANES),
                               jnp.float32),
-                   pltpu.SemaphoreType.DMA((NBUF_SC,))]
+                   pltpu.SemaphoreType.DMA((NBUF_SC,)),
+                   pltpu.VMEM((1, LANES), jnp.float32)]   # member-hit row
     else:
         c_pad = cl.num_rows * LANES
         counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,

@@ -134,8 +134,11 @@ def _oct_cull(cl: ClusterSet, packed, n_blocks, c_pad, interpret=False):
 
 def _build_queue(om, n_clusters, n_padded, k_cap):
     """om: [n_blocks, c_pad] i32 octet crossing masks. Returns
-    (step_cluster [n_steps] i32, work_oct [k_cap] i32 (-1 = padding),
-    overflow [] bool, n_items [] i32)."""
+    (steps [3, n_steps] i32 (rows: cluster id, out-block index, qrays
+    block index — dead steps point at block 0 / the spill out column, so
+    the pipeline's revisit logic skips their DMAs entirely),
+    work_oct [k_cap] i32 (-1 = padding), overflow [] bool,
+    n_items [] i32)."""
     n_blocks, c_pad = om.shape
     n_oct = n_padded // OCT                      # == n_blocks * (SUB//OCT)
     # [C, O] cluster-major crossing matrix
@@ -155,20 +158,28 @@ def _build_queue(om, n_clusters, n_padded, k_cap):
     ok = bits_cm.reshape(-1)
     work_oct = jnp.full((k_cap,), -1, jnp.int32).at[
         jnp.where(ok, slot, k_cap)].set(octet, mode="drop")
-    # per-step cluster id: step s sits inside cluster c's padded run
+    # per-step indices: step s sits inside cluster c's padded run; steps
+    # past n_items (the static capacity tail) are dead — they keep the
+    # previous cluster/qrays block and write the spill out column, so
+    # consecutive dead steps cost no DMA at all (revisit dedup).
     n_steps = k_cap // ITEMS
     run_end = jnp.cumsum(pad_c)                              # [C]
-    step_cluster = jnp.searchsorted(
-        run_end, jnp.arange(n_steps, dtype=jnp.int32) * ITEMS,
-        side="right").astype(jnp.int32)
+    sidx = jnp.arange(n_steps, dtype=jnp.int32)
+    step_cluster = jnp.searchsorted(run_end, sidx * ITEMS,
+                                    side="right").astype(jnp.int32)
     step_cluster = jnp.minimum(step_cluster, n_clusters - 1)
-    return step_cluster, work_oct, overflow, n_items
+    live = sidx * ITEMS < n_items
+    step_out = jnp.where(live, sidx, n_steps)                # spill col
+    step_q = jnp.where(live, sidx, 0)
+    steps = jnp.stack([step_cluster, step_out, step_q])
+    return steps, work_oct, overflow, n_items
 
 
 def _marshal(packed, work_oct, n_padded):
-    """Gather each work item's 8 packed ray rows -> ([k*8, 8] f32 rays,
-    [k*8] i32 source row ids; padding rows get an empty window and the
-    drop id n_padded)."""
+    """Gather each work item's 8 packed ray rows -> ([8, k*8] f32 PLANAR
+    rays (components on sublanes — the [k*8, 8] layout would lane-pad
+    8 -> 128 = 16x HBM expansion), [k*8] i32 source row ids; padding rows
+    get an empty window and the drop id n_padded)."""
     k_cap = work_oct.shape[0]
     octs = packed.reshape(n_padded // OCT, OCT, 8)
     dead = work_oct < 0
@@ -179,87 +190,104 @@ def _marshal(packed, work_oct, n_padded):
     qrow = jnp.where(dead[:, None], n_padded,
                      work_oct[:, None] * OCT
                      + jnp.arange(OCT, dtype=jnp.int32)[None, :])
-    return q.reshape(k_cap * OCT, 8), qrow.reshape(k_cap * OCT)
+    return (q.reshape(k_cap * OCT, 8).T, qrow.reshape(k_cap * OCT))
 
 
 # ---------------------------------------------------------------------------
 # Stage 4: queue kernels
 # ---------------------------------------------------------------------------
 
+def _planar_comps(a):
+    """(8, ROWS) planar block -> eight (ROWS, LANES) broadcasts. One
+    sublane<->lane transpose per component (the planar HBM layout is what
+    keeps marshaling pad-free; the transpose is per-step VMEM work)."""
+    return [jnp.broadcast_to(jnp.transpose(a[j:j + 1, :], (1, 0)),
+                             (ROWS, LANES)) for j in range(8)]
+
+
 def _q_any_kernel(sc_ref, qrays_ref, comp_ref, out_ref):
-    del sc_ref
-    blk = comp_ref[0]                                        # (32, 128)
-    a = qrays_ref[...]                                       # (ROWS, 8)
-    sub = [jnp.broadcast_to(a[:, j:j + 1], (ROWS, LANES)) for j in range(8)]
-    ox, oy, oz, dx, dy, dz, tmin, tmax = sub
-    tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
-    real = blk[16:17, :] >= 0.0                  # padding slots: prim id -1
-    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-          & (tt > tmin) & (tt < tmax) & real)
-    occ = jnp.max(ok.astype(jnp.float32), axis=1, keepdims=True)  # (ROWS,1)
-    out_ref[...] = jnp.transpose(occ, (1, 0))                # (1, ROWS)
+    # Steps past the real item count (static-capacity tail) skip compute
+    # entirely; their spill-column output is discarded by the caller.
+    live = sc_ref[1, pl.program_id(0)] < pl.num_programs(0)
+
+    @pl.when(live)
+    def _():
+        blk = comp_ref[0]                                    # (32, 128)
+        ox, oy, oz, dx, dy, dz, tmin, tmax = _planar_comps(qrays_ref[...])
+        tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
+        real = blk[16:17, :] >= 0.0              # padding slots: prim id -1
+        ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+              & (tt > tmin) & (tt < tmax) & real)
+        occ = jnp.max(ok.astype(jnp.float32), axis=1,
+                      keepdims=True)                         # (ROWS, 1)
+        out_ref[...] = jnp.transpose(occ, (1, 0))            # (1, ROWS)
 
 
 def _q_closest_kernel(sc_ref, qrays_ref, comp_ref, out_ref):
     """Per-step lane reduction -> (8, ROWS) candidate rows: t u v nx ny nz
     prim mat (t = tmax where no lane hit; prim = -1)."""
-    del sc_ref
-    blk = comp_ref[0]
-    a = qrays_ref[...]
-    sub = [jnp.broadcast_to(a[:, j:j + 1], (ROWS, LANES)) for j in range(8)]
-    ox, oy, oz, dx, dy, dz, tmin, tmax = sub
-    tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
-    real = blk[16:17, :] >= 0.0
-    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-          & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-          & (tt > tmin) & (tt < tmax) & real)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-    ttm = jnp.where(ok, tt, _BIG)
-    row_t = jnp.min(ttm, axis=1, keepdims=True)              # (ROWS, 1)
-    winner = (ttm == row_t) & ok
-    win_lane = jnp.min(jnp.where(winner, lane, LANES), axis=1,
-                       keepdims=True)
-    sel = winner & (lane == win_lane)
+    live = sc_ref[1, pl.program_id(0)] < pl.num_programs(0)
 
-    def pick(x):
-        return jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+    @pl.when(live)
+    def _():
+        blk = comp_ref[0]
+        ox, oy, oz, dx, dy, dz, tmin, tmax = _planar_comps(qrays_ref[...])
+        tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy, dz)
+        real = blk[16:17, :] >= 0.0
+        ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+              & (tt > tmin) & (tt < tmax) & real)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        ttm = jnp.where(ok, tt, _BIG)
+        row_t = jnp.min(ttm, axis=1, keepdims=True)          # (ROWS, 1)
+        winner = (ttm == row_t) & ok
+        win_lane = jnp.min(jnp.where(winner, lane, LANES), axis=1,
+                           keepdims=True)
+        sel = winner & (lane == win_lane)
 
-    hit = row_t < _BIG
-    uu_w, vv_w = pick(uu), pick(vv)
-    out = jnp.concatenate([
-        jnp.where(hit, row_t, a[:, 7:8]),
-        uu_w, vv_w,
-        pick(blk[18:19, :] + uu * blk[21:22, :] + vv * blk[24:25, :]),
-        pick(blk[19:20, :] + uu * blk[22:23, :] + vv * blk[25:26, :]),
-        pick(blk[20:21, :] + uu * blk[23:24, :] + vv * blk[26:27, :]),
-        jnp.where(hit, pick(blk[16:17, :]), -1.0),
-        jnp.where(hit, pick(blk[17:18, :]), -1.0),
-    ], axis=1)                                               # (ROWS, 8)
-    out_ref[...] = jnp.transpose(out, (1, 0))                # (8, ROWS)
+        def pick(x):
+            return jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+
+        hit = row_t < _BIG
+        uu_w, vv_w = pick(uu), pick(vv)
+        out = jnp.concatenate([
+            jnp.where(hit, row_t, tmax[:, 0:1]),
+            uu_w, vv_w,
+            pick(blk[18:19, :] + uu * blk[21:22, :] + vv * blk[24:25, :]),
+            pick(blk[19:20, :] + uu * blk[22:23, :] + vv * blk[25:26, :]),
+            pick(blk[20:21, :] + uu * blk[23:24, :] + vv * blk[26:27, :]),
+            jnp.where(hit, pick(blk[16:17, :]), -1.0),
+            jnp.where(hit, pick(blk[17:18, :]), -1.0),
+        ], axis=1)                                           # (ROWS, 8)
+        out_ref[...] = jnp.transpose(out, (1, 0))            # (8, ROWS)
 
 
-def _run_queue(kernel, out_rows, cl, step_cluster, qrays, interpret):
-    n_steps = step_cluster.shape[0]
+def _run_queue(kernel, out_rows, cl, steps, qrays, interpret):
+    """steps: [3, n_steps] i32 (cluster id, out col, qrays col). The out
+    array carries one spill column past n_steps for dead steps; callers
+    slice [:, :n_steps * ROWS]."""
+    n_steps = steps.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((ROWS, 8), lambda i, sc: (i, 0),
+            pl.BlockSpec((8, ROWS), lambda i, sc: (0, sc[2, i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, LANES), lambda i, sc: (sc[i], 0, 0),
+            pl.BlockSpec((1, 32, LANES), lambda i, sc: (sc[0, i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((out_rows, ROWS), lambda i, sc: (0, i),
+        out_specs=pl.BlockSpec((out_rows, ROWS), lambda i, sc: (0, sc[1, i]),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_rows, n_steps * ROWS),
+        out_shape=jax.ShapeDtypeStruct((out_rows, (n_steps + 1) * ROWS),
                                        jnp.float32),
         interpret=interpret,
-    )(step_cluster, qrays, cl.comp)
+    )(steps, qrays, cl.comp)
+    return out[:, :n_steps * ROWS]
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +306,7 @@ def _prep(cl: ClusterSet, rays: Rays, qf: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "qf"))
 def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
-            qf: int = 16):
+            qf: int = 6):
     """Occlusion via the cluster-major queue -> bool [N].
 
     Capacity overflow (work list larger than qf items/octet) falls back
@@ -288,10 +316,10 @@ def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
 
     n, n_padded, packed, n_blocks, c_pad, k_cap = _prep(cl, rays, qf)
     om = _oct_cull(cl, packed, n_blocks, c_pad, interpret)
-    step_cluster, work_oct, overflow, _ = _build_queue(
+    steps, work_oct, overflow, _ = _build_queue(
         om, cl.num_clusters, n_padded, k_cap)
     qrays, qrow = _marshal(packed, work_oct, n_padded)
-    occ = _run_queue(_q_any_kernel, 1, cl, step_cluster, qrays, interpret)
+    occ = _run_queue(_q_any_kernel, 1, cl, steps, qrays, interpret)
     acc = jax.ops.segment_max(occ[0], qrow, num_segments=n_padded + 1,
                               indices_are_sorted=False)
     return jax.lax.cond(
@@ -303,17 +331,17 @@ def any_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "qf"))
 def closest_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
-                qf: int = 16):
+                qf: int = 6):
     """Closest hit via the cluster-major queue -> Hits [N]."""
     from .clusters import _hits_from_rows
     from . import clusters as cluster_mod
 
     n, n_padded, packed, n_blocks, c_pad, k_cap = _prep(cl, rays, qf)
     om = _oct_cull(cl, packed, n_blocks, c_pad, interpret)
-    step_cluster, work_oct, overflow, _ = _build_queue(
+    steps, work_oct, overflow, _ = _build_queue(
         om, cl.num_clusters, n_padded, k_cap)
     qrays, qrow = _marshal(packed, work_oct, n_padded)
-    cand = _run_queue(_q_closest_kernel, 8, cl, step_cluster, qrays,
+    cand = _run_queue(_q_closest_kernel, 8, cl, steps, qrays,
                       interpret)                             # (8, K*8)
     # Segmented argmin by source ray: min t among hit rows, row index as
     # the deterministic tie-break, then one unique-index scatter of the
@@ -344,7 +372,7 @@ def closest_hit(cl: ClusterSet, rays: Rays, interpret: bool = False,
         lambda: hits)
 
 
-def queue_stats(cl: ClusterSet, rays: Rays, qf: int = 16,
+def queue_stats(cl: ClusterSet, rays: Rays, qf: int = 6,
                 interpret: bool = False):
     """Work-list statistics for the design study: items, per-octet mean,
     capacity, overflow."""

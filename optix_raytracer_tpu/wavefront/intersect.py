@@ -27,6 +27,15 @@ def _use_clusters(scene: DeviceScene) -> bool:
             and jax.default_backend() in _TPU_PLATFORMS)
 
 
+def _use_qwalk() -> bool:
+    """Opt-in cluster-major queue traversal for scattered/mixed-liveness
+    wavefronts (accel/qwalk.py) — flat octet-granularity work lists
+    instead of the lock-step gated walk. A/B via ORT_QWALK=1 until the
+    TPU numbers pick a default (tools/profile_qwalk.py)."""
+    import os
+    return os.environ.get("ORT_QWALK", "0") == "1"
+
+
 def _use_bvh(scene: DeviceScene) -> bool:
     # Brute force wins while the whole mesh fits the fused kernel's SMEM
     # budget; beyond that the threaded LBVH takes over (when built).
@@ -90,7 +99,14 @@ def scene_closest(scene: DeviceScene, rays: Rays,
                 scene.geom, scene.instances, r, tri_mat=scene.tri_mat,
                 chunk_size=chunk_size, mesh_clusters=mc), rays)
     elif _use_clusters(scene):
-        if coherent:
+        if (exact or not coherent) and _use_qwalk():
+            # Scattered/mixed wavefront via the queue: the flat work list
+            # is sort-independent (cluster-major exact crossings), so no
+            # pre-sort is required either.
+            from ..accel import qwalk as qwalk_mod
+            hits = _flat_call(
+                lambda r: qwalk_mod.closest_hit(scene.clusters, r), rays)
+        elif coherent:
             hits = _flat_call(
                 lambda r: cluster_mod.closest_hit(scene.clusters, r,
                                                   exact=exact,
@@ -144,7 +160,13 @@ def scene_any(scene: DeviceScene, rays: Rays,
                 mesh_clusters=mc),
             rays)
     elif _use_clusters(scene):
-        if coherent:
+        if _use_qwalk():
+            # NEE shadow wavefronts are always mixed-liveness — the queue
+            # only enqueues live crossings, so it applies coherent or not.
+            from ..accel import qwalk as qwalk_mod
+            occ = _flat_call(
+                lambda r: qwalk_mod.any_hit(scene.clusters, r), rays)
+        elif coherent:
             # NEE shadow wavefronts are mixed-liveness even when
             # tile-coherent; the exact cull's per-ray union lists ~4x
             # fewer clusters than the interval cull there (measured on

@@ -104,7 +104,10 @@ class TestQueueClosest:
     def test_queue_stats_sane(self, knot):
         _, cs = knot
         rays = _scattered_rays(4096, seed=13)
-        s = qwalk.queue_stats(cs, rays, interpret=True)
+        # qf=16: this synthetic box-volume wavefront is ~70% live with
+        # long rays, far denser than the bounce wavefronts the default
+        # capacity (qf=6 items per TOTAL octet) is tuned for
+        s = qwalk.queue_stats(cs, rays, qf=16, interpret=True)
         assert not s["overflow"]
         assert 0 < s["n_items"] <= s["k_cap"]
         # scattered short rays cross only a handful of clusters each

@@ -105,8 +105,44 @@ def main():
     timed("QUEUE anyhit (shadow)",
           lambda: qwalk.any_hit(cs, shs))
 
+    # --- e2e knot path trace: shipped sample-major walk vs ORT_QWALK ---
+    if "--e2e" in sys.argv:
+        import os
+        from optix_raytracer_tpu.core import film as film_mod
+        from optix_raytracer_tpu.scene.device_scene import make_device_scene
+        from optix_raytracer_tpu.wavefront.engine import render_accumulate
+
+        scene = make_device_scene(verts, idx, np.zeros(len(idx), np.int32),
+                                  [{"kind": 0,
+                                    "base_color": (0.7, 0.6, 0.5)}],
+                                  normals=normals)
+        cam = knot_camera(w, h).params()
+
+        def e2e(spl):
+            f = film_mod.Film.create(h, w)
+            f, rays_t = render_accumulate(scene, cam, f, w, h,
+                                          samples_per_launch=spl,
+                                          max_depth=3, chunk_size=None)
+            return f.accum, rays_t
+
+        for flag in ("0", "1"):
+            os.environ["ORT_QWALK"] = flag
+            # the env flag is read at trace time — drop cached
+            # executables so the A/B actually recompiles both variants
+            jax.clear_caches()
+            acc, rays_t = e2e(16)
+            sync(acc)
+            t0 = time.time()
+            for _ in range(rounds):
+                acc, rays_t = e2e(16)
+            sync(acc)
+            dt = (time.time() - t0) / rounds
+            print(f"e2e spl16 depth3 ORT_QWALK={flag:s}   {dt * 1e3:8.1f} ms"
+                  f"   {float(rays_t) / dt / 1e6:8.1f} Mrays/s", flush=True)
+        os.environ.pop("ORT_QWALK", None)
+
     # --- queue stage breakdown (bounce closest config) ---
-    qf = 16
+    qf = 6
     n_r, n_padded, packed, n_blocks, c_pad, k_cap = qwalk._prep(
         cs, bsorted, qf)
     timed("  stage: oct cull",
@@ -116,14 +152,14 @@ def main():
     build = jax.jit(lambda om_: qwalk._build_queue(
         om_, cs.num_clusters, n_padded, k_cap))
     timed("  stage: queue build", lambda: build(om))
-    sc_, wo_, _, _ = build(om)
+    steps_, wo_, _, _ = build(om)
     marshal = jax.jit(lambda w_: qwalk._marshal(packed, w_, n_padded))
     timed("  stage: marshal", lambda: marshal(wo_))
     qr_, qrow_ = marshal(wo_)
     runq = jax.jit(lambda s_, q_: qwalk._run_queue(
         qwalk._q_closest_kernel, 8, cs, s_, q_, False))
-    timed("  stage: queue kernel", lambda: runq(sc_, qr_))
-    cand_ = runq(sc_, qr_)
+    timed("  stage: queue kernel", lambda: runq(steps_, qr_))
+    cand_ = runq(steps_, qr_)
     red = jax.jit(lambda c_: jax.ops.segment_min(
         jnp.where(c_[6] >= 0.0, c_[0], 3e38), qrow_,
         num_segments=n_padded + 1))
