@@ -36,13 +36,25 @@ if _cache != "0":
 def _clear_jax_caches_per_module():
     """Drop compiled executables between test modules.
 
-    The suite compiles hundreds of XLA CPU executables (several very
-    large interpret-mode Pallas kernels among them); keeping them all
-    live in one process has produced sporadic segfaults inside later
-    `backend_compile` calls (LLVM JIT state accumulation). Per-module
-    cache clearing keeps the resident compiled-code footprint bounded;
-    cross-module recompiles are rare because fixtures don't cross
-    modules either."""
+    ROOT CAUSE (captured round 5, no longer folklore): running the full
+    suite with this workaround disabled (ORT_TEST_CLEARCACHES=0,
+    PYTHONFAULTHANDLER=1) reproduces a hard SIGSEGV at ~87% of the suite
+    — faulthandler stack: `jax/_src/compiler.py:362
+    backend_compile_and_load` -> native XLA:CPU compile/load, reached
+    from a trivial `lax.slice` compile in
+    test_texture_maps.py::test_bundle_matches_per_map after ~1600
+    executables (many huge interpret-mode Pallas programs) are live in
+    one process (jax/jaxlib 0.9.0, CPU backend, persistent cache on).
+    The same runs log `cpu_aot_loader.cc` machine-feature-mismatch
+    errors ("could lead to execution errors such as SIGILL") when
+    loading persistent-cache AOT results, so the crash sits in XLA:CPU's
+    compile/AOT-load path under executable-count pressure — an upstream
+    jaxlib issue, not a framework bug. Reproducer:
+        ORT_TEST_CLEARCACHES=0 PYTHONFAULTHANDLER=1 \
+            python -m pytest tests/ -q     # segfaults; rc=139
+    Per-module cache clearing keeps the resident compiled-code footprint
+    bounded (the suite passes 400+ tests reliably with it); cross-module
+    recompiles are rare because fixtures don't cross modules either."""
     yield
     if os.environ.get("ORT_TEST_CLEARCACHES", "1") != "0":
         # ORT_TEST_CLEARCACHES=0 disables the workaround (reproducer runs
