@@ -33,10 +33,17 @@ def intersect_any(v0, e1, e2, o, d, tmin, tmax):
     return prim >= 0
 
 
-def render_oracle(scene_np, cam, width, height, samples, max_depth, seed=0):
+def render_oracle(scene_np, cam, width, height, samples, max_depth, seed=0,
+                  rng=None):
     """scene_np: dict with v0,e1,e2,normal [M,3], mat_albedo/mat_emission [M,3],
-    light dict(corner,v1,v2,normal,emission,area). Returns [H,W,3] mean."""
-    rng = np.random.default_rng(seed)
+    light dict(corner,v1,v2,normal,emission,area). Returns [H,W,3] mean.
+
+    rng: pass a persistent np.random.Generator to render in resumable
+    chunks — draws are strictly sequential per sample, so chunked calls
+    sharing one Generator reproduce the single-call render bit-exactly
+    (tools/oracle_runner.py relies on this)."""
+    if rng is None:
+        rng = np.random.default_rng(seed)
     v0, e1, e2 = scene_np["v0"], scene_np["e1"], scene_np["e2"]
     normals = scene_np["normal"]
     albedo_m = scene_np["mat_albedo"]
