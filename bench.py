@@ -803,7 +803,10 @@ def main():
     # Same hard-exit on success: the remote-TPU runtime's teardown can hang
     # or abort after the record is already complete on stdout; don't let
     # interpreter shutdown turn a finished bench into a nonzero rc.
-    os._exit(0)
+    # ORT_BENCH_NO_EXIT=1 (long-lived measurement sessions driving main()
+    # in-process) skips it — the caller owns teardown then.
+    if os.environ.get("ORT_BENCH_NO_EXIT") != "1":
+        os._exit(0)
 
 
 if __name__ == "__main__":

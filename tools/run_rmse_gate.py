@@ -86,10 +86,15 @@ def _oracle_cached(sc_np, cam_np, w, h, spp, max_depth, seed):
     cache_dir = os.environ.get("ORT_ORACLE_CACHE", "/tmp/ort_oracle_cache")
     os.makedirs(cache_dir, exist_ok=True)
     key = f"cornell_d{w}x{h}_spp{spp}_depth{max_depth}_seed{seed}.npz"
+    # the repo-committed cache (tools/oracle_cache/) survives /tmp wipes —
+    # finished oracle pairs are checked in so no round ever re-pays the
+    # hours-long render; the env dir stays the write target.
+    for d in (cache_dir, os.path.join(_ROOT, "tools", "oracle_cache")):
+        path = os.path.join(d, key)
+        if os.path.exists(path):
+            print(f"# oracle cache hit: {path}", flush=True)
+            return np.load(path)["img"]
     path = os.path.join(cache_dir, key)
-    if os.path.exists(path):
-        print(f"# oracle cache hit: {key}", flush=True)
-        return np.load(path)["img"]
     img = render_oracle(sc_np, cam_np, w, h, samples=spp,
                         max_depth=max_depth, seed=seed)
     np.savez_compressed(path, img=img)
