@@ -813,17 +813,64 @@ def _member_cross(a, ab):
     return (jnp.maximum(tn, tmin) <= jnp.minimum(tf, tmax)) & live
 
 
+def _member_bits(cross):
+    """(SUB, 128) member-cross bools -> (mlo, mhi) int32 scalars with bit
+    c (c+16) set when some ray crosses member c (< SC_CLUSTERS = 32). One
+    cross-sublane max + two weighted lane reduces; the f32 sums are exact
+    (each < 2^16, distinct powers of two)."""
+    hv = jnp.max(cross.astype(jnp.float32), axis=0, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    # clamp at SC_CLUSTERS: _member_cross lanes past the real member count
+    # hold padding boxes (tests shrink SC_CLUSTERS below 16)
+    w_lo = jnp.where(lane < min(16, SC_CLUSTERS),
+                     jnp.exp2(lane.astype(jnp.float32)), 0.0)
+    w_hi = jnp.where((lane >= 16) & (lane < SC_CLUSTERS),
+                     jnp.exp2((lane - 16).astype(jnp.float32)), 0.0)
+    mlo = jnp.sum(hv * w_lo).astype(jnp.int32)
+    mhi = jnp.sum(hv * w_hi).astype(jnp.int32)
+    return mlo, mhi
+
+
+def _for_each_set_member(mlo, mhi, slot, cbuf, fn):
+    """Run fn(member_block) for every set bit, ascending (lo half first —
+    the same member order as a c-ascending scan). ~2.2 iterations on the
+    measured 4M-tier distribution vs the 32 static scalar-gated
+    conditionals of the previous body, whose scf.if chain alone cost
+    ~10 us/step (tools/profile_sc.py round-5 work model)."""
+    def body(st):
+        lo, hi = st
+        use_lo = lo > 0
+        m = jnp.where(use_lo, lo, hi)
+        low = m & (-m)
+        # integer log2 of the isolated bit: 4 scalar mask-selects
+        c = (jnp.where((low & 0xFF00) != 0, 8, 0)
+             + jnp.where((low & 0xF0F0) != 0, 4, 0)
+             + jnp.where((low & 0xCCCC) != 0, 2, 0)
+             + jnp.where((low & 0xAAAA) != 0, 1, 0)
+             + jnp.where(use_lo, 0, 16))
+        fn(cbuf[pl.ds(slot * SC_CLUSTERS + c, 1)][0])
+        m2 = m & (m - 1)
+        return (jnp.where(use_lo, m2, lo), jnp.where(use_lo, hi, m2))
+
+    jax.lax.while_loop(lambda st: (st[0] | st[1]) > 0, body, (mlo, mhi))
+
+
 def _sc_closest_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
                        rays_ref, f_out, bt_s, bu_s, bv_s, bn_s, bid_s,
-                       cbuf, sem, hv_s, *, early_exit: bool):
+                       cbuf, sem, *, early_exit: bool):
     """Supercluster streaming closest-hit walk (see tier comment above).
 
-    Member gating (round-5 fix): the round-4 body reduced the (SUB, 128)
-    member-cross matrix 32 times (once per member, ~200 cy of cross-
-    sublane tree each) — measured 10.3 us of overhead per (block, SC)
-    step (tools/profile_sc.py), 86% of the 4M-tier walltime against a
-    ~65 ms DMA+pair speed-of-light. Now: ONE axis-0 reduce into the hv_s
-    scratch row, then 32 scalar-load gates."""
+    Member gating (round-5, second fix): the round-4 body reduced the
+    (SUB, 128) member-cross matrix 32 times (once per member, ~200 cy of
+    cross-sublane tree each) — measured 10.3 us of overhead per
+    (block, SC) step (tools/profile_sc.py), 86% of the 4M-tier walltime
+    against a ~65 ms DMA+pair speed-of-light. Replacing the reduces with
+    one axis-0 reduce + 32 scalar-gated conditionals recovered almost
+    nothing (bench 6.0 -> 6.4 Mrays/s): the static scf.if chain costs as
+    much as the reduces it replaced. This body walks only the ~2.2
+    actually-crossing members: pack the member-hit row into two 16-bit
+    scalars, then pop set bits in a data-dependent while loop
+    (_for_each_set_member)."""
     c_pad = list_ref.shape[2]
     for g in range(GROUPS):
         a = rays_ref[g * SUB:(g + 1) * SUB, :]
@@ -859,14 +906,12 @@ def _sc_closest_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
                 s = list_ref[0, g, k] & 0xFFFF
                 slot = jax.lax.rem(k, NBUF_SC)
                 cross = _member_cross(a, msc_ref[pl.ds(s, 1)][0])
-                hv_s[...] = jnp.max(cross.astype(jnp.float32), axis=0,
-                                    keepdims=True)          # (1, 128)
-                for c in range(SC_CLUSTERS):
-                    @pl.when(hv_s[0, c] > 0.0)
-                    def _(c=c, slot=slot):
-                        blk = cbuf[pl.ds(slot * SC_CLUSTERS + c, 1)][0]
-                        _step_closest(blk, ox, oy, oz, dx, dy, dz, tmin,
-                                      bt_s, bu_s, bv_s, bn_s, bid_s)
+                mlo, mhi = _member_bits(cross)
+                _for_each_set_member(
+                    mlo, mhi, slot, cbuf,
+                    lambda blk: _step_closest(blk, ox, oy, oz, dx, dy, dz,
+                                              tmin, bt_s, bu_s, bv_s,
+                                              bn_s, bid_s))
                 return k + 1
 
             def cond(k):
@@ -886,9 +931,9 @@ def _sc_closest_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
 
 
 def _sc_any_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
-                   rays_ref, occ_out, occ_s, cbuf, sem, hv_s):
-    """Supercluster streaming occlusion walk (same one-reduce member
-    gating as _sc_closest_kernel)."""
+                   rays_ref, occ_out, occ_s, cbuf, sem):
+    """Supercluster streaming occlusion walk (same pop-set-bits member
+    walk as _sc_closest_kernel)."""
     c_pad = list_ref.shape[2]
     for g in range(GROUPS):
         count = count_ref[0, g, 0]
@@ -923,22 +968,21 @@ def _sc_any_kernel(count_ref, list_ref, tnear_ref, comp_hbm, msc_ref,
                 s = list_ref[0, g, k] & 0xFFFF
                 slot = jax.lax.rem(k, NBUF_SC)
                 cross = _member_cross(a, msc_ref[pl.ds(s, 1)][0])
-                hv_s[...] = jnp.max(cross.astype(jnp.float32), axis=0,
-                                    keepdims=True)          # (1, 128)
-                for c in range(SC_CLUSTERS):
-                    @pl.when(hv_s[0, c] > 0.0)
-                    def _(c=c, slot=slot):
-                        blk = cbuf[pl.ds(slot * SC_CLUSTERS + c, 1)][0]
-                        tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz,
-                                                     dx, dy, dz)
-                        ok = ((jnp.abs(dpz) > _DEGEN_EPS)
-                              & (uu >= 0.0) & (vv >= 0.0)
-                              & (uu + vv <= 1.0)
-                              & (tt > tmin) & (tt < tmax))
-                        occ_s[...] = jnp.maximum(
-                            occ_s[...],
-                            jnp.max(ok.astype(jnp.int32), axis=1,
-                                    keepdims=True))
+                mlo, mhi = _member_bits(cross)
+
+                def step_any(blk):
+                    tt, uu, vv, dpz = _pair_test(blk, ox, oy, oz, dx, dy,
+                                                 dz)
+                    ok = ((jnp.abs(dpz) > _DEGEN_EPS)
+                          & (uu >= 0.0) & (vv >= 0.0)
+                          & (uu + vv <= 1.0)
+                          & (tt > tmin) & (tt < tmax))
+                    occ_s[...] = jnp.maximum(
+                        occ_s[...],
+                        jnp.max(ok.astype(jnp.int32), axis=1,
+                                keepdims=True))
+
+                _for_each_set_member(mlo, mhi, slot, cbuf, step_any)
                 return k + 1
 
             def cond(k):
@@ -1083,8 +1127,7 @@ def _closest_core(cl: ClusterSet, packed, interpret, early_exit,
         extra_args = [member_aabb]
         scratch += [pltpu.VMEM((NBUF_SC * SC_CLUSTERS, 32, LANES),
                                jnp.float32),
-                    pltpu.SemaphoreType.DMA((NBUF_SC,)),
-                    pltpu.VMEM((1, LANES), jnp.float32)]   # member-hit row
+                    pltpu.SemaphoreType.DMA((NBUF_SC,))]
     else:
         c_pad = cl.num_rows * LANES
         counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
@@ -1306,8 +1349,7 @@ def _any_core(cl: ClusterSet, packed, interpret, exact=False,
         scratch = [pltpu.VMEM((SUB, 1), jnp.int32),
                    pltpu.VMEM((NBUF_SC * SC_CLUSTERS, 32, LANES),
                               jnp.float32),
-                   pltpu.SemaphoreType.DMA((NBUF_SC,)),
-                   pltpu.VMEM((1, LANES), jnp.float32)]   # member-hit row
+                   pltpu.SemaphoreType.DMA((NBUF_SC,))]
     else:
         c_pad = cl.num_rows * LANES
         counts, lists, tnear_sorted = _cull(cl, packed, n_super, c_pad,
