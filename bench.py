@@ -636,16 +636,25 @@ _EXPECTED_EXTRAS = [
 
 
 def _recorded_rmse():
-    """cornell_rmse_vs_oracle from tools/run_rmse_gate.py's committed
-    record (the 256x256/1024spp oracle comparison is minutes of numpy —
-    run out-of-band, recorded here so the bench extras carry it)."""
+    """Gate results from tools/run_rmse_gate.py's committed record (the
+    oracle comparison is hours of numpy — run out-of-band, recorded here
+    so the bench extras carry it). Returns {extra_key: value} with the
+    headline point plus every recorded multi-point gate (depth-4 engine,
+    fused-kernel DUT, ...)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "RMSE.json")
+    out = {"cornell_rmse_vs_oracle": -1.0}
     try:
         with open(path) as f:
-            return json.load(f).get("cornell_rmse_vs_oracle", -1.0)
+            rec = json.load(f)
+        out["cornell_rmse_vs_oracle"] = rec.get("cornell_rmse_vs_oracle",
+                                                -1.0)
+        for label, pt in rec.get("points", {}).items():
+            out[f"cornell_rmse_{label}"] = pt.get("cornell_rmse_vs_oracle",
+                                                  -1.0)
     except Exception:
-        return -1.0
+        pass
+    return out
 
 
 def main():
@@ -659,7 +668,7 @@ def main():
         "unit": "Mrays/s/chip", "vs_baseline": -1.0,
         "extra": {k: -1.0 for k in _EXPECTED_EXTRAS},
     }
-    record["extra"]["cornell_rmse_vs_oracle"] = _recorded_rmse()
+    record["extra"].update(_recorded_rmse())
     record["extra"]["note"] = "headline pending (killed during warmup?)"
     bench_s = {}
     record["extra"]["bench_seconds"] = bench_s
