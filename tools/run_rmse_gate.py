@@ -102,7 +102,7 @@ def _oracle_cached(sc_np, cam_np, w, h, spp, max_depth, seed):
 
 
 def gate(dim=256, spp=4096, oracle_spp=2048, max_depth=3, impl="auto",
-         oracle_only=False):
+         oracle_only=False, spl=64):
     import numpy as np
     from optix_raytracer_tpu.core.film import linear_to_srgb
     from optix_raytracer_tpu.scene.builtins import cornell_box, cornell_camera
@@ -123,9 +123,9 @@ def gate(dim=256, spp=4096, oracle_spp=2048, max_depth=3, impl="auto",
         return None
 
     t0 = time.time()
-    e1 = engine_render(scene, cam, w, h, spp, subframe0=0,
+    e1 = engine_render(scene, cam, w, h, spp, subframe0=0, spl=spl,
                        max_depth=max_depth, impl=impl)
-    e2 = engine_render(scene, cam, w, h, spp, subframe0=1 << 16,
+    e2 = engine_render(scene, cam, w, h, spp, subframe0=1 << 16, spl=spl,
                        max_depth=max_depth, impl=impl)
     t_engine = time.time() - t0
     print(f"# engine[{impl}] 2x{spp}spp: {t_engine:.1f}s", flush=True)
@@ -164,6 +164,9 @@ def main():
     p.add_argument("--spp", type=int, default=4096)
     p.add_argument("--oracle-spp", type=int, default=2048)
     p.add_argument("--max-depth", type=int, default=4)
+    p.add_argument("--spl", type=int, default=64,
+                   help="samples per launch (16 = the fused kernel's "
+                        "well-compiled shape)")
     p.add_argument("--impl", default="auto",
                    choices=["auto", "xla", "fused", "fused_interpret"])
     p.add_argument("--label", default=None,
@@ -186,7 +189,7 @@ def main():
     except Exception:
         pass
     r = gate(args.dim, args.spp, args.oracle_spp, args.max_depth,
-             impl=args.impl)
+             impl=args.impl, spl=args.spl)
     r["device"] = str(jax.devices()[0])
     print(json.dumps(r))
     label = args.label or f"{args.impl}_depth{args.max_depth}_{args.dim}"
