@@ -53,7 +53,9 @@ def make_workload(n_lanes, n_rows, tile_w, seed=0):
 def _onehot_kernel(base_ref, tile0_ref, tile1_ref, local_ref, out_ref, *,
                    fetch_w):
     del base_ref
-    loc = local_ref[...]                              # (1, BLOCK) i32
+    # local rides in 8-step slabs (Mosaic block rule: second-to-last dim
+    # divisible by 8); this step's row is rem(i, 8)
+    loc = local_ref[pl.ds(jax.lax.rem(pl.program_id(0), 8), 1)]  # (1, BLOCK)
     tw = fetch_w // 2
     tile = jnp.concatenate([tile0_ref[...].reshape(tw, ROW_W),
                             tile1_ref[...].reshape(tw, ROW_W)], axis=0)
@@ -86,7 +88,7 @@ def onehot_fetch(atlas_bf16, tile_idx, local, tile_w, interpret=False):
             pl.BlockSpec((1, tile_w, ROW_W),
                          lambda i, sc: (sc[i] + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK), lambda i, sc: (i, 0),
+            pl.BlockSpec((8, BLOCK), lambda i, sc: (i // 8, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BLOCK, ROW_W), lambda i, sc: (i, 0),
